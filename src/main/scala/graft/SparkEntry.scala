@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{CtbOps, Relational, TextOps, UdfQueries, VectorOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query surface is assembled from the operator packs, each of which
+  * pairs every Spark query with its DuckDB oracle SQL:
+  *   - [[graft.ops.CtbOps]]      reference ingest semantics (SURVEY §2-A)
+  *   - [[graft.ops.Relational]]  joins/aggs/windows/sorts/sets/fns (§2-B)
+  *   - [[graft.ops.TextOps]]     text analysis + dedup (LLM-pipeline ops)
+  *   - [[graft.ops.VectorOps]]   similarity search over embeddings
+  *   - [[graft.ops.UdfQueries]]  UDF/UDAF extension-point parity
+  */
 object SparkEntry {
+
+  private val packs: Seq[graft.ops.Tables.Pack] =
+    Seq(CtbOps, Relational, TextOps, VectorOps, UdfQueries)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("agg_groupby")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracles).toMap
 }

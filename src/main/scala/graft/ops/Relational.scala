@@ -1,0 +1,578 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Relational operator surface (SURVEY §2-B): scans, joins, aggregations,
+  * windows, sorts, set ops, scalar function suites.
+  *
+  * Oracle-parity rules applied throughout (SURVEY §2-B rules):
+  *   - every query ends with a deterministic ORDER BY over a unique key;
+  *   - money math is done in exact decimal (cast each 2-dp double to
+  *     DECIMAL(10,2) *before* arithmetic) so Spark and DuckDB produce
+  *     bit-identical results regardless of summation order — floating sums
+  *     are never compared;
+  *   - raw double/float columns are passed through untouched (bit-exact);
+  *   - timestamps are reduced to DATE or epoch-second BIGINT.
+  *
+  * Scale notes: joins keep their natural shuffle keys; small dims are
+  * broadcast explicitly; top-k uses orderBy+limit which Spark plans as
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational extends Pack {
+
+  /** exact 2-dp decimal view of a money/qty double column */
+  private def dec2(c: Column): Column = c.cast("decimal(10,2)")
+  private val one = lit(1).cast("decimal(10,2)")
+
+  // shared SQL fragment: exact revenue sum, cast to a fixed output type
+  private val revSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(18,4))"
+  private def rev: Column =
+    sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).cast("decimal(18,4)")
+
+  val queries: Map[String, Q] = Map(
+    // ---- scans / projection / filter -------------------------------------
+    "scan_parquet" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"),
+        sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+    }),
+
+    "project_rename" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey").as("part_id"),
+          col("p_name").as("part_name"),
+          col("p_brand").as("brand"),
+          col("p_retailprice").as("retail_price"))
+        .orderBy("part_id")
+    }),
+
+    "filter_pred" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(to_date(col("l_shipdate")).between("1996-01-01", "1997-12-31")
+          && col("l_discount") >= 0.03 && col("l_quantity") < 25
+          && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          to_date(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- joins -----------------------------------------------------------
+    "join_broadcast" -> ((s, d) => {
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    "join_hash" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), rev.as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "join_multiway" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_lines"), rev.as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "join_left" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec2(col("o_totalprice"))).cast("decimal(18,2)"),
+            lit(0).cast("decimal(18,2)")).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_semi" -> ((s, d) => {
+      val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 20000)
+      t(s, d, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_range" -> ((s, d) => {
+      // non-equi band join; NLJ by nature — the band predicate bounds output,
+      // and the small side (supplier) is broadcast so no shuffle occurs
+      val sup = broadcast(t(s, d, "supplier"))
+      t(s, d, "part")
+        .join(sup, col("p_retailprice") >= col("s_acctbal")
+          && col("p_retailprice") < col("s_acctbal") + 500.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("p_partkey")).as("min_part"),
+          max(col("p_partkey")).as("max_part"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- aggregation -----------------------------------------------------
+    "agg_groupby" -> ((s, d) => {
+      // TPC-H Q1 shape; sums in exact decimal, avgs rounded
+      t(s, d, "lineitem")
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+            * (one + dec2(col("l_tax")))).cast("decimal(18,6)").as("sum_charge"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "agg_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_approx_distinct" -> ((s, d) => {
+      // HLL sketch — approximate, verified by rows-only check (no oracle)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- windows ---------------------------------------------------------
+    "window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    }),
+
+    "window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"), col("prev_value"),
+          (dec2(col("value")) - dec2(col("prev_value"))).as("delta"))
+        .orderBy("event_id")
+    }),
+
+    "window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("decimal(18,2)").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "sessionize" -> ((s, d) => {
+      // gaps-and-islands: new session when >1h since previous event
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .withColumn("prev_ep", lag(col("ep"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ep").isNull || col("ep") - col("prev_ep") > 3600, 1).otherwise(0))
+        .select(col("user_id"), col("event_id"),
+          sum(col("is_new")).over(run).as("session_seq"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- sort / limit / set ops ------------------------------------------
+    "sort_limit" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(100)
+    }),
+
+    "set_union" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nkey"))
+        .unionByName(t(s, d, "supplier").select(col("s_nationkey").as("nkey")))
+        .groupBy(col("nkey")).agg(count(lit(1)).as("n"))
+        .orderBy("nkey")
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")
+    }),
+
+    "set_except" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")
+    }),
+
+    // ---- scalar function suites ------------------------------------------
+    "fn_string" -> ((s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        substring(col("p_name"), 1, 8).as("prefix8"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"),
+        length(col("p_name")).as("name_len"),
+        col("p_name").startsWith("a").as("starts_a"),
+        instr(col("p_name"), "re").as("pos_re"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        translate(col("p_brand"), "#", "_").as("brand_t"))
+        .orderBy("p_partkey")
+    }),
+
+    "fn_date" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("od", to_date(col("o_orderdate")))
+        .select(
+          col("o_orderkey"), col("od"),
+          year(col("od")).as("y"), month(col("od")).as("m"), dayofmonth(col("od")).as("dd"),
+          quarter(col("od")).as("q"),
+          date_add(col("od"), 30).as("plus30"),
+          datediff(col("od"), lit("1995-01-01").cast("date")).as("days_since"),
+          trunc(col("od"), "month").as("month_start"),
+          last_day(col("od")).as("month_end"))
+        .orderBy("o_orderkey")
+    }),
+
+    "fn_math" -> ((s, d) => {
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+          * (one + dec2(col("l_tax")))).cast("decimal(18,6)").as("charge"),
+        (dec2(col("l_discount")) * 100).cast("decimal(12,2)").as("disc_pct"),
+        ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+        floor(col("l_quantity")).cast("long").as("qty_floor"),
+        abs(dec2(col("l_extendedprice")) - lit(1000).cast("decimal(10,2)"))
+          .cast("decimal(18,2)").as("abs_delta"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        greatest(col("l_quantity"), col("l_discount")).as("gmax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "fn_array" -> ((s, d) => {
+      t(s, d, "embeddings").select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_v"),
+        element_at(col("embedding"), 64).as("last_v"),
+        array_max(col("embedding")).as("max_v"),
+        array_min(col("embedding")).as("min_v"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        sort_array(slice(col("embedding"), 1, 5)).as("sorted5"))
+        .orderBy("vec_id")
+    }),
+
+    "fn_json" -> ((s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").try_cast("long").as("k_int"))
+        .orderBy("event_id")
+    }),
+
+    // ---- time buckets (batch form of the streaming tumbling window) ------
+    "stream_tumbling" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket_s", "event_type")
+    }),
+
+    // ---- subquery / pivot / headline -------------------------------------
+    "subquery_scalar" -> ((s, d) => {
+      val mx = t(s, d, "part").agg(max(col("p_retailprice")).as("max_retail"))
+      t(s, d, "lineitem")
+        .crossJoin(broadcast(mx))
+        .filter(col("l_extendedprice") > col("max_retail"))
+        .groupBy(col("max_retail"))
+        .agg(count(lit(1)).as("n_above"))
+        .select(col("n_above"), col("max_retail"))
+    }),
+
+    "pivot_manual" -> ((s, d) => {
+      // conditional aggregation (portable pivot)
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("source") === "src0", 1).otherwise(0)).as("n_src0"),
+          sum(when(col("source") === "src1", 1).otherwise(0)).as("n_src1"),
+          sum(when(col("source") === "src2", 1).otherwise(0)).as("n_src2"),
+          sum(when(!col("source").isin("src0", "src1", "src2"), 1).otherwise(0)).as("n_other"))
+        .orderBy("lang")
+    }),
+
+    "top_revenue" -> ((s, d) => {
+      // TPC-H Q3 shape: filtered 3-way join, exact-decimal revenue, top 10
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+      val li = t(s, d, "lineitem").filter(to_date(col("l_shipdate")) > lit("1998-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(rev.as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_qty FROM lineitem""".stripMargin,
+
+    "project_rename" ->
+      """SELECT p_partkey AS part_id, p_name AS part_name, p_brand AS brand,
+        |p_retailprice AS retail_price FROM part ORDER BY part_id""".stripMargin,
+
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate::DATE AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate::DATE BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        |  AND l_discount >= 0.03 AND l_quantity < 25 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "join_hash" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines, $revSql AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_multiway" ->
+      s"""SELECT r_name, n_name, count(*) AS n_lines, $revSql AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 20000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_range" ->
+      """SELECT s_suppkey, count(*) AS n_parts, min(p_partkey) AS min_part, max(p_partkey) AS max_part
+        |FROM part JOIN supplier ON p_retailprice >= s_acctbal AND p_retailprice < s_acctbal + 500.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS DECIMAL(18,6)) AS sum_charge,
+        |ROUND(AVG(l_quantity), 2) AS avg_qty,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate::DATE <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS d_parts,
+        |count(DISTINCT l_suppkey) AS d_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |count(*) AS n, GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+
+    "window_lag" ->
+      """SELECT event_id, user_id, value, prev_value,
+        |CAST(value AS DECIMAL(10,2)) - CAST(prev_value AS DECIMAL(10,2)) AS delta FROM (
+        |  SELECT event_id, user_id, value,
+        |         LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+        |  FROM events) ORDER BY event_id""".stripMargin,
+
+    "window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "sessionize" ->
+      """SELECT user_id, event_id,
+        |SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN prev_ep IS NULL OR ep - prev_ep > 3600 THEN 1 ELSE 0 END AS is_new
+        |  FROM (
+        |    SELECT user_id, event_id, epoch(ts)::BIGINT AS ep,
+        |           LAG(epoch(ts)::BIGINT, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ep
+        |    FROM events))
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin,
+
+    "set_union" ->
+      """SELECT nkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nkey ORDER BY nkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_nationkey AS nkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nkey""".stripMargin,
+
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+        |substring(p_name, 1, 8) AS prefix8, concat_ws('#', p_brand, p_type) AS brand_type,
+        |regexp_replace(p_type, ' ', '_', 'g') AS type_u, length(p_name) AS name_len,
+        |starts_with(p_name, 'a') AS starts_a, instr(p_name, 're') AS pos_re,
+        |lpad(p_size::VARCHAR, 4, '0') AS size_pad, translate(p_brand, '#', '_') AS brand_t
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey, o_orderdate::DATE AS od,
+        |year(o_orderdate::DATE) AS y, month(o_orderdate::DATE) AS m, day(o_orderdate::DATE) AS dd,
+        |quarter(o_orderdate::DATE) AS q,
+        |o_orderdate::DATE + 30 AS plus30,
+        |datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since,
+        |date_trunc('month', o_orderdate::DATE)::DATE AS month_start,
+        |last_day(o_orderdate::DATE) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2))) AS DECIMAL(18,6)) AS charge,
+        |CAST(CAST(l_discount AS DECIMAL(10,2)) * 100 AS DECIMAL(12,2)) AS disc_pct,
+        |ceil(l_quantity)::BIGINT AS qty_ceil, floor(l_quantity)::BIGINT AS qty_floor,
+        |CAST(abs(CAST(l_extendedprice AS DECIMAL(10,2)) - CAST(1000 AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS abs_delta,
+        |sqrt(l_quantity) AS qty_sqrt,
+        |l_orderkey % 7 AS key_mod7,
+        |greatest(l_quantity, l_discount) AS gmax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id, label, len(embedding) AS dim,
+        |embedding[1] AS first_v, embedding[64] AS last_v,
+        |list_aggregate(embedding, 'max') AS max_v, list_aggregate(embedding, 'min') AS min_v,
+        |embedding[1:3] AS head3, list_sort(embedding[1:5]) AS sorted5
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_tumbling" ->
+      """SELECT (epoch(ts)::BIGINT // 60) * 60 AS bucket_s, event_type, count(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY bucket_s, event_type ORDER BY bucket_s, event_type""".stripMargin,
+
+    "subquery_scalar" ->
+      """SELECT count(*) AS n_above, (SELECT max(p_retailprice) FROM part) AS max_retail
+        |FROM lineitem WHERE l_extendedprice > (SELECT max(p_retailprice) FROM part)""".stripMargin,
+
+    "pivot_manual" ->
+      """SELECT lang,
+        |SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_src0,
+        |SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n_src1,
+        |SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS n_src2,
+        |SUM(CASE WHEN source NOT IN ('src0','src1','src2') THEN 1 ELSE 0 END) AS n_other
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "top_revenue" ->
+      s"""SELECT o_orderkey, o_orderdate::DATE AS order_date, $revSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate::DATE < DATE '1998-01-01' AND l_shipdate::DATE > DATE '1998-01-01'
+         |GROUP BY o_orderkey, order_date
+         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.udf.Udfs
+import Tables._
+
+/** Oracle-checked queries exercising the UDF/UDAF extension points.
+  * The synthesized dirty field reuses CtbOps' deterministic generators so
+  * the DuckDB oracle can reproduce the values with pure SQL arithmetic.
+  */
+object UdfQueries extends Pack {
+
+  // same dirty-integer generator as CtbOps (kept textually identical)
+  private val qtyStrSql =
+    """CASE WHEN o_orderkey % 7 = 0 THEN ''
+      |     WHEN o_orderkey % 97 = 0 THEN 'x' || o_orderkey::VARCHAR
+      |     WHEN o_orderkey >= 1000 THEN (o_orderkey // 1000)::VARCHAR || ',' || lpad((o_orderkey % 1000)::VARCHAR, 3, '0')
+      |     ELSE o_orderkey::VARCHAR END""".stripMargin
+
+  private def qtyStr = {
+    val n = col("o_orderkey")
+    val commaFmt = when(n >= 1000,
+      concat(expr("o_orderkey div 1000"), lit(","),
+        lpad((n % 1000).cast("string"), 3, "0")))
+      .otherwise(n.cast("string"))
+    when(n % 7 === 0, lit(""))
+      .when(n % 97 === 0, concat(lit("x"), n.cast("string")))
+      .otherwise(commaFmt)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "udf_scalar" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), qtyStr.as("raw_qty"),
+          Udfs.parseIntComma(qtyStr).as("parsed"))
+        .orderBy("o_orderkey")
+    }),
+
+    "udaf_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(Udfs.errPermille(qtyStr).as("err_permille"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "udf_scalar" ->
+      s"""SELECT o_orderkey, ($qtyStrSql) AS raw_qty,
+         |TRY_CAST(replace(($qtyStrSql), ',', '') AS BIGINT) AS parsed
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "udaf_agg" ->
+      s"""SELECT o_orderpriority,
+         |(SUM(CASE WHEN ($qtyStrSql) <> '' AND TRY_CAST(replace(($qtyStrSql), ',', '') AS BIGINT) IS NULL THEN 1 ELSE 0 END) * 1000)
+         |  // count(*) AS err_permille,
+         |count(*) AS n
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, unit-norm).
+  *
+  * Oracle-checked queries quantize each component to round(x*1000) BIGINT so
+  * both engines do exact integer multiply-accumulate — float summation order
+  * can never flip a comparison. The production (float) paths are in
+  * [[cosineTopK]] / bucketed ANN below and are exercised by ScalaTest+bench.
+  *
+  * Scale design: the probe side is a broadcast (one row / small probe set);
+  * brute-force scoring is an embarrassingly-parallel map over the corpus with
+  * a TakeOrderedAndProject top-k — no shuffle of the corpus. The pairwise
+  * near-dup query broadcasts the smaller quantized projection, so the corpus
+  * is scanned once; at 100 TB the same plan becomes an LSH-bucketed join
+  * (see [[lshBucketCosine]]).
+  */
+object VectorOps extends Pack {
+
+  /** quantized int64 view of a float vector (exact in both engines) */
+  private def qvec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  private def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk" -> ((s, d) => {
+      // brute-force top-k inner product vs the probe vector (vec_id = 0)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), qvec(col("embedding")).as("q"))
+      val probe = emb.filter(col("vec_id") === 0).select(col("q").as("pq"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), dotq(col("q"), col("pq")).as("dot_q"))
+        .orderBy(col("dot_q").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
+    "dedup_embcos" -> ((s, d) => {
+      // embedding-cosine near-dup pairs: |cos| >= 0.3 with exact integer
+      // cross-multiplication (10000*dot^2 >= 900*|a|^2*|b|^2, dot > 0)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .withColumn("n2", dotq(col("q"), col("q")))
+      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na2"))
+      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb2"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("dot_q", dotq(col("qa"), col("qb")))
+        .filter(col("dot_q") > 0 &&
+          lit(10000) * col("dot_q") * col("dot_q") >= lit(900) * col("na2") * col("nb2"))
+        .select(col("id_a"), col("id_b"), col("dot_q"), col("na2"), col("nb2"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |p AS (SELECT qe AS pq FROM q WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  list_sum(list_transform(qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
+        |FROM q, p WHERE vec_id <> 0
+        |ORDER BY dot_q DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "dedup_embcos" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe, list_sum(list_transform(qe, x -> x * x))::BIGINT AS n2 FROM q)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT AS dot_q,
+        |  a.n2 AS na2, b.n2 AS nb2
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT > 0
+        |  AND 10000 * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
+        |      * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
+        |      >= 900 * a.n2 * b.n2
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+
+  // ---- production float paths (ScalaTest + bench; not oracle-compared) ----
+
+  /** Float cosine top-k against an arbitrary probe — the real similarity
+    * search: corpus-parallel scan, broadcast probe, TakeOrderedAndProject.
+    */
+  def cosineTopK(corpus: DataFrame, probe: Array[Float], k: Int): DataFrame = {
+    val p = probe.map(_.toDouble)
+    val pLit = array(p.map(lit): _*)
+    val dot = aggregate(
+      zip_with(col("embedding"), pLit, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+    val norm = sqrt(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val pNorm = math.sqrt(p.map(x => x * x).sum)
+    corpus
+      .select(col("vec_id"), (dot / (norm * lit(pNorm))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN scale path: random-hyperplane signature buckets the
+    * corpus; candidates come from the probe's bucket (plus multi-probe
+    * neighbors at 1 bit distance), then exact cosine ranks them. At 100 TB
+    * the bucketing is a one-pass projection and the per-bucket candidate set
+    * is a tiny fraction of the corpus.
+    */
+  def lshBucketCosine(corpus: DataFrame, probe: Array[Float], k: Int, nPlanes: Int = 8): DataFrame = {
+    // deterministic pseudo-random hyperplanes from a fixed seed
+    val rng = new scala.util.Random(42)
+    val dim = probe.length
+    val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    def sigOf(v: Array[Double]): Int =
+      planes.zipWithIndex.map { case (pl, i) =>
+        if (pl.zip(v).map { case (a, b) => a * b }.sum > 0) 1 << i else 0
+      }.sum
+    val probeSig = sigOf(probe.map(_.toDouble))
+    // signature of each corpus vector, computed with codegen'd array exprs
+    val sigCol = planes.zipWithIndex.map { case (pl, i) =>
+      val plLit = array(pl.map(lit): _*)
+      when(aggregate(zip_with(col("embedding"), plLit, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v) > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+    // multi-probe: accept buckets within hamming distance 1 of the probe's
+    val okSigs = (probeSig +: (0 until nPlanes).map(i => probeSig ^ (1 << i))).map(lit(_))
+    val cands = corpus.withColumn("sig", sigCol).filter(col("sig").isin(okSigs: _*))
+    cosineTopK(cands, probe, k)
+  }
+}
