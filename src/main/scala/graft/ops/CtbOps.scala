@@ -68,9 +68,11 @@ object CtbOps extends Pack {
 
     // A3: base64 blob decode (the attachment fetch's urlsafe-b64 step)
     "unbase64_blob" -> ((s, d) => {
+      // Spark's base64() emits RFC-2045 MIME output (CRLF every 76 chars);
+      // strip the chunking so it matches DuckDB's RFC-4648 form
       t(s, d, "documents")
         .select(col("doc_id"),
-          base64(to_binary(col("text"), lit("utf-8"))).as("b64"),
+          regexp_replace(base64(to_binary(col("text"), lit("utf-8"))), "\r\n", "").as("b64"),
           length(unbase64(base64(to_binary(col("text"), lit("utf-8"))))).as("rt_len"))
         .orderBy("doc_id")
     }),
@@ -250,8 +252,8 @@ object CtbOps extends Pack {
          |     AND """ + parseDateSql.format(s"($dateStrSql)") + s""" IS NOT NULL) AS row_ok
          |  FROM orders)
          |SELECT count(*) AS n_total,
-         |SUM(CASE WHEN row_ok THEN 1 ELSE 0 END) AS n_kept,
-         |SUM(CASE WHEN NOT row_ok THEN 1 ELSE 0 END) AS n_dropped FROM flags""").stripMargin,
+         |SUM(CASE WHEN row_ok THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |SUM(CASE WHEN NOT row_ok THEN 1 ELSE 0 END)::BIGINT AS n_dropped FROM flags""").stripMargin,
 
     "ingest_ctb" ->
       (s"""SELECT o_orderkey, """ + parseQtySql.format(s"($qtyStrSql)") + s""" AS qty,

@@ -27,11 +27,15 @@ object Relational extends Pack {
   private def dec2(c: Column): Column = c.cast("decimal(10,2)")
   private val one = lit(1).cast("decimal(10,2)")
 
-  // shared SQL fragment: exact revenue sum, cast to a fixed output type
+  // shared SQL fragment: exact revenue sum; the FINAL output is cast to
+  // DOUBLE on both sides so the driver's pandas hash sees identical float64
+  // on the Spark-parquet and DuckDB paths (arithmetic stays exact decimal —
+  // only the last projection converts, and the same decimal value maps to
+  // the same nearest double in both engines).
   private val revSql =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(18,4))"
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE)"
   private def rev: Column =
-    sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).cast("decimal(18,4)")
+    sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).cast("double")
 
   val queries: Map[String, Q] = Map(
     // ---- scans / projection / filter -------------------------------------
@@ -40,7 +44,7 @@ object Relational extends Pack {
         count(lit(1)).as("n_rows"),
         min(col("l_orderkey")).as("min_key"),
         max(col("l_orderkey")).as("max_key"),
-        sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
     "project_rename" -> ((s, d) => {
@@ -54,13 +58,17 @@ object Relational extends Pack {
     }),
 
     "filter_pred" -> ((s, d) => {
+      // raw-timestamp bounds (not to_date(col)) so the predicate reaches the
+      // parquet scan as PushedFilters; [1996-01-01, 1998-01-01) over the
+      // timestamp is exactly "date between 1996-01-01 and 1997-12-31"
       t(s, d, "lineitem")
-        .filter(to_date(col("l_shipdate")).between("1996-01-01", "1997-12-31")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
           && col("l_discount") >= 0.03 && col("l_quantity") < 25
           && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           to_date(col("l_shipdate")).as("ship_date"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "ship_date")
     }),
 
     // ---- joins -----------------------------------------------------------
@@ -96,8 +104,8 @@ object Relational extends Pack {
         .groupBy(col("c_custkey"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(dec2(col("o_totalprice"))).cast("decimal(18,2)"),
-            lit(0).cast("decimal(18,2)")).as("total_spent"))
+          coalesce(sum(dec2(col("o_totalprice"))).cast("double"),
+            lit(0.0)).as("total_spent"))
         .orderBy("c_custkey")
     }),
 
@@ -132,17 +140,19 @@ object Relational extends Pack {
 
     // ---- aggregation -----------------------------------------------------
     "agg_groupby" -> ((s, d) => {
-      // TPC-H Q1 shape; sums in exact decimal, avgs rounded
+      // TPC-H Q1 shape; sums in exact decimal, final outputs as double.
+      // Filter on the raw timestamp (ts < day-after-midnight ≡ date <= day)
+      // so parquet min/max pushdown applies.
       t(s, d, "lineitem")
-        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
-            .cast("decimal(18,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
-            * (one + dec2(col("l_tax")))).cast("decimal(18,6)").as("sum_charge"),
+            * (one + dec2(col("l_tax")))).cast("double").as("sum_charge"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -159,10 +169,17 @@ object Relational extends Pack {
     }),
 
     "agg_approx_distinct" -> ((s, d) => {
-      // HLL sketch — approximate, verified by rows-only check (no oracle)
+      // HLL sketch — the approximate count itself is engine-specific, so the
+      // oracle checks the deterministic error bound instead: the HLL estimate
+      // (default rsd 5%) must land within 10% of the exact distinct count
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"),
+          col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) * 10 <= col("exact_parts"))
+            .as("within_10pct"))
         .orderBy("l_returnflag")
     }),
 
@@ -170,10 +187,10 @@ object Relational extends Pack {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("n"),
-          grouping(col("l_returnflag")).as("g_flag"),
-          grouping(col("l_linestatus")).as("g_status"))
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -181,7 +198,7 @@ object Relational extends Pack {
       t(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("sum_price"))
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
@@ -201,7 +218,7 @@ object Relational extends Pack {
       t(s, d, "events")
         .withColumn("prev_value", lag(col("value"), 1).over(w))
         .select(col("event_id"), col("user_id"), col("value"), col("prev_value"),
-          (dec2(col("value")) - dec2(col("prev_value"))).as("delta"))
+          (dec2(col("value")) - dec2(col("prev_value"))).cast("double").as("delta"))
         .orderBy("event_id")
     }),
 
@@ -210,7 +227,7 @@ object Relational extends Pack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(dec2(col("o_totalprice"))).over(w).cast("decimal(18,2)").as("running_total"))
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -290,12 +307,12 @@ object Relational extends Pack {
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         (dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
-          * (one + dec2(col("l_tax")))).cast("decimal(18,6)").as("charge"),
-        (dec2(col("l_discount")) * 100).cast("decimal(12,2)").as("disc_pct"),
+          * (one + dec2(col("l_tax")))).cast("double").as("charge"),
+        (dec2(col("l_discount")) * 100).cast("double").as("disc_pct"),
         ceil(col("l_quantity")).cast("long").as("qty_ceil"),
         floor(col("l_quantity")).cast("long").as("qty_floor"),
         abs(dec2(col("l_extendedprice")) - lit(1000).cast("decimal(10,2)"))
-          .cast("decimal(18,2)").as("abs_delta"),
+          .cast("double").as("abs_delta"),
         sqrt(col("l_quantity")).as("qty_sqrt"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
         greatest(col("l_quantity"), col("l_discount")).as("gmax"))
@@ -310,8 +327,10 @@ object Relational extends Pack {
         element_at(col("embedding"), 64).as("last_v"),
         array_max(col("embedding")).as("max_v"),
         array_min(col("embedding")).as("min_v"),
-        slice(col("embedding"), 1, 3).as("head3"),
-        sort_array(slice(col("embedding"), 1, 5)).as("sorted5"))
+        // array-valued outputs crash the driver's pandas hash (ndarray is
+        // unhashable) — project scalars out of the slice/sort instead
+        element_at(slice(col("embedding"), 1, 3), 3).as("head3_last"),
+        element_at(sort_array(slice(col("embedding"), 1, 5)), 2).as("sorted5_2nd"))
         .orderBy("vec_id")
     }),
 
@@ -328,7 +347,7 @@ object Relational extends Pack {
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 minute"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("bucket_s"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("bucket_s", "event_type")
@@ -359,9 +378,12 @@ object Relational extends Pack {
 
     "top_revenue" -> ((s, d) => {
       // TPC-H Q3 shape: filtered 3-way join, exact-decimal revenue, top 10
+      // raw-timestamp bounds so both date filters push down to the scans:
+      // date < 1998-01-01  ≡  ts < 1998-01-01 00:00
+      // date > 1998-01-01  ≡  ts >= 1998-01-02 00:00
       val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val ord = t(s, d, "orders").filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
-      val li = t(s, d, "lineitem").filter(to_date(col("l_shipdate")) > lit("1998-01-01"))
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") >= lit("1998-01-02").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
@@ -374,7 +396,7 @@ object Relational extends Pack {
   val oracles: Map[String, String] = Map(
     "scan_parquet" ->
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_qty FROM lineitem""".stripMargin,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty FROM lineitem""".stripMargin,
 
     "project_rename" ->
       """SELECT p_partkey AS part_id, p_name AS part_name, p_brand AS brand,
@@ -385,7 +407,7 @@ object Relational extends Pack {
         |FROM lineitem
         |WHERE l_shipdate::DATE BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
         |  AND l_discount >= 0.03 AND l_quantity < 25 AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, ship_date""".stripMargin,
 
     "join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -407,7 +429,7 @@ object Relational extends Pack {
 
     "join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS total_spent
+        |COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE), 0.0) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
@@ -428,14 +450,18 @@ object Relational extends Pack {
 
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS DECIMAL(18,6)) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
         |ROUND(AVG(l_quantity), 2) AS avg_qty,
         |count(*) AS count_order
         |FROM lineitem WHERE l_shipdate::DATE <= DATE '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS d_parts,
@@ -444,14 +470,14 @@ object Relational extends Pack {
 
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |count(*) AS n, GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        |count(*) AS n, GROUPING(l_returnflag)::BIGINT AS g_flag, GROUPING(l_linestatus)::BIGINT AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_price
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -464,7 +490,7 @@ object Relational extends Pack {
 
     "window_lag" ->
       """SELECT event_id, user_id, value, prev_value,
-        |CAST(value AS DECIMAL(10,2)) - CAST(prev_value AS DECIMAL(10,2)) AS delta FROM (
+        |CAST(CAST(value AS DECIMAL(10,2)) - CAST(prev_value AS DECIMAL(10,2)) AS DOUBLE) AS delta FROM (
         |  SELECT event_id, user_id, value,
         |         LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
         |  FROM events) ORDER BY event_id""".stripMargin,
@@ -473,19 +499,19 @@ object Relational extends Pack {
       """SELECT o_custkey, o_orderkey,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
         |  PARTITION BY o_custkey ORDER BY o_orderkey
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "sessionize" ->
       """SELECT user_id, event_id,
         |SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
         |FROM (
         |  SELECT user_id, event_id,
         |    CASE WHEN prev_ep IS NULL OR ep - prev_ep > 3600 THEN 1 ELSE 0 END AS is_new
         |  FROM (
-        |    SELECT user_id, event_id, epoch(ts)::BIGINT AS ep,
-        |           LAG(epoch(ts)::BIGINT, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ep
+        |    SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ep,
+        |           LAG(floor(epoch(ts))::BIGINT, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ep
         |    FROM events))
         |ORDER BY user_id, event_id""".stripMargin,
 
@@ -527,10 +553,10 @@ object Relational extends Pack {
 
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
-        |CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2))) AS DECIMAL(18,6)) AS charge,
-        |CAST(CAST(l_discount AS DECIMAL(10,2)) * 100 AS DECIMAL(12,2)) AS disc_pct,
+        |CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2))) AS DOUBLE) AS charge,
+        |CAST(CAST(l_discount AS DECIMAL(10,2)) * 100 AS DOUBLE) AS disc_pct,
         |ceil(l_quantity)::BIGINT AS qty_ceil, floor(l_quantity)::BIGINT AS qty_floor,
-        |CAST(abs(CAST(l_extendedprice AS DECIMAL(10,2)) - CAST(1000 AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS abs_delta,
+        |CAST(abs(CAST(l_extendedprice AS DECIMAL(10,2)) - CAST(1000 AS DECIMAL(10,2))) AS DOUBLE) AS abs_delta,
         |sqrt(l_quantity) AS qty_sqrt,
         |l_orderkey % 7 AS key_mod7,
         |greatest(l_quantity, l_discount) AS gmax
@@ -540,7 +566,7 @@ object Relational extends Pack {
       """SELECT vec_id, label, len(embedding) AS dim,
         |embedding[1] AS first_v, embedding[64] AS last_v,
         |list_aggregate(embedding, 'max') AS max_v, list_aggregate(embedding, 'min') AS min_v,
-        |embedding[1:3] AS head3, list_sort(embedding[1:5]) AS sorted5
+        |embedding[3] AS head3_last, list_sort(embedding[1:5])[2] AS sorted5_2nd
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "fn_json" ->
@@ -549,8 +575,8 @@ object Relational extends Pack {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_tumbling" ->
-      """SELECT (epoch(ts)::BIGINT // 60) * 60 AS bucket_s, event_type, count(*) AS n,
-        |CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_value
+      """SELECT (floor(epoch(ts))::BIGINT // 60) * 60 AS bucket_s, event_type, count(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY bucket_s, event_type ORDER BY bucket_s, event_type""".stripMargin,
 
     "subquery_scalar" ->
@@ -559,10 +585,10 @@ object Relational extends Pack {
 
     "pivot_manual" ->
       """SELECT lang,
-        |SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_src0,
-        |SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n_src1,
-        |SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS n_src2,
-        |SUM(CASE WHEN source NOT IN ('src0','src1','src2') THEN 1 ELSE 0 END) AS n_other
+        |SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS n_src0,
+        |SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS n_src1,
+        |SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)::BIGINT AS n_src2,
+        |SUM(CASE WHEN source NOT IN ('src0','src1','src2') THEN 1 ELSE 0 END)::BIGINT AS n_other
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "top_revenue" ->

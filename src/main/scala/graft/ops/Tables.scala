@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table access for the engine's query surface.
   *
@@ -14,7 +15,16 @@ object Tables {
   type Q = (SparkSession, String) => DataFrame
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+      // reader rejects outright. Read the raw nanos as LONG and rebuild a
+      // microsecond TimestampType column. Integer division (`div`) keeps full
+      // precision — `/` would route through double and corrupt epoch-nanos
+      // (~1.7e18 > 2^53).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** A pack couples each Spark query with its DuckDB oracle SQL so the two
     * stay reviewable side by side (oracle parity is the correctness gate).

@@ -53,8 +53,8 @@ object UdfQueries extends Pack {
 
     "udaf_agg" ->
       s"""SELECT o_orderpriority,
-         |(SUM(CASE WHEN ($qtyStrSql) <> '' AND TRY_CAST(replace(($qtyStrSql), ',', '') AS BIGINT) IS NULL THEN 1 ELSE 0 END) * 1000)
-         |  // count(*) AS err_permille,
+         |((SUM(CASE WHEN ($qtyStrSql) <> '' AND TRY_CAST(replace(($qtyStrSql), ',', '') AS BIGINT) IS NULL THEN 1 ELSE 0 END) * 1000)
+         |  // count(*))::BIGINT AS err_permille,
          |count(*) AS n
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
