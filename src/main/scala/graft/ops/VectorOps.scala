@@ -14,9 +14,9 @@ import Tables._
   * Scale design: the probe side is a broadcast (one row / small probe set);
   * brute-force scoring is an embarrassingly-parallel map over the corpus with
   * a TakeOrderedAndProject top-k — no shuffle of the corpus. The pairwise
-  * near-dup query broadcasts the smaller quantized projection, so the corpus
-  * is scanned once; at 100 TB the same plan becomes an LSH-bucketed join
-  * (see [[lshBucketCosine]]).
+  * near-dup query buckets the corpus with sign-LSH banding and equi-joins on
+  * (band, signature) — candidate generation is a shuffle on a 2-int key,
+  * never an all-pairs product (the ANN probe variant is [[lshBucketCosine]]).
   */
 object VectorOps extends Pack {
 
@@ -40,14 +40,40 @@ object VectorOps extends Pack {
     }),
 
     "dedup_embcos" -> ((s, d) => {
-      // embedding-cosine near-dup pairs: |cos| >= 0.3 with exact integer
-      // cross-multiplication (10000*dot^2 >= 900*|a|^2*|b|^2, dot > 0)
+      // embedding-cosine near-dup via sign-LSH banding (B=4 bands × r=8
+      // hyperplanes): candidate pairs are vectors agreeing on one band's
+      // 8-bit sign signature, verified by the exact integer cosine test
+      // (10000*dot^2 >= 900*|a|^2*|b|^2, dot > 0, i.e. cos >= 0.3).
+      //
+      // Scale design: candidates come from an equi-join on (band, sig) —
+      // a shuffle on a 2-int key — never an all-pairs product; the corpus
+      // is scanned once to signature it. Plane weights are small
+      // deterministic integers so Spark and DuckDB compute bit-identical
+      // signs (no float sign flips); recall is the standard LSH
+      // OR-construction (high for true near-dups, by design not exhaustive
+      // at the loose 0.3 threshold).
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
         .withColumn("n2", dotq(col("q"), col("q")))
-      val a = emb.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na2"))
-      val b = emb.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb2"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .persist()
+      // plane p = band*8+j has weight w[p][k] = ((17+13p)*k + 7p) % 61 - 30
+      val sigs = emb
+        .select(col("vec_id"), col("q"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("sig", expr(
+          """aggregate(sequence(0, 7), 0, (acc, j) -> acc + CASE WHEN
+            |  aggregate(zip_with(q,
+            |    transform(sequence(1, size(q)), k -> bigint((17 + 13*(band*8+j)) * k + 7*(band*8+j)) % 61 - 30),
+            |    (x, w) -> x * w), bigint(0), (a2, v) -> a2 + v) > 0
+            |  THEN shiftleft(1, j) ELSE 0 END)""".stripMargin))
+        .select(col("vec_id"), col("band"), col("sig"))
+      val cand = sigs.as("x").join(sigs.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na2")), "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb2")), "id_b")
         .withColumn("dot_q", dotq(col("qa"), col("qb")))
         .filter(col("dot_q") > 0 &&
           lit(10000) * col("dot_q") * col("dot_q") >= lit(900) * col("na2") * col("nb2"))
@@ -71,11 +97,21 @@ object VectorOps extends Pack {
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
         |  FROM embeddings),
-        |n AS (SELECT vec_id, qe, list_sum(list_transform(qe, x -> x * x))::BIGINT AS n2 FROM q)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |n AS (SELECT vec_id, qe, list_sum(list_transform(qe, x -> x * x))::BIGINT AS n2 FROM q),
+        |sigs AS (
+        |  SELECT vec_id, band,
+        |    list_sum(list_transform(generate_series(0, 7), j ->
+        |      CASE WHEN list_sum(list_transform(qe, (x, k) ->
+        |          x * (((17 + 13*(band*8+j)) * k + 7*(band*8+j)) % 61 - 30)))::BIGINT > 0
+        |        THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sig
+        |  FROM n, (SELECT unnest(generate_series(0, 3)) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)
+        |SELECT id_a, id_b,
         |  list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT AS dot_q,
         |  a.n2 AS na2, b.n2 AS nb2
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |FROM cand JOIN n a ON id_a = a.vec_id JOIN n b ON id_b = b.vec_id
         |WHERE list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT > 0
         |  AND 10000 * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
         |      * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
