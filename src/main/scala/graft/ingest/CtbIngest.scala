@@ -49,24 +49,59 @@ object CtbIngest {
   private val LINENO = "_lineno"
 
   /** Ingest a TSV file from `path` (local or any Hadoop FS). */
-  def ingestFile(spark: SparkSession, path: String): IngestResult = {
-    // B1: read as raw lines; header handling needs the first line only.
-    val raw = spark.read.text(path)
-    // Reference does bytes.decode().strip().split('\n') — trailing blank
-    // lines disappear via strip(); we filter blank lines the same way.
-    val firstLine = raw.limit(1).collect().headOption.map(_.getString(0))
-    firstLine match {
-      case None =>
-        return failed(spark, "File is empty")
-      case Some(header) =>
-        ingestLines(spark, raw, header)
-    }
-  }
+  def ingestFile(spark: SparkSession, path: String): IngestResult =
+    ingestLines(spark, spark.read.text(path))
 
-  /** Core ingest given the raw line DataFrame and its (already read) header
-    * line. Exposed separately so tests and the streaming path can reuse it.
+  /** Core ingest given the raw line DataFrame of ONE file. Exposed
+    * separately so tests and the streaming path can reuse it.
     */
-  def ingestLines(spark: SparkSession, raw: DataFrame, headerLine: String): IngestResult = {
+  def ingestLines(spark: SparkSession, raw: DataFrame): IngestResult = {
+    val nonblank = length(trim(col("value"))) > 0
+    val ids = raw.select(col("value"),
+      spark_partition_id().as("_pid"), monotonically_increasing_id().as("_mid"))
+
+    // Line numbering without a global sort (a round-1 scale bug: a
+    // no-partition Window forced the whole file through one task). Pass 1
+    // collects per-partition (count, min id, min/max non-blank id) — one
+    // tiny row per partition — and the driver turns them into per-partition
+    // offsets; lineno = _mid + adjust(_pid). Text-file splits are created in
+    // file-offset order for a single file, so partition-id order is line
+    // order (the same assumption the reference's enumerate() makes of its
+    // in-memory list).
+    val stats = ids.groupBy(col("_pid")).agg(
+        count(lit(1)).as("n"), min(col("_mid")).as("m0"),
+        min(when(nonblank, col("_mid"))).as("nbMin"),
+        max(when(nonblank, col("_mid"))).as("nbMax"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(_._1)
+
+    // B1: no non-blank line at all -> whole file Failed.
+    if (stats.isEmpty || stats.forall(_._4.isEmpty))
+      return failed(spark, "File is empty")
+
+    var off = 0L
+    val adjust = stats.map { case (pid, n, m0, _, _) =>
+      val a = off - m0 + 1; off += n; (pid, a)
+    }.toMap
+
+    // The reference strips the WHOLE file before splitting (main.py:287-288):
+    // leading/trailing blank lines vanish, interior blank lines survive and
+    // hit the width check. Header = first non-blank line; numbering is
+    // relative to it (stripped-file coordinates, enumerate start=2).
+    val hdrLineno = stats.collect { case (pid, _, _, Some(nb), _) => nb + adjust(pid) }.min
+    val lastLineno = stats.collect { case (pid, _, _, _, Some(nb)) => nb + adjust(pid) }.max
+    // B1: header-only file -> whole file Failed.
+    if (lastLineno == hdrLineno)
+      return failed(spark, "File contains no data rows")
+
+    val (hdrPid, hdrMid) = stats.collect { case (pid, _, _, Some(nb), _) => (pid, nb) }
+      .minBy { case (pid, nb) => nb + adjust(pid) }
+    val headerLine = ids.filter(col("_pid") === hdrPid && col("_mid") === hdrMid)
+      .collect()(0).getString(0)
+
     val rawHeaders = headerLine.split("\t", -1).toSeq
     // B3+B4: clean + canonicalize headers (metadata -> driver-side Scala).
     val canonical = rawHeaders.map(CtbSchema.canonicalName)
@@ -75,23 +110,13 @@ object CtbIngest {
     if (unknown.nonEmpty)
       return failed(spark, s"Schema mismatch. Unknown columns: ${unknown.mkString(", ")}")
 
-    import org.apache.spark.sql.expressions.Window
-    // Number lines 1-based in file order so error messages match the
-    // reference's `i` (enumerate(lines[1:], start=2) => data line numbers
-    // begin at 2). monotonically_increasing_id preserves text-source order
-    // within a single file; a global row_number makes it contiguous.
-    val w = Window.orderBy(col("_mid"))
-    val numbered = raw
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn(LINENO, row_number().over(w))
-      .drop("_mid")
-      .filter(col(LINENO) > 1) // drop header row
-      .filter(length(trim(col("value"))) > 0) // reference strips the file; blank lines vanish
+    val relAdjust = adjust.map { case (pid, a) => (pid, a - hdrLineno + 1) }
+    val numbered = ids
+      .withColumn(LINENO, col("_mid") + element_at(typedlit(relAdjust), col("_pid")))
+      .filter(col(LINENO) > 1)                          // data rows start after the header
+      .filter(col(LINENO) <= lastLineno - hdrLineno + 1) // file-level strip of trailing blanks
       .withColumnRenamed("value", LINE)
-
-    // B1: a file with no data rows fails whole-file.
-    if (numbered.isEmpty)
-      return failed(spark, "File contains no data rows")
+      .drop("_pid", "_mid")
 
     val ncols = canonical.length
     val parts = split(col(LINE), "\t", -1)

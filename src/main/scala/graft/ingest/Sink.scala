@@ -1,0 +1,90 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Destination-table sink: existence precondition + batched append.
+  *
+  * C2 (reference main.py:416-430): the reference refuses to auto-create the
+  * destination table — a missing table fails the file with an error
+  * notification. [[tableExists]] checks for an initialized sink;
+  * [[init]] is the explicit create step the reference expects a human to
+  * have run beforehand.
+  *
+  * C3 (reference main.py:448-468): rows are appended in slices of
+  * `batchSize` with PER-BATCH error isolation and partial-success
+  * accounting — a failing batch records its error and the loop continues;
+  * the file counts as successfully processed iff at least one row landed.
+  * Batch ids derive from per-partition monotonic ids (no global sort), so
+  * slicing is partition-parallel; the per-batch commit loop itself is a
+  * faithful reproduction of the reference's RPC batching — at production
+  * scale a connector's own batched writer replaces it (Spark's file
+  * committer is all-or-nothing per job, which cannot express the
+  * reference's partial success).
+  */
+object Sink {
+
+  final case class BatchedWriteResult(
+      insertedRows: Long,
+      attemptedBatches: Int,
+      batchErrors: Seq[String])
+
+  /** C2: is the sink initialized? True for a registered catalog table name
+    * or for a path holding a committed (non-empty) table directory.
+    */
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    if (try spark.catalog.tableExists(table) catch { case _: Exception => false }) true
+    else {
+      val p = new Path(table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+
+  /** Explicit sink creation: writes an empty parquet table with the given
+    * schema (the "CREATE TABLE" the reference assumes was already run).
+    */
+  def init(spark: SparkSession, path: String, schema: StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(path)
+
+  /** C3: append `clean` to `path` in batches of at most `batchSize` rows.
+    *
+    * @param writeBatch pluggable batch writer (tests inject failures to
+    *                   exercise the partial-success accounting); default
+    *                   appends parquet.
+    */
+  def appendBatched(
+      clean: DataFrame,
+      path: String,
+      batchSize: Int,
+      writeBatchOpt: Option[(DataFrame, Long) => Unit] = None): BatchedWriteResult = {
+    val writeBatch = writeBatchOpt.getOrElse(
+      (df: DataFrame, _: Long) => df.write.mode("append").parquet(path))
+    // batch id from the per-partition monotonic id: groups of <= batchSize
+    // rows within each partition — bounded batch size without a global sort
+    // persisted so batch membership is computed once and stays stable across
+    // the per-batch actions (monotonic ids must not be re-derived per pass)
+    val withBatch = clean.withColumn("_batch",
+      expr(s"monotonically_increasing_id() div $batchSize")).persist()
+    try {
+      val batchIds = withBatch.select(col("_batch")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      var inserted = 0L
+      val errors = Seq.newBuilder[String]
+      batchIds.zipWithIndex.foreach { case (b, i) =>
+        val batch = withBatch.filter(col("_batch") === b).drop("_batch")
+        try {
+          val n = batch.count()
+          writeBatch(batch, b)
+          inserted += n
+        } catch {
+          case e: Exception =>
+            errors += s"Batch ${i + 1} insertion failed: ${e.getMessage}"
+        }
+      }
+      BatchedWriteResult(inserted, batchIds.length, errors.result())
+    } finally withBatch.unpersist(false)
+  }
+}

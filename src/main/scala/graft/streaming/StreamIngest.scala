@@ -1,83 +1,132 @@
 package graft.streaming
 
-import graft.ingest.{CtbIngest, Lifecycle}
+import graft.config.GraftConfig
+import graft.ingest.{CtbIngest, Sink}
+import graft.notify.Notifier
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import java.util.concurrent.atomic.AtomicLong
 
 /** The reference's poll -> process -> ack cycle (reference main.py:648-687)
   * as a Structured Streaming file-source pipeline:
   *
   *   - discovery: `readStream` over an input directory (the "mailbox"),
   *     `Trigger.AvailableNow` = one poll cycle that drains everything
-  *     currently pending (the reference's batch run);
+  *     currently pending (the reference's batch run); `pathGlobFilter`
+  *     carries the source-pushed predicate (the GMAIL_QUERY / CTB-prefix
+  *     idiom, A1);
   *   - processing: the same CtbIngest per-row semantics applied in
-  *     `foreachBatch`;
+  *     `foreachBatch`, with the C2 sink precondition and the C3 batched
+  *     append (partial-success accounting);
   *   - commit/ack: checkpointed offsets ARE the INBOX-label removal — a
   *     second run is a no-op for already-seen files (main.py:667 semantics);
   *     `cleanSource=archive` mirrors the Unprocessed->Processed move
-  *     (main.py:493-494).
+  *     (main.py:493-494);
+  *   - reporting: D2/D3/D4 notifications fire on the same conditions as the
+  *     reference (success with inserted count; error with the accumulated
+  *     report; no-data when nothing was found OR nothing succeeded,
+  *     main.py:679-685).
   *
-  * Per-file isolation (E1): a malformed file routes its rows to the errors
-  * sink rather than failing the stream — the whole-file failure modes
-  * (unknown header) are detected per input file and reported to the errors
-  * sink as well.
+  * Per-file isolation (E1): a malformed or poison file records its failure
+  * and notification and the run continues (reference's per-message
+  * try/except, main.py:662-677).
   */
 object StreamIngest {
 
-  /** Run one AvailableNow drain cycle. Returns after the stream finishes.
-    *
-    * @param inputDir    directory being polled for TSV files
-    * @param outDir      parquet sink for clean typed rows
-    * @param errorsDir   parquet sink for the error channel
-    * @param checkpoint  offset/commit log (the ack state)
-    * @param archiveDir  processed raw files are moved here by the source
-    */
-  def runOnce(
-      spark: SparkSession,
-      inputDir: String,
-      outDir: String,
-      errorsDir: String,
-      checkpoint: String,
-      archiveDir: String): Unit = {
+  final case class RunStats(filesSeen: Long, filesSucceeded: Long)
+
+  /** Run one AvailableNow drain cycle. Returns after the stream finishes. */
+  def runOnce(spark: SparkSession, cfg: GraftConfig, notifier: Notifier): RunStats = {
+    val seen = new AtomicLong(0)
+    val succeeded = new AtomicLong(0)
 
     val raw = spark.readStream
       .option("cleanSource", "archive")
-      .option("sourceArchiveDir", archiveDir)
+      .option("sourceArchiveDir", cfg.archiveDir)
       .option("maxFilesPerTrigger", 64)
-      .text(inputDir)
+      .option("pathGlobFilter", cfg.sourceGlob)
+      .text(cfg.inputDir)
 
     val q = raw.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
+      .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Only file NAMES reach the driver (the reference materialized whole
         // files in driver memory, main.py:366 — explicitly rejected here);
-        // each file's rows are then processed as a distributed plan, with
-        // per-file error isolation (E1).
+        // each file's rows are then processed as a distributed plan.
         val spark2 = batch.sparkSession
         val files = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).sorted
         files.foreach { file =>
+          seen.incrementAndGet()
+          val name = new org.apache.hadoop.fs.Path(file).getName
           try {
-            val res = CtbIngest.ingestFile(spark2, file)
-            if (!res.fileFailed) {
-              res.clean.write.mode("append").parquet(outDir)
-              res.errors.write.mode("append").parquet(errorsDir)
+            if (!Sink.tableExists(spark2, cfg.sinkDir)) {
+              // C2: missing destination table fails the file, no auto-create
+              fileFailed(spark2, cfg, notifier, name,
+                s"Destination table '${cfg.sinkDir}' does not exist. " +
+                  "Please ensure the table is created before running.")
             } else {
-              import spark2.implicits._
-              spark2.createDataset(Seq(s"$file: ${res.failureReason.getOrElse("file failed")}"))
-                .toDF("error").write.mode("append").parquet(errorsDir)
+              val res = CtbIngest.ingestFile(spark2, file)
+              if (res.fileFailed) {
+                fileFailed(spark2, cfg, notifier, name,
+                  res.failureReason.getOrElse("file failed"))
+              } else {
+                val rowErrors = res.errors.persist()
+                val nErrors = rowErrors.count()
+                rowErrors.write.mode("append").parquet(cfg.errorsDir)
+                val w = Sink.appendBatched(res.clean, cfg.sinkDir, cfg.batchSize)
+                if (w.insertedRows > 0) {
+                  // partial success IS success (reference main.py:470-495)
+                  succeeded.incrementAndGet()
+                  if (w.batchErrors.isEmpty && nErrors == 0)
+                    notifier.notifySuccess(name, w.insertedRows)
+                  else
+                    notifier.notifyError(name,
+                      s"Inserted ${w.insertedRows} rows with ${nErrors} row-level " +
+                        s"errors and ${w.batchErrors.size} batch errors:\n" +
+                        (w.batchErrors ++ errorSample(rowErrors)).mkString("\n"))
+                } else {
+                  fileFailed(spark2, cfg, notifier, name,
+                    s"No valid rows from '$name' could be inserted into the sink." +
+                      (if (nErrors > 0) "\nRow-level errors:\n" + errorSample(rowErrors).mkString("\n") else ""))
+                }
+                rowErrors.unpersist(false)
+              }
             }
           } catch {
             case e: Exception => // poison file must not kill the run (E1)
-              import spark2.implicits._
-              spark2.createDataset(Seq(s"$file: ${e.getMessage}"))
-                .toDF("error").write.mode("append").parquet(errorsDir)
+              try fileFailed(spark2, cfg, notifier, name, e.toString)
+              catch { case _: Exception => () }
           }
         }
       }
       .start()
     q.awaitTermination()
+
+    // D4: nothing found, or found but nothing succeeded (main.py:679-685)
+    if (succeeded.get() == 0)
+      notifier.notifyNoData(s"${cfg.inputDir}/${cfg.sourceGlob}")
+    RunStats(seen.get(), succeeded.get())
   }
+
+  /** Failure path: every file-scoped failure converges on error-sink write +
+    * D3 notification (reference §3.3 convergence).
+    */
+  private def fileFailed(
+      spark: SparkSession, cfg: GraftConfig, notifier: Notifier,
+      name: String, reason: String): Unit = {
+    import spark.implicits._
+    Seq(s"$name: $reason").toDF("error")
+      .write.mode("append").parquet(cfg.errorsDir)
+    notifier.notifyError(name, reason)
+  }
+
+  /** First few error strings for the notification body (the reference embeds
+    * the full report; the engine bounds it — the complete channel is the
+    * errors sink).
+    */
+  private def errorSample(errors: DataFrame, n: Int = 20): Seq[String] =
+    errors.limit(n).collect().map(_.getString(0)).toSeq
 }

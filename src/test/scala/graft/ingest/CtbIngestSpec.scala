@@ -1,0 +1,160 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+
+/** CtbIngest unit tests on reference-shaped TSV fixtures: the exact raw
+  * 21-column headers of the reference feed (BOM, CR, "Gating M/B" — the
+  * forms that clean/canonicalize through CtbSchema, reference
+  * main.py:299-321,347-351), covering every per-row rule and failure path
+  * of SURVEY §2-A B1-B13.
+  */
+class CtbIngestSpec extends AnyFunSuite with SparkSpec {
+
+  /** raw file headers as the reference feed ships them: mixed case, spaces,
+    * BOM on the first, CR terminating the header line (added at write time)
+    */
+  private val rawHeaders = Seq(
+    "﻿Org Code", "Master Cust Name", "Customer Number", "Item Number",
+    "Cust Part Num", "Item Description", "Demand Due Date", "Demand Qty",
+    "Avail OnTime", "Avail Date", "SplitAvail Supply Source", "SplitAvailDate",
+    "SplitAvail Qty", "Days Late", "Unique Short Qty Count", "Gating Part",
+    "Gating M/B", "Gating LT", "Gating Cust Part", "Cust Part Description",
+    "Snapshot Date")
+
+  /** a fully-valid row; tests override individual fields */
+  private def validRow(over: Map[Int, String] = Map.empty): Seq[String] = {
+    val base = Seq(
+      "ORG1", "ACME CORP", "C100", "ITEM-1", "CP-9", "A test item",
+      "2025-01-15", "100", "90", "2025-01-20", "FACTORY-A", "2025-01-22",
+      "10", "2", "1", "GP-1", "M", "14", "GCP-1", "Cust part desc",
+      "2025-01-01")
+    over.foldLeft(base) { case (row, (i, v)) => row.updated(i, v) }
+  }
+
+  private def writeTsv(lines: Seq[String]): Path = {
+    val f = Files.createTempFile("ctb", ".tsv")
+    Files.write(f, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    f
+  }
+
+  private def ingest(lines: Seq[String]) =
+    CtbIngest.ingestFile(spark, writeTsv(lines).toString)
+
+  private val headerLine = rawHeaders.mkString("\t") + "\r"
+
+  test("B3/B4/B5: real raw headers (BOM, CR, mixed case, M/B) canonicalize and validate") {
+    val res = ingest(Seq(headerLine, validRow().mkString("\t")))
+    assert(!res.fileFailed)
+    assert(res.clean.columns.toSeq == Seq(
+      "ORG_CODE", "MASTER_CUST_NAME", "CUSTOMER_NUMBER", "ITEM_NUMBER",
+      "CUST_PART_NUM", "ITEM_DESCRIPTION", "DEMAND_DUE_DATE", "DEMAND_QTY",
+      "ONTIME_QTY", "AVAILABLE_DATE", "SUPPLY_SOURCE", "SUPPLY_AVAILABLE_DATE",
+      "SUPPLY_AVA_QTY", "DAYS_LATE", "UNIQ_SHORT_QTY", "GATING_PART",
+      "MAKE_BUY", "LEAD_TIME", "GATING_CUST_PART", "CUST_PART_DESCRIPTION",
+      "SNAPSHOT_DATE"))
+    val row = res.clean.collect()(0)
+    assert(row.getAs[String]("ORG_CODE") == "ORG1")
+    assert(row.getAs[Long]("DEMAND_QTY") == 100L)
+    assert(row.getAs[java.sql.Date]("DEMAND_DUE_DATE").toString == "2025-01-15")
+  }
+
+  test("B5: unknown header fails the whole file") {
+    val badHeader = (rawHeaders :+ "Mystery Column").mkString("\t")
+    val res = ingest(Seq(badHeader, (validRow() :+ "x").mkString("\t")))
+    assert(res.fileFailed)
+    assert(res.failureReason.get.contains("MYSTERY_COLUMN"))
+    assert(res.clean.isEmpty)
+  }
+
+  test("B5 asymmetry: missing columns do NOT fail the file") {
+    val partial = rawHeaders.take(8) // subset of known columns
+    val row = validRow().take(8)
+    val res = ingest(Seq(partial.mkString("\t"), row.mkString("\t")))
+    assert(!res.fileFailed)
+    assert(res.clean.count() == 1)
+    assert(res.clean.columns.length == 8)
+  }
+
+  test("B1: empty file and header-only file fail whole-file") {
+    assert(ingest(Seq("")).fileFailed)
+    val hdrOnly = ingest(Seq(headerLine))
+    assert(hdrOnly.fileFailed)
+    assert(hdrOnly.failureReason.get.contains("no data rows"))
+  }
+
+  test("B6: width-mismatch row skipped with 1-based line number and content") {
+    val short = validRow().take(20) // 20 fields
+    val res = ingest(Seq(headerLine,
+      validRow().mkString("\t"),
+      short.mkString("\t"),
+      validRow(Map(0 -> "ORG2")).mkString("\t")))
+    assert(!res.fileFailed)
+    assert(res.clean.count() == 2)
+    val errs = res.errors.collect().map(_.getString(0))
+    assert(errs.length == 1)
+    assert(errs(0).contains("Row 3"))
+    assert(errs(0).contains("Expected 21, got 20"))
+  }
+
+  test("B7/B8: fields are trimmed; empty string becomes NULL without dropping the row") {
+    val res = ingest(Seq(headerLine,
+      validRow(Map(0 -> "  padded  ", 7 -> "", 6 -> "")).mkString("\t")))
+    assert(!res.fileFailed)
+    val row = res.clean.collect()(0)
+    assert(row.getAs[String]("ORG_CODE") == "padded")
+    assert(row.isNullAt(row.fieldIndex("DEMAND_QTY")))
+    assert(row.isNullAt(row.fieldIndex("DEMAND_DUE_DATE")))
+    assert(res.errors.isEmpty)
+  }
+
+  test("B9: thousands separators strip; non-numeric drops the row with an error") {
+    val res = ingest(Seq(headerLine,
+      validRow(Map(7 -> "1,234")).mkString("\t"),
+      validRow(Map(7 -> "12x", 0 -> "BADROW")).mkString("\t")))
+    assert(res.clean.count() == 1)
+    assert(res.clean.collect()(0).getAs[Long]("DEMAND_QTY") == 1234L)
+    val errs = res.errors.collect().map(_.getString(0))
+    assert(errs.exists(e => e.contains("Row 3") && e.contains("12x") && e.contains("DEMAND_QTY")))
+  }
+
+  test("B10: strict yyyy-MM-dd — out-of-range and wrong-format dates drop the row") {
+    val res = ingest(Seq(headerLine,
+      validRow(Map(6 -> "2025-13-01")).mkString("\t"),
+      validRow(Map(6 -> "15/01/2025")).mkString("\t"),
+      validRow().mkString("\t")))
+    assert(res.clean.count() == 1)
+    val errs = res.errors.collect().map(_.getString(0))
+    assert(errs.exists(e => e.contains("Row 2") && e.contains("2025-13-01")))
+    assert(errs.exists(e => e.contains("Row 3") && e.contains("15/01/2025")))
+  }
+
+  test("B12: a row failing ANY typed cast is dropped entirely, not null-padded") {
+    val res = ingest(Seq(headerLine,
+      validRow(Map(7 -> "bad", 13 -> "7")).mkString("\t")))
+    assert(res.clean.count() == 0)       // dropped
+    assert(res.errors.count() == 1)      // but its error is recorded
+  }
+
+  test("interior blank lines hit the width check; trailing blanks vanish (file-level strip)") {
+    val res = ingest(Seq(headerLine,
+      validRow().mkString("\t"),
+      "",                                  // interior blank -> width error (reference strip() is file-level)
+      validRow(Map(0 -> "ORG2")).mkString("\t"),
+      "", ""))                             // trailing blanks -> stripped, no error
+    assert(res.clean.count() == 2)
+    val errs = res.errors.collect().map(_.getString(0))
+    assert(errs.length == 1)
+    assert(errs(0).contains("Row 3"))
+    assert(errs(0).contains("got 1"))
+  }
+
+  test("B13: multiple failing fields in one row each record an error") {
+    val res = ingest(Seq(headerLine,
+      validRow(Map(7 -> "nope", 6 -> "2024-99-99")).mkString("\t")))
+    assert(res.errors.count() == 2)
+    assert(res.clean.count() == 0)
+  }
+}

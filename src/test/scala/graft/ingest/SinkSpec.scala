@@ -1,0 +1,46 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Sink precondition (C2) + batched append with partial-success accounting (C3). */
+class SinkSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).resolve("t").toString
+
+  test("C2: tableExists is false for a missing path, true after init") {
+    val path = tmp("sink")
+    assert(!Sink.tableExists(spark, path))
+    Sink.init(spark, path, graft.schema.CtbSchema.sparkSchema)
+    assert(Sink.tableExists(spark, path))
+  }
+
+  test("C3: appendBatched slices into bounded batches and appends all rows") {
+    import spark.implicits._
+    val path = tmp("sink3")
+    Sink.init(spark, path, (1 to 0).toDF("v").schema)
+    val res = Sink.appendBatched((1 to 10).toDF("v"), path, batchSize = 3)
+    assert(res.insertedRows == 10)
+    assert(res.attemptedBatches >= 4) // ceil(10/3) per partition grouping
+    assert(res.batchErrors.isEmpty)
+    assert(spark.read.parquet(path).count() == 10)
+  }
+
+  test("C3: a failing batch is isolated — partial success, error accumulated") {
+    import spark.implicits._
+    val path = tmp("sink4")
+    var failed = false
+    val res = Sink.appendBatched((1 to 10).toDF("v").repartition(1), path, batchSize = 5,
+      writeBatchOpt = Some { (df, b) =>
+        if (!failed) { failed = true; throw new RuntimeException("injected RPC failure") }
+        df.write.mode("append").parquet(path)
+      })
+    assert(res.attemptedBatches == 2)
+    assert(res.batchErrors.size == 1)
+    assert(res.batchErrors.head.contains("injected RPC failure"))
+    assert(res.insertedRows == 5) // the surviving batch
+    assert(spark.read.parquet(path).count() == 5)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.config.GraftConfig
+import graft.ingest.Sink
+import graft.notify.LogNotifier
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Behavioral test of the poll->process->ack cycle (E1 + C2 + C3 + D2-D4):
+  * one AvailableNow drain over a temp "mailbox", asserting sink contents,
+  * error channel, notifications, and the second-run no-op (ack semantics,
+  * reference main.py:667).
+  */
+class StreamIngestSpec extends AnyFunSuite with SparkSpec {
+
+  private val rawHeaders = Seq(
+    "﻿Org Code", "Master Cust Name", "Customer Number", "Item Number",
+    "Cust Part Num", "Item Description", "Demand Due Date", "Demand Qty",
+    "Avail OnTime", "Avail Date", "SplitAvail Supply Source", "SplitAvailDate",
+    "SplitAvail Qty", "Days Late", "Unique Short Qty Count", "Gating Part",
+    "Gating M/B", "Gating LT", "Gating Cust Part", "Cust Part Description",
+    "Snapshot Date")
+
+  private def validRow(org: String): Seq[String] = Seq(
+    org, "ACME", "C1", "I1", "CP1", "desc", "2025-01-15", "100", "90",
+    "2025-01-20", "F-A", "2025-01-22", "10", "2", "1", "GP", "M", "14",
+    "GC", "cpd", "2025-01-01")
+
+  private def mkCfg(): GraftConfig = {
+    val root = Files.createTempDirectory("stream").toString
+    Files.createDirectories(Paths.get(root, "in"))
+    GraftConfig(
+      inputDir = s"$root/in",
+      sinkDir = s"$root/sink",
+      errorsDir = s"$root/errors",
+      checkpointDir = s"$root/ckpt",
+      archiveDir = s"$root/archive",
+      sourceGlob = "CTB*",
+      batchSize = 2)
+  }
+
+  private def writeFile(cfg: GraftConfig, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(cfg.inputDir, name),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  test("drain cycle: clean file loads + SUCCESS; unknown header fails + ERROR; rerun is a no-op") {
+    val cfg = mkCfg()
+    val notifier = new LogNotifier()
+    Sink.init(spark, cfg.sinkDir, graft.schema.CtbSchema.sparkSchema)
+
+    writeFile(cfg, "CTB_good.tsv",
+      rawHeaders.mkString("\t") +: Seq(validRow("A"), validRow("B"), validRow("C")).map(_.mkString("\t")))
+    writeFile(cfg, "CTB_badheader.tsv",
+      Seq((rawHeaders :+ "Mystery").mkString("\t"), (validRow("X") :+ "x").mkString("\t")))
+    writeFile(cfg, "ignored.txt", Seq("not matching the glob")) // A1 pushdown
+
+    val stats = StreamIngest.runOnce(spark, cfg, notifier)
+    assert(stats.filesSeen == 2)       // glob filtered the third file out
+    assert(stats.filesSucceeded == 1)
+    assert(spark.read.parquet(cfg.sinkDir).count() == 3)
+    val errors = spark.read.parquet(cfg.errorsDir).collect().map(_.getString(0))
+    assert(errors.exists(e => e.contains("CTB_badheader.tsv") && e.contains("MYSTERY")))
+    val subjects = notifier.sent.map(_.subject)
+    assert(subjects.exists(s => s.startsWith("SUCCESS") && s.contains("CTB_good.tsv")))
+    assert(subjects.exists(s => s.startsWith("ERROR") && s.contains("CTB_badheader.tsv")))
+    val body = notifier.sent.find(_.subject.startsWith("SUCCESS")).get.body
+    assert(body.contains("3 rows"))
+
+    // second run: checkpoint = ack; nothing new -> no-op + D4 no-data
+    val notifier2 = new LogNotifier()
+    val stats2 = StreamIngest.runOnce(spark, cfg, notifier2)
+    assert(stats2.filesSeen == 0)
+    assert(spark.read.parquet(cfg.sinkDir).count() == 3) // unchanged
+    assert(notifier2.sent.map(_.subject).forall(_.startsWith("INFO: No CTB Documents")))
+  }
+
+  test("partial success: a file with some bad rows loads the good ones and reports ERROR") {
+    val cfg = mkCfg()
+    val notifier = new LogNotifier()
+    Sink.init(spark, cfg.sinkDir, graft.schema.CtbSchema.sparkSchema)
+    writeFile(cfg, "CTB_mixed.tsv",
+      rawHeaders.mkString("\t") +: Seq(
+        validRow("A"),
+        validRow("B").updated(7, "not-a-number"),
+        validRow("C")).map(_.mkString("\t")))
+
+    val stats = StreamIngest.runOnce(spark, cfg, notifier)
+    assert(stats.filesSucceeded == 1) // partial success IS success (main.py:470-495)
+    assert(spark.read.parquet(cfg.sinkDir).count() == 2)
+    val err = notifier.sent.find(_.subject.startsWith("ERROR")).get
+    assert(err.body.contains("Inserted 2 rows"))
+    assert(err.body.contains("not-a-number"))
+  }
+
+  test("C2: missing destination table fails the file without auto-creating it") {
+    val cfg = mkCfg()
+    val notifier = new LogNotifier()
+    // no Sink.init — the precondition must fail
+    writeFile(cfg, "CTB_x.tsv",
+      rawHeaders.mkString("\t") +: Seq(validRow("A")).map(_.mkString("\t")))
+
+    val stats = StreamIngest.runOnce(spark, cfg, notifier)
+    assert(stats.filesSucceeded == 0)
+    assert(!Sink.tableExists(spark, cfg.sinkDir)) // still not created
+    val subjects = notifier.sent.map(_.subject)
+    assert(notifier.sent.exists(s =>
+      s.subject.startsWith("ERROR") && s.body.contains("does not exist")))
+    assert(subjects.exists(_.startsWith("INFO: No CTB Documents"))) // nothing succeeded -> D4
+  }
+
+  test("E3: config from env map applies reference defaults and fails fast on missing keys") {
+    val cfg = GraftConfig.fromEnv(Map(
+      "GRAFT_INPUT_DIR" -> "/in", "GRAFT_SINK_DIR" -> "/sink",
+      "GRAFT_ERRORS_DIR" -> "/e", "GRAFT_CHECKPOINT_DIR" -> "/c",
+      "GRAFT_ARCHIVE_DIR" -> "/a"))
+    assert(cfg.batchSize == 500)            // BIGQUERY_BATCH_SIZE default (main.py:40)
+    assert(cfg.httpRequestTimeoutSec == 900) // HTTP_REQUEST_TIMEOUT default (main.py:39)
+    val e = intercept[IllegalArgumentException](GraftConfig.fromEnv(Map.empty))
+    assert(e.getMessage.contains("GRAFT_INPUT_DIR"))
+  }
+}
