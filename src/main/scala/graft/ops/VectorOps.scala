@@ -27,6 +27,28 @@ object VectorOps extends Pack {
   private def dotq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** 8-bit sign-LSH signature of quantized vector column `q` for band
+    * column `band`: plane p = band*8+j has integer weight
+    * w[p][k] = ((17+13p)*k + 7p) % 61 - 30, so Spark and DuckDB compute
+    * bit-identical signs (shared by dedup_embcos and sim_ann_lsh).
+    */
+  private val sigSql =
+    """aggregate(sequence(0, 7), 0, (acc, j) -> acc + CASE WHEN
+      |  aggregate(zip_with(q,
+      |    transform(sequence(1, size(q)), k -> bigint((17 + 13*(band*8+j)) * k + 7*(band*8+j)) % 61 - 30),
+      |    (x, w) -> x * w), bigint(0), (a2, v) -> a2 + v) > 0
+      |  THEN shiftleft(1, j) ELSE 0 END)""".stripMargin
+
+  // the same signature CTE in DuckDB SQL (over CTEs q/n defined by callers)
+  private val sigsCteSql =
+    """sigs AS (
+      |  SELECT vec_id, band,
+      |    list_sum(list_transform(generate_series(0, 7), j ->
+      |      CASE WHEN list_sum(list_transform(qe, (x, k) ->
+      |          x * (((17 + 13*(band*8+j)) * k + 7*(band*8+j)) % 61 - 30)))::BIGINT > 0
+      |        THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sig
+      |  FROM n, (SELECT unnest(generate_series(0, 3)) AS band))""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> ((s, d) => {
       // brute-force top-k inner product vs the probe vector (vec_id = 0)
@@ -56,15 +78,9 @@ object VectorOps extends Pack {
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
         .withColumn("n2", dotq(col("q"), col("q")))
         .persist()
-      // plane p = band*8+j has weight w[p][k] = ((17+13p)*k + 7p) % 61 - 30
       val sigs = emb
         .select(col("vec_id"), col("q"), explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("sig", expr(
-          """aggregate(sequence(0, 7), 0, (acc, j) -> acc + CASE WHEN
-            |  aggregate(zip_with(q,
-            |    transform(sequence(1, size(q)), k -> bigint((17 + 13*(band*8+j)) * k + 7*(band*8+j)) % 61 - 30),
-            |    (x, w) -> x * w), bigint(0), (a2, v) -> a2 + v) > 0
-            |  THEN shiftleft(1, j) ELSE 0 END)""".stripMargin))
+        .withColumn("sig", expr(sigSql))
         .select(col("vec_id"), col("band"), col("sig"))
       val cand = sigs.as("x").join(sigs.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
@@ -79,6 +95,39 @@ object VectorOps extends Pack {
           lit(10000) * col("dot_q") * col("dot_q") >= lit(900) * col("na2") * col("nb2"))
         .select(col("id_a"), col("id_b"), col("dot_q"), col("na2"), col("nb2"))
         .orderBy("id_a", "id_b")
+    }),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      // approximate-nearest-neighbor: the 100 TB scale path for sim_topk.
+      // The corpus is signatured once (4 bands × 8 sign bits); candidates
+      // are vectors sharing at least one band signature with the probe
+      // (vec 0), then ranked by the exact integer dot product. The probe's
+      // signature set is a broadcast of 4 rows — candidate selection touches
+      // each corpus row once, no all-pairs, no full sort.
+      //
+      // Recall is the LSH OR-construction curve: high for genuinely close
+      // vectors (cos>=0.9 -> ~75%+ per this parameterization), low at weak
+      // similarity — on this synthetic corpus (random unit vectors, best
+      // cos ~0.37) it keeps ~1 of the brute-force top-20, by design. Tune
+      // bands/bits (and multi-probe) to the corpus at deployment.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .persist()
+      val sigs = emb
+        .select(col("vec_id"), col("q"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("sig", expr(sigSql))
+        .select(col("vec_id"), col("band"), col("sig"))
+      val probeSigs = sigs.filter(col("vec_id") === 0)
+        .select(col("band").as("pband"), col("sig").as("psig"))
+      val candIds = sigs.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeSigs), col("band") === col("pband") && col("sig") === col("psig"))
+        .select("vec_id").distinct()
+      val probe = emb.filter(col("vec_id") === 0).select(col("q").as("pq"))
+      candIds.join(emb, "vec_id")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), dotq(col("q"), col("pq")).as("dot_q"))
+        .orderBy(col("dot_q").desc, col("vec_id").asc)
+        .limit(10)
     })
   )
 
@@ -94,18 +143,12 @@ object VectorOps extends Pack {
         |ORDER BY dot_q DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "dedup_embcos" ->
-      """WITH q AS (
+      ((s"""WITH q AS (
         |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
         |  FROM embeddings),
         |n AS (SELECT vec_id, qe, list_sum(list_transform(qe, x -> x * x))::BIGINT AS n2 FROM q),
-        |sigs AS (
-        |  SELECT vec_id, band,
-        |    list_sum(list_transform(generate_series(0, 7), j ->
-        |      CASE WHEN list_sum(list_transform(qe, (x, k) ->
-        |          x * (((17 + 13*(band*8+j)) * k + 7*(band*8+j)) % 61 - 30)))::BIGINT > 0
-        |        THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sig
-        |  FROM n, (SELECT unnest(generate_series(0, 3)) AS band)),
-        |cand AS (
+        |$sigsCteSql,
+        |cand AS (""").stripMargin + """
         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
         |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)
         |SELECT id_a, id_b,
@@ -116,7 +159,22 @@ object VectorOps extends Pack {
         |  AND 10000 * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
         |      * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
         |      >= 900 * a.n2 * b.n2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "sim_ann_lsh" ->
+      ((s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe FROM q),
+        |$sigsCteSql,
+        |p AS (SELECT band, sig FROM sigs WHERE vec_id = 0),
+        |cand AS (""").stripMargin + """
+        |  SELECT DISTINCT s.vec_id FROM sigs s
+        |  JOIN p ON s.band = p.band AND s.sig = p.sig WHERE s.vec_id <> 0),
+        |pq AS (SELECT qe AS pq FROM q WHERE vec_id = 0)
+        |SELECT c.vec_id AS vec_id, list_sum(list_transform(q.qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
+        |FROM cand c, q, pq WHERE c.vec_id = q.vec_id
+        |ORDER BY dot_q DESC, c.vec_id ASC LIMIT 10""".stripMargin)
   )
 
   // ---- production float paths (ScalaTest + bench; not oracle-compared) ----
