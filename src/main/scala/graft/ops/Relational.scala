@@ -316,7 +316,9 @@ object Relational extends Pack {
         sqrt(col("l_quantity")).as("qty_sqrt"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
         greatest(col("l_quantity"), col("l_discount")).as("gmax"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // charge breaks the tie so the output order is total
+        .orderBy("l_orderkey", "l_linenumber", "charge")
     }),
 
     "fn_array" -> ((s, d) => {
@@ -560,7 +562,7 @@ object Relational extends Pack {
         |sqrt(l_quantity) AS qty_sqrt,
         |l_orderkey % 7 AS key_mod7,
         |greatest(l_quantity, l_discount) AS gmax
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, charge""".stripMargin,
 
     "fn_array" ->
       """SELECT vec_id, label, len(embedding) AS dim,
