@@ -124,6 +124,25 @@ object Relational extends Pack {
         .orderBy("c_custkey")
     }),
 
+    "join_asof" -> ((s, d) => {
+      // as-of join: each click event picks the most recent prior-or-equal
+      // view event of the same user. Implemented as ONE window pass over the
+      // unioned event stream (carry-forward of the last view id) — a single
+      // shuffle on user_id, instead of the naive range self-join whose
+      // candidate set is quadratic per user. Event order is second-resolution
+      // ts with event_id tiebreak so both engines sort identically.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("view_eid", when(col("event_type") === "view", col("event_id")))
+        .withColumn("asof_view", last(col("view_eid"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("asof_view"))
+        .orderBy("event_id")
+    }),
+
     "join_range" -> ((s, d) => {
       // non-equi band join; NLJ by nature — the band predicate bounds output,
       // and the small side (supplier) is broadcast so no shuffle occurs
@@ -444,6 +463,15 @@ object Relational extends Pack {
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_asof" ->
+      """SELECT event_id, user_id, asof_view FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "join_range" ->
       """SELECT s_suppkey, count(*) AS n_parts, min(p_partkey) AS min_part, max(p_partkey) AS max_part
