@@ -94,6 +94,22 @@ object IngestDemo {
       s"sinkRows=${spark.read.parquet(cfg.sinkDir).count()}")
     println("[demo] notifications run2:")
     n2.sent.foreach(m => println(s"  ${m.subject}"))
+
+    // multimodal path: opaque media files -> binaryFile source -> typed
+    // envelopes -> partition-parallel feature extraction (stubbed decode)
+    val media = Paths.get(root, "media")
+    Files.createDirectories(media)
+    Files.write(media.resolve("cat.png"), Array[Byte](1, 2, 3, 4, 5))
+    Files.write(media.resolve("talk.wav"), Array[Byte](6, 7, 8))
+    Files.write(media.resolve("clip.mp4"), Array[Byte](9, 10, 11, 12))
+    Files.write(media.resolve("README.txt"), Array[Byte](0))
+    val env = graft.ops.MultimodalOps.envelopesFromBinaryFiles(
+      spark, media.toString, "*.{png,wav,mp4}")
+    val feats = graft.ops.MultimodalOps.extractFeatures(env)
+    println("[demo] multimodal features from binaryFile source:")
+    feats.orderBy("kind").collect().foreach(f =>
+      println(s"  kind=${f.kind} bytes=${f.n_bytes} fp=${f.content_fp.take(8)} " +
+        s"dims=${f.width}x${f.height} frames=${f.n_frames}"))
     spark.stop()
   }
 }

@@ -47,8 +47,28 @@ object MultimodalOps {
     md.digest(bytes).map("%02x".format(_)).mkString
   }
 
+  /** The production ingestion path: read opaque media files from a
+    * directory with Spark's `binaryFile` source (path/length pushdown via
+    * pathGlobFilter; content never touches the driver) and wrap them as
+    * typed envelopes. Kind is derived from the file extension.
+    */
+  def envelopesFromBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaEnvelope] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        abs(xxhash64(col("path"))).as("media_id"),
+        when(lower(col("path")).rlike("\\.(png|jpe?g|gif)$"), "image")
+          .when(lower(col("path")).rlike("\\.(wav|mp3|flac)$"), "audio")
+          .otherwise("video").as("kind"),
+        col("content").as("payload"),
+        lit("application/octet-stream").as("mime"))
+      .as[MediaEnvelope]
+  }
+
   /** Wrap a text table as media envelopes (test harness for the plumbing;
-    * in production the payloads come from `binaryFile`-style sources).
+    * in production the payloads come from [[envelopesFromBinaryFiles]]).
     */
   def envelopesFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaEnvelope] = {
     import spark.implicits._
