@@ -49,6 +49,33 @@ object Sink {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .write.mode("overwrite").parquet(path)
 
+  /** Append partitioned by a date-like column — the lake layout for a
+    * 100 TB sink: per-day directories let date predicates prune partitions
+    * at planning time instead of scanning the table.
+    */
+  def appendPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("append").partitionBy(partitionCol).parquet(path)
+
+  /** Compact a (possibly partition-subdir'd) parquet table in place:
+    * streaming appends land one small file per micro-batch/file, and a
+    * 100 TB table dies by a thousand 50 KB files. Rewrites to
+    * ceil(rows/rowsPerFile) files via an atomic directory swap.
+    */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long = 1000000L): Int = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val tmp = path + "_compact_tmp"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    val p = new Path(path); val t = new Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(path + "_compact_bak")
+    if (!fs.rename(p, bak)) throw new java.io.IOException(s"compact: backup rename failed for $path")
+    if (!fs.rename(t, p)) { fs.rename(bak, p); throw new java.io.IOException(s"compact: swap failed for $path") }
+    fs.delete(bak, true)
+    files
+  }
+
   /** C3: append `clean` to `path` in batches of at most `batchSize` rows.
     *
     * @param writeBatch pluggable batch writer (tests inject failures to

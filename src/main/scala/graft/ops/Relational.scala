@@ -202,6 +202,21 @@ object Relational extends Pack {
         .orderBy("l_returnflag")
     }),
 
+    "agg_percentile" -> ((s, d) => {
+      // exact percentiles (median + p90) of integral-valued quantities:
+      // both engines linearly interpolate, and interpolation on integral
+      // doubles at q=0.5/0.9 yields exactly-representable values, so the
+      // comparison is bit-stable. (Approximate percentiles are engine-
+      // specific sketches — the exact form is the oracle-checkable one.)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_rollup" -> ((s, d) => {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -496,6 +511,11 @@ object Relational extends Pack {
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS d_parts,
         |count(DISTINCT l_suppkey) AS d_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_rollup" ->

@@ -28,6 +28,36 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(path).count() == 10)
   }
 
+  test("partitioned sink prunes partitions for date predicates") {
+    import spark.implicits._
+    val path = tmp("sinkp")
+    val df = Seq(
+      ("A", "2025-01-01"), ("B", "2025-01-01"), ("C", "2025-01-02"),
+      ("D", "2025-01-03"), ("E", "2025-01-03")).toDF("org", "snapshot_date")
+    Sink.appendPartitioned(df, path, "snapshot_date")
+    val q = spark.read.parquet(path).filter($"snapshot_date" === "2025-01-03")
+    assert(q.count() == 2)
+    // pruning is observable in the scan: only 1 of 3 partition dirs is read
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    val readParts = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    assert(readParts == 1, s"expected 1 pruned partition, scanned $readParts")
+  }
+
+  test("compact rewrites a many-small-files table to few files, same rows") {
+    import spark.implicits._
+    val path = tmp("sinkc")
+    (1 to 20).foreach(i => Seq((i, s"v$i")).toDF("k", "v").write.mode("append").parquet(path))
+    def nFiles = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 20)
+    val before = spark.read.parquet(path).orderBy("k").collect().toSeq
+    val written = Sink.compact(spark, path, rowsPerFile = 1000000L)
+    assert(written == 1 && nFiles == 1)
+    assert(spark.read.parquet(path).orderBy("k").collect().toSeq == before)
+  }
+
   test("C3: a failing batch is isolated — partial success, error accumulated") {
     import spark.implicits._
     val path = tmp("sink4")
