@@ -95,6 +95,19 @@ object IngestDemo {
     println("[demo] notifications run2:")
     n2.sent.foreach(m => println(s"  ${m.subject}"))
 
+    // type-safe view: re-ingest the clean file as a Dataset[CtbRecord].
+    // cleanSource=archive runs lazily (a batch's files are archived while
+    // LATER batches complete), so the file may be in the mailbox or already
+    // under the archive's mirrored absolute path — walk the demo root.
+    import scala.jdk.CollectionConverters._
+    val archivedClean = Files.walk(Paths.get(root)).iterator().asScala
+      .find(_.getFileName.toString == "CTB_clean2.tsv").get
+    val typedRec = graft.ingest.CtbIngest.typed(
+      graft.ingest.CtbIngest.ingestFile(spark, archivedClean.toString))
+      .head()
+    println(s"[demo] typed record: org=${typedRec.ORG_CODE.get} qty=${typedRec.DEMAND_QTY.get} " +
+      s"due=${typedRec.DEMAND_DUE_DATE.get} make_buy=${typedRec.MAKE_BUY.get}")
+
     // multimodal path: opaque media files -> binaryFile source -> typed
     // envelopes -> partition-parallel feature extraction (stubbed decode)
     val media = Paths.get(root, "media")

@@ -180,6 +180,22 @@ object CtbIngest {
     IngestResult(clean, errors, fileFailed = false, failureReason = None)
   }
 
+  /** Type-safe view of a full-width clean result: a Dataset[CtbRecord] for
+    * callers that want compile-time column/type checking downstream.
+    * Requires all 21 canonical columns (a partial-header file keeps the
+    * DataFrame form — missing columns are filled as nulls here).
+    */
+  def typed(res: IngestResult): org.apache.spark.sql.Dataset[graft.schema.CtbRecord] = {
+    val spark = res.clean.sparkSession
+    import spark.implicits._
+    val present = res.clean.columns.toSet
+    val full = canonicalColumns.foldLeft(res.clean) { (df, c) =>
+      if (present.contains(c)) df
+      else df.withColumn(c, lit(null).cast(sparkSchema(c).dataType))
+    }
+    full.select(canonicalColumns.map(col): _*).as[graft.schema.CtbRecord]
+  }
+
   private def failed(spark: SparkSession, reason: String): IngestResult = {
     val emptyClean = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)

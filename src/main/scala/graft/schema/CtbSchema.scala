@@ -13,6 +13,22 @@ import org.apache.spark.sql.types._
   * Enforcement is a subset check: every cleaned header must be a known canonical
   * column, else the whole file fails; missing columns are allowed (main.py:353-364).
   */
+/** Typed row of the canonical CTB table — the type-safe Dataset view of the
+  * ingested data (column order and types mirror [[CtbSchema.sparkSchema]]).
+  */
+final case class CtbRecord(
+    ORG_CODE: Option[String], MASTER_CUST_NAME: Option[String],
+    CUSTOMER_NUMBER: Option[String], ITEM_NUMBER: Option[String],
+    CUST_PART_NUM: Option[String], ITEM_DESCRIPTION: Option[String],
+    DEMAND_DUE_DATE: Option[java.sql.Date], DEMAND_QTY: Option[Long],
+    ONTIME_QTY: Option[Long], AVAILABLE_DATE: Option[java.sql.Date],
+    SUPPLY_SOURCE: Option[String], SUPPLY_AVAILABLE_DATE: Option[java.sql.Date],
+    SUPPLY_AVA_QTY: Option[Long], DAYS_LATE: Option[Long],
+    UNIQ_SHORT_QTY: Option[Long], GATING_PART: Option[String],
+    MAKE_BUY: Option[String], LEAD_TIME: Option[Long],
+    GATING_CUST_PART: Option[String], CUST_PART_DESCRIPTION: Option[String],
+    SNAPSHOT_DATE: Option[java.sql.Date])
+
 object CtbSchema {
 
   sealed trait CtbType

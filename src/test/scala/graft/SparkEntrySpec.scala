@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: every declared query has an oracle, names
+  * never drift, and the flagship entry produces rows at the smoke scale.
+  */
+class SparkEntrySpec extends AnyFunSuite with SparkSpec {
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("no duplicate query names across operator packs") {
+    val packs = Seq(
+      graft.ops.CtbOps, graft.ops.Relational, graft.ops.TextOps,
+      graft.ops.VectorOps, graft.ops.UdfQueries)
+    val all = packs.flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(all.size == SparkEntry.queries.size)
+  }
+
+  test("entry flagship query returns rows at the smoke scale") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -151,6 +151,19 @@ class CtbIngestSpec extends AnyFunSuite with SparkSpec {
     assert(errs(0).contains("got 1"))
   }
 
+  test("typed view exposes a Dataset[CtbRecord] with correct types and null-filled gaps") {
+    val res = ingest(Seq(headerLine, validRow(Map(7 -> "1,234")).mkString("\t")))
+    val rec = CtbIngest.typed(res).collect()(0)
+    assert(rec.ORG_CODE.contains("ORG1"))
+    assert(rec.DEMAND_QTY.contains(1234L))
+    assert(rec.DEMAND_DUE_DATE.get.toString == "2025-01-15")
+    // partial-header file: absent columns come back as None in the typed view
+    val partial = ingest(Seq(rawHeaders.take(8).mkString("\t"), validRow().take(8).mkString("\t")))
+    val prec = CtbIngest.typed(partial).collect()(0)
+    assert(prec.DEMAND_QTY.contains(100L))
+    assert(prec.SNAPSHOT_DATE.isEmpty) // column absent from the file
+  }
+
   test("B13: multiple failing fields in one row each record an error") {
     val res = ingest(Seq(headerLine,
       validRow(Map(7 -> "nope", 6 -> "2024-99-99")).mkString("\t")))
