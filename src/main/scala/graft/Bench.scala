@@ -33,6 +33,10 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.toString.linesIterator.next()}")
         Left(e.getClass.getSimpleName)
+      } finally {
+        // queries persist intermediates (dedup signatures etc.) — drop them
+        // so later queries aren't charged for earlier queries' cache/GC
+        spark.catalog.clearCache()
       }
     }
 

@@ -31,12 +31,22 @@ object VectorOps extends Pack {
     * column `band`: plane p = band*8+j has integer weight
     * w[p][k] = ((17+13p)*k + 7p) % 61 - 30, so Spark and DuckDB compute
     * bit-identical signs (shared by dedup_embcos and sim_ann_lsh).
+    *
+    * The 32×64 weight matrix is precomputed driver-side into a literal —
+    * the per-row lambda does only the multiply-accumulate, instead of
+    * re-deriving 2048 modular weights per row (the DuckDB oracle keeps the
+    * formula inline; the values are identical by construction).
     */
+  private val planesSqlArray: String =
+    (0 until 32).map { p =>
+      (1 to 64).map(k => (((17L + 13 * p) * k + 7 * p) % 61 - 30).toString)
+        .mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+
   private val sigSql =
-    """aggregate(sequence(0, 7), 0, (acc, j) -> acc + CASE WHEN
-      |  aggregate(zip_with(q,
-      |    transform(sequence(1, size(q)), k -> bigint((17 + 13*(band*8+j)) * k + 7*(band*8+j)) % 61 - 30),
-      |    (x, w) -> x * w), bigint(0), (a2, v) -> a2 + v) > 0
+    s"""aggregate(sequence(0, 7), 0, (acc, j) -> acc + CASE WHEN
+      |  aggregate(zip_with(q, element_at($planesSqlArray, band*8+j+1),
+      |    (x, w) -> x * bigint(w)), bigint(0), (a2, v) -> a2 + v) > 0
       |  THEN shiftleft(1, j) ELSE 0 END)""".stripMargin
 
   // the same signature CTE in DuckDB SQL (over CTEs q/n defined by callers)
