@@ -370,6 +370,21 @@ object Relational extends Pack {
         .orderBy("vec_id")
     }),
 
+    "fn_map" -> ((s, d) => {
+      // MapType surface: build a per-row map, then extract/inspect it. The
+      // oracle verifies the VALUES via their scalar equivalents (DuckDB map
+      // extraction semantics vary by version; the values are the contract).
+      val m = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        element_at(m, "brand").as("m_brand"),
+        element_at(m, "nope").as("m_missing"),
+        size(m).as("m_size"),
+        array_join(map_keys(m), ",").as("m_keys"),
+        map_contains_key(m, "type").as("has_type"))
+        .orderBy("p_partkey")
+    }),
+
     "fn_json" -> ((s, d) => {
       t(s, d, "events").select(
         col("event_id"),
@@ -618,6 +633,11 @@ object Relational extends Pack {
         |list_aggregate(embedding, 'max') AS max_v, list_aggregate(embedding, 'min') AS min_v,
         |embedding[3] AS head3_last, list_sort(embedding[1:5])[2] AS sorted5_2nd
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT p_partkey, p_brand AS m_brand, NULL::VARCHAR AS m_missing, 2::INT AS m_size,
+        |'brand,type' AS m_keys, TRUE AS has_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
