@@ -405,6 +405,17 @@ object Relational extends Pack {
     }),
 
     // ---- subquery / pivot / headline -------------------------------------
+    "sql_surface" -> ((s, d) => {
+      // the spark.sql(...) entry point over registered views — same engine,
+      // SQL front end (everything else on the surface uses the DSL)
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price,
+          |MIN(o_orderkey) AS min_key
+          |FROM orders_v GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     "subquery_scalar" -> ((s, d) => {
       val mx = t(s, d, "part").agg(max(col("p_retailprice")).as("max_retail"))
       t(s, d, "lineitem")
@@ -648,6 +659,12 @@ object Relational extends Pack {
       """SELECT (floor(epoch(ts))::BIGINT // 60) * 60 AS bucket_s, event_type, count(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY bucket_s, event_type ORDER BY bucket_s, event_type""".stripMargin,
+
+    "sql_surface" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price,
+        |MIN(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "subquery_scalar" ->
       """SELECT count(*) AS n_above, (SELECT max(p_retailprice) FROM part) AS max_retail

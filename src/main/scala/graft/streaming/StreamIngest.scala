@@ -31,6 +31,16 @@ import java.util.concurrent.atomic.AtomicLong
   * Per-file isolation (E1): a malformed or poison file records its failure
   * and notification and the run continues (reference's per-message
   * try/except, main.py:662-677).
+  *
+  * Scale note: each file's rows are processed as a distributed plan, but
+  * files within a micro-batch are dispatched sequentially from the driver —
+  * fine for the reference's workload (tens of attachments per poll) and
+  * bounded by maxFilesPerTrigger. A millions-of-files deployment would
+  * dispatch per-file pipelines from a bounded driver thread pool with a
+  * serialized sink-commit section (Spark schedules concurrent jobs, but
+  * concurrent parquet appends to ONE directory race on the committer's
+  * _temporary dir), or fold files into per-batch unions with a file-id
+  * column when per-file accounting can be relaxed.
   */
 object StreamIngest {
 
