@@ -265,6 +265,54 @@ object Relational extends Pack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "window_ntile" -> ((s, d) => {
+      // quartile assignment within each customer's order history — the
+      // window is partitioned (a no-partition global window funnels the
+      // table through one task, the round-1 anti-pattern)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("price_quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "window_first_last" -> ((s, d) => {
+      // first/last value over a full-partition frame per customer
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "agg_collect" -> ((s, d) => {
+      // collection aggregates, scalar-ized deterministically: sorted list
+      // joined to a string, set size (array outputs crash the driver hash)
+      t(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), "|").as("names"),
+          size(collect_set(col("n_name"))).as("n_distinct"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    }),
+
+    "fn_struct" -> ((s, d) => {
+      // StructType scalar surface: build a struct, access fields, nest one
+      val st = struct(col("p_brand").as("brand"), col("p_retailprice").as("price"))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        st.getField("brand").as("s_brand"),
+        st.getField("price").as("s_price"),
+        struct(st.as("inner"), col("p_size").as("sz"))
+          .getField("inner").getField("brand").as("nested_brand"))
+        .orderBy("p_partkey")
+    }),
+
     "sessionize" -> ((s, d) => {
       // gaps-and-islands: new session when >1h since previous event
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -577,6 +625,31 @@ object Relational extends Pack {
         |  PARTITION BY o_custkey ORDER BY o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_quartile
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+        |LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT n_regionkey,
+        |array_to_string(list_sort(list(n_name)), '|') AS names,
+        |len(list_distinct(list(n_name))) AS n_distinct,
+        |count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "fn_struct" ->
+      """SELECT p_partkey, p_brand AS s_brand, p_retailprice AS s_price,
+        |p_brand AS nested_brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "sessionize" ->
       """SELECT user_id, event_id,
