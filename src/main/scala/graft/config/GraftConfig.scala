@@ -34,6 +34,18 @@ object GraftConfig {
   def fromEnv(env: Map[String, String]): GraftConfig = {
     def req(k: String): String =
       env.getOrElse(k, throw new IllegalArgumentException(s"Missing required config: $k"))
+    // numeric knobs fail fast naming the offending key: GRAFT_BATCH_SIZE=0
+    // would otherwise surface as a null batch id (integer div by zero) deep
+    // inside appendBatched instead of a clear config error
+    def posInt(k: String, default: Int): Int = {
+      val raw = env.getOrElse(k, default.toString)
+      val v = try raw.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"Config $k must be an integer, got '$raw'")
+      }
+      if (v < 1) throw new IllegalArgumentException(s"Config $k must be >= 1, got $v")
+      v
+    }
     GraftConfig(
       inputDir = req("GRAFT_INPUT_DIR"),
       sinkDir = req("GRAFT_SINK_DIR"),
@@ -42,7 +54,7 @@ object GraftConfig {
       archiveDir = req("GRAFT_ARCHIVE_DIR"),
       notificationRecipients = env.getOrElse("GRAFT_NOTIFY_TO", "ops@localhost"),
       sourceGlob = env.getOrElse("GRAFT_SOURCE_GLOB", "*"),
-      httpRequestTimeoutSec = env.getOrElse("GRAFT_HTTP_TIMEOUT", "900").toInt,
-      batchSize = env.getOrElse("GRAFT_BATCH_SIZE", "500").toInt)
+      httpRequestTimeoutSec = posInt("GRAFT_HTTP_TIMEOUT", 900),
+      batchSize = posInt("GRAFT_BATCH_SIZE", 500))
   }
 }

@@ -58,7 +58,8 @@ object CtbIngest {
   def ingestLines(spark: SparkSession, raw: DataFrame): IngestResult = {
     val nonblank = length(trim(col("value"))) > 0
     val ids = raw.select(col("value"),
-      spark_partition_id().as("_pid"), monotonically_increasing_id().as("_mid"))
+      spark_partition_id().as("_pid"), monotonically_increasing_id().as("_mid"),
+      input_file_name().as("_file"))
 
     // Line numbering without a global sort (a round-1 scale bug: a
     // no-partition Window forced the whole file through one task). Pass 1
@@ -68,11 +69,26 @@ object CtbIngest {
     // file-offset order for a single file, so partition-id order is line
     // order (the same assumption the reference's enumerate() makes of its
     // in-memory list).
-    val stats = ids.groupBy(col("_pid")).agg(
+    val statRows = ids.groupBy(col("_pid")).agg(
         count(lit(1)).as("n"), min(col("_mid")).as("m0"),
         min(when(nonblank, col("_mid"))).as("nbMin"),
-        max(when(nonblank, col("_mid"))).as("nbMax"))
+        max(when(nonblank, col("_mid"))).as("nbMax"),
+        countDistinct(col("_file")).as("nf"),
+        min(col("_file")).as("f0"))
       .collect()
+
+    // The offset-order numbering below assumes exactly ONE underlying file:
+    // with a glob/directory input, partition-id order interleaves files and
+    // the "header" would be an arbitrary file's first line. Detect it from
+    // the same stats pass and fail the file with a clear error instead of
+    // silently producing wrong line numbers. (Non-file inputs — tests build
+    // DataFrames in memory — report a single empty file name and pass.)
+    val fileNames = statRows.map(_.getString(6)).toSet
+    if (statRows.exists(_.getLong(5) > 1) || fileNames.size > 1)
+      return failed(spark,
+        s"Expected exactly one input file, got multiple: ${fileNames.filter(_.nonEmpty).take(3).mkString(", ")} ...")
+
+    val stats = statRows
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         if (r.isNullAt(4)) None else Some(r.getLong(4))))
@@ -116,7 +132,7 @@ object CtbIngest {
       .filter(col(LINENO) > 1)                          // data rows start after the header
       .filter(col(LINENO) <= lastLineno - hdrLineno + 1) // file-level strip of trailing blanks
       .withColumnRenamed("value", LINE)
-      .drop("_pid", "_mid")
+      .drop("_pid", "_mid", "_file")
 
     val ncols = canonical.length
     val parts = split(col(LINE), "\t", -1)

@@ -32,14 +32,24 @@ object Sink {
       batchErrors: Seq[String])
 
   /** C2: is the sink initialized? True for a registered catalog table name
-    * or for a path holding a committed (non-empty) table directory.
+    * or for a path holding an actual committed parquet table — evidence is a
+    * `_SUCCESS` marker or at least one `*.parquet` data file (directly or one
+    * level down inside `key=value` partition directories). A merely
+    * non-empty directory (a typo'd or unrelated path) does NOT count: the
+    * reference's C2 check validates a real table, and appending into an
+    * arbitrary directory would corrupt it.
     */
   def tableExists(spark: SparkSession, table: String): Boolean =
     if (try spark.catalog.tableExists(table) catch { case _: Exception => false }) true
     else {
       val p = new Path(table)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).nonEmpty
+      def evidence(dir: Path): Boolean = fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        (st.isFile && (n == "_SUCCESS" || n.endsWith(".parquet"))) ||
+          (st.isDirectory && n.contains("=") && evidence(st.getPath))
+      }
+      fs.exists(p) && fs.getFileStatus(p).isDirectory && evidence(p)
     }
 
   /** Explicit sink creation: writes an empty parquet table with the given
@@ -56,17 +66,38 @@ object Sink {
   def appendPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("append").partitionBy(partitionCol).parquet(path)
 
+  /** Partition columns of a parquet directory layout, outermost first:
+    * the `key=` names on the chain of `key=value` subdirectories.
+    */
+  private def partitionColsOf(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    @annotation.tailrec
+    def walk(dir: Path, acc: Seq[String]): Seq[String] =
+      fs.listStatus(dir).find(st => st.isDirectory && st.getPath.getName.contains("=")) match {
+        case Some(st) => walk(st.getPath, acc :+ st.getPath.getName.takeWhile(_ != '='))
+        case None => acc
+      }
+    walk(new Path(path), Nil)
+  }
+
   /** Compact a (possibly partition-subdir'd) parquet table in place:
     * streaming appends land one small file per micro-batch/file, and a
     * 100 TB table dies by a thousand 50 KB files. Rewrites to
     * ceil(rows/rowsPerFile) files via an atomic directory swap.
+    *
+    * Partitioned layouts are preserved: the `key=value` directory chain is
+    * detected before the rewrite and the replacement is written with the
+    * same `partitionBy`, so partition pruning survives compaction and later
+    * [[appendPartitioned]] calls land in a consistent layout.
     */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long = 1000000L): Int = {
+    val partCols = partitionColsOf(spark, path)
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
     val tmp = path + "_compact_tmp"
-    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    df.repartition(files).write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(tmp)
     val p = new Path(path); val t = new Path(tmp)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new Path(path + "_compact_bak")
@@ -87,6 +118,7 @@ object Sink {
       path: String,
       batchSize: Int,
       writeBatchOpt: Option[(DataFrame, Long) => Unit] = None): BatchedWriteResult = {
+    require(batchSize >= 1, s"appendBatched: batchSize must be >= 1, got $batchSize")
     val writeBatch = writeBatchOpt.getOrElse(
       (df: DataFrame, _: Long) => df.write.mode("append").parquet(path))
     // batch id from the per-partition monotonic id: groups of <= batchSize

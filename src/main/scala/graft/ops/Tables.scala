@@ -20,8 +20,12 @@ object Tables {
       // reader rejects outright. Read the raw nanos as LONG and rebuild a
       // microsecond TimestampType column. Integer division (`div`) keeps full
       // precision — `/` would route through double and corrupt epoch-nanos
-      // (~1.7e18 > 2^53).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (~1.7e18 > 2^53). Requires spark.sql.legacy.parquet.nanosAsLong=true
+      // at session build time (all entry points set it); setting it here as
+      // a side effect would leak session-global state and make query
+      // construction order load-bearing.
+      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+        "reading 'events' requires spark.sql.legacy.parquet.nanosAsLong=true at session build time")
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")

@@ -61,6 +61,18 @@ class CtbIngestSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[java.sql.Date]("DEMAND_DUE_DATE").toString == "2025-01-15")
   }
 
+  test("multi-file input fails the file instead of interleaving line numbers") {
+    val dir = Files.createTempDirectory("ctbmulti")
+    Seq("a.tsv", "b.tsv").foreach { n =>
+      Files.write(dir.resolve(n),
+        (Seq(headerLine) ++ Seq(validRow().mkString("\t"))).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    val res = CtbIngest.ingestFile(spark, dir.toString)
+    assert(res.fileFailed)
+    assert(res.failureReason.get.contains("one input file"))
+  }
+
   test("B5: unknown header fails the whole file") {
     val badHeader = (rawHeaders :+ "Mystery Column").mkString("\t")
     val res = ingest(Seq(badHeader, (validRow() :+ "x").mkString("\t")))

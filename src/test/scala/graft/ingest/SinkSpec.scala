@@ -58,6 +58,48 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(path).orderBy("k").collect().toSeq == before)
   }
 
+  test("C2: tableExists rejects a non-empty directory that is not a parquet table") {
+    val dir = Files.createTempDirectory("notatable")
+    Files.writeString(dir.resolve("readme.txt"), "unrelated")
+    assert(!Sink.tableExists(spark, dir.toString))
+  }
+
+  test("C2: tableExists accepts a partitioned table (parquet one level down)") {
+    import spark.implicits._
+    val path = tmp("sinkpe")
+    Sink.appendPartitioned(
+      Seq(("A", "2025-01-01")).toDF("org", "snapshot_date"), path, "snapshot_date")
+    assert(Sink.tableExists(spark, path))
+  }
+
+  test("compact preserves a partitioned layout (pruning still works after)") {
+    import spark.implicits._
+    val path = tmp("sinkcp")
+    val df = Seq(
+      ("A", "2025-01-01"), ("B", "2025-01-02"), ("C", "2025-01-03")).toDF("org", "snapshot_date")
+    Sink.appendPartitioned(df, path, "snapshot_date")
+    Sink.compact(spark, path)
+    // layout survived: key=value dirs still present, appends stay consistent
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("snapshot_date=")) == 3, dirs.toSeq)
+    Sink.appendPartitioned(
+      Seq(("D", "2025-01-03")).toDF("org", "snapshot_date"), path, "snapshot_date")
+    val q = spark.read.parquet(path).filter($"snapshot_date" === "2025-01-03")
+    assert(q.count() == 2)
+    assert(spark.read.parquet(path).count() == 4)
+    val readParts = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    assert(readParts == 1, s"expected 1 pruned partition, scanned $readParts")
+  }
+
+  test("appendBatched rejects batchSize < 1 with a clear error") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException](
+      Sink.appendBatched((1 to 3).toDF("v"), tmp("sinkbz"), batchSize = 0))
+    assert(e.getMessage.contains("batchSize"))
+  }
+
   test("C3: a failing batch is isolated — partial success, error accumulated") {
     import spark.implicits._
     val path = tmp("sink4")

@@ -120,4 +120,17 @@ class StreamIngestSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalArgumentException](GraftConfig.fromEnv(Map.empty))
     assert(e.getMessage.contains("GRAFT_INPUT_DIR"))
   }
+
+  test("E3: numeric config knobs fail fast naming the key on zero/garbage values") {
+    val base = Map(
+      "GRAFT_INPUT_DIR" -> "/in", "GRAFT_SINK_DIR" -> "/sink",
+      "GRAFT_ERRORS_DIR" -> "/e", "GRAFT_CHECKPOINT_DIR" -> "/c",
+      "GRAFT_ARCHIVE_DIR" -> "/a")
+    val zero = intercept[IllegalArgumentException](
+      GraftConfig.fromEnv(base + ("GRAFT_BATCH_SIZE" -> "0")))
+    assert(zero.getMessage.contains("GRAFT_BATCH_SIZE"))
+    val junk = intercept[IllegalArgumentException](
+      GraftConfig.fromEnv(base + ("GRAFT_HTTP_TIMEOUT" -> "soon")))
+    assert(junk.getMessage.contains("GRAFT_HTTP_TIMEOUT"))
+  }
 }
