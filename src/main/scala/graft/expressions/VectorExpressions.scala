@@ -1,0 +1,179 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot paths.
+  *
+  * Spark's higher-order functions (`aggregate`, `zip_with`) are evaluated
+  * interpreted — each lambda application walks an expression tree per
+  * element, and a 64-dim dot product pays that 64 times per row. These
+  * expressions keep the multiply-accumulate loop inside whole-stage codegen
+  * (a tight `long[]`/`float[]` loop over the unsafe array bytes), which is
+  * the preference order SURVEY §4.2 mandates: native `Expression` with
+  * `doGenCode` > composed built-ins > UDF.
+  *
+  * Null semantics match the built-ins they replace: null in → null out
+  * (NullIntolerant); mismatched lengths raise, matching `zip_with`'s
+  * behavior of padding with null which the downstream `x * y` would turn
+  * into null anyway — an explicit error is strictly more debuggable.
+  */
+case class DotProductI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // AbstractDataType (ExpectsInputTypes.inputTypes) is private[sql] in
+  // Spark 4, so the type check is spelled out by hand
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_i64 requires (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot_i64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n,
+      s"graft_dot_i64: length mismatch ($n vs ${y.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot_i64: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity over `array<float>` in one codegen'd pass: dot and both
+  * norms accumulate in the same loop (double accumulators), so the corpus
+  * side is read once. Returns NaN for a zero-norm input, like the float
+  * math it replaces.
+  */
+case class CosineSimF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cos_f32 requires (array<float>, array<float>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cos_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n,
+      s"graft_cos_f32: length mismatch ($n vs ${y.numElements()})")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cos_f32: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = $a.getFloat($i);
+         |  final double $yi = $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration surface for the native expressions.
+  *
+  * Two paths to the same registry entries:
+  *   - [[GraftExtensions]] for `SparkSession.builder.withExtensions` /
+  *     `spark.sql.extensions=graft.expressions.GraftExtensions` — the
+  *     idiomatic deployment;
+  *   - [[GraftFunctions.register]] for sessions the caller didn't build
+  *     (the driver contract hands queries an already-built session);
+  *     registration is idempotent.
+  */
+object GraftFunctions {
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  type Entry = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[DotProductI64].getName, null, name, usage, "")
+
+  val all: Seq[Entry] = Seq(
+    (FunctionIdentifier("graft_dot_i64"),
+      info("graft_dot_i64", "graft_dot_i64(a, b) - integer dot product of two array<bigint>"),
+      (cs: Seq[Expression]) => DotProductI64(cs(0), cs(1))),
+    (FunctionIdentifier("graft_cos_f32"),
+      info("graft_cos_f32", "graft_cos_f32(a, b) - cosine similarity of two array<float>"),
+      (cs: Seq[Expression]) => CosineSimF32(cs(0), cs(1))))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

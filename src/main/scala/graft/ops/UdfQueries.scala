@@ -42,6 +42,20 @@ object UdfQueries extends Pack {
         .agg(Udfs.errPermille(qtyStr).as("err_permille"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    }),
+
+    "agg_topk" -> ((s, d) => {
+      // top-3 orders by total price per priority via the bounded-heap
+      // TopKAggregator: partial aggregation caps the shuffle at k rows per
+      // (group × map partition), vs the window row_number plan that
+      // shuffles+sorts every row of every group (see Udfs.TopKAggregator)
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(Udfs.topK(3)(col("o_totalprice").cast("double"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.v").as("total"), col("col.k").as("okey"))
+        .orderBy("o_orderpriority", "rank")
     })
   )
 
@@ -56,6 +70,15 @@ object UdfQueries extends Pack {
          |((SUM(CASE WHEN ($qtyStrSql) <> '' AND TRY_CAST(replace(($qtyStrSql), ',', '') AS BIGINT) IS NULL THEN 1 ELSE 0 END) * 1000)
          |  // count(*))::BIGINT AS err_permille,
          |count(*) AS n
-         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_topk" ->
+      """SELECT o_orderpriority, rank, total, okey FROM (
+        |  SELECT o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice::DOUBLE DESC, o_orderkey ASC) AS rank,
+        |    o_totalprice::DOUBLE AS total, o_orderkey AS okey
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin
   )
 }

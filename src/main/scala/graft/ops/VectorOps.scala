@@ -71,6 +71,25 @@ object VectorOps extends Pack {
         .limit(20)
     }),
 
+    "sim_topk_native" -> ((s, d) => {
+      // sim_topk's plan with the dot product as a native codegen'd Catalyst
+      // expression (graft.expressions.DotProductI64) instead of interpreted
+      // aggregate(zip_with(...)) lambdas — same rows, same oracle; the bench
+      // delta between the two IS the higher-order-function interpretation
+      // overhead. Registered on the session at query-build time (idempotent)
+      // so driver-built sessions work; GraftExtensions covers
+      // builder-configured deployments.
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), qvec(col("embedding")).as("q"))
+      val probe = emb.filter(col("vec_id") === 0).select(col("q").as("pq"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))
+        .orderBy(col("dot_q").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     "dedup_embcos" -> ((s, d) => {
       // embedding-cosine near-dup via sign-LSH banding (B=4 bands × r=8
       // hyperplanes): candidate pairs are vectors agreeing on one band's
@@ -141,16 +160,19 @@ object VectorOps extends Pack {
     })
   )
 
+  private val simTopkOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+      |  FROM embeddings),
+      |p AS (SELECT qe AS pq FROM q WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  list_sum(list_transform(qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
+      |FROM q, p WHERE vec_id <> 0
+      |ORDER BY dot_q DESC, vec_id ASC LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "sim_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
-        |  FROM embeddings),
-        |p AS (SELECT qe AS pq FROM q WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  list_sum(list_transform(qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
-        |FROM q, p WHERE vec_id <> 0
-        |ORDER BY dot_q DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_topk_native" -> simTopkOracle,
+    "sim_topk" -> simTopkOracle,
 
     "dedup_embcos" ->
       ((s"""WITH q AS (
@@ -193,17 +215,13 @@ object VectorOps extends Pack {
     * search: corpus-parallel scan, broadcast probe, TakeOrderedAndProject.
     */
   def cosineTopK(corpus: DataFrame, probe: Array[Float], k: Int): DataFrame = {
-    val p = probe.map(_.toDouble)
-    val pLit = array(p.map(lit): _*)
-    val dot = aggregate(
-      zip_with(col("embedding"), pLit, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
-    val norm = sqrt(aggregate(
-      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val pNorm = math.sqrt(p.map(x => x * x).sum)
+    // native codegen'd cosine (dot + both norms in one pass over the row's
+    // float array) — replaces three interpreted higher-order-function trees
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val pLit = typedLit(probe)
     corpus
-      .select(col("vec_id"), (dot / (norm * lit(pNorm))).as("cosine"))
+      .select(col("vec_id"),
+        call_function("graft_cos_f32", col("embedding"), pLit).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
