@@ -45,7 +45,12 @@ object Bench {
     Seq("scan_parquet", "join_hash", "text_wordcount")
       .filter(SparkEntry.queries.contains).foreach(runOnce)
 
+    // optional dev-only filter (driver never sets it): bench a named subset
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v

@@ -139,6 +139,63 @@ case class CosineSimF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Slot-agreement count between two equal-length `array<bigint>` — the
+  * MinHash signature-verification kernel. Replaces the interpreted
+  * three-HOF chain `size(filter(zip_with(a, b, (x,y) -> x = y), v -> v))`,
+  * which walks three lambda expression trees per element; at millions of
+  * candidate pairs × 16 slots that interpretation overhead dominates the
+  * dedup_minhash verify stage. One codegen'd loop, no allocation.
+  */
+case class ArrayAgreeI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_agree_i64 requires (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_agree_i64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n,
+      s"graft_agree_i64: length mismatch ($n vs ${y.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) acc += 1L; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_agree_i64: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAgreeI64 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration surface for the native expressions.
   *
   * Two paths to the same registry entries:
@@ -165,7 +222,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => DotProductI64(cs(0), cs(1))),
     (FunctionIdentifier("graft_cos_f32"),
       info("graft_cos_f32", "graft_cos_f32(a, b) - cosine similarity of two array<float>"),
-      (cs: Seq[Expression]) => CosineSimF32(cs(0), cs(1))))
+      (cs: Seq[Expression]) => CosineSimF32(cs(0), cs(1))),
+    (FunctionIdentifier("graft_agree_i64"),
+      info("graft_agree_i64", "graft_agree_i64(a, b) - count of equal slots between two array<bigint>"),
+      (cs: Seq[Expression]) => ArrayAgreeI64(cs(0), cs(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, inf, builder)

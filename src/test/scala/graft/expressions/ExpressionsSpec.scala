@@ -87,6 +87,43 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("graft_agree_i64 matches the interpreted zip_with/filter/size chain on real rows") {
+    import spark.implicits._
+    // deterministic pseudo-random signatures with engineered partial overlap
+    val df = (1 to 200).map { i =>
+      (i.toLong,
+        Array.tabulate(16)(j => ((i * 37 + j * 11) % 23).toLong),
+        Array.tabulate(16)(j => ((i * 37 + j * (if (j % 3 == 0) 11 else 5)) % 23).toLong))
+    }.toDF("id", "a", "b")
+    val both = df.select(col("id"),
+      call_function("graft_agree_i64", col("a"), col("b")).as("native"),
+      expr("cast(size(filter(zip_with(a, b, (x, y) -> x = y), v -> v)) as bigint)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // sanity: overlap is partial, not degenerate
+    val stats = both.agg(min("native"), max("native")).collect().head
+    assert(stats.getLong(0) < 16L && stats.getLong(1) > 0L)
+  }
+
+  test("graft_agree_i64 runs inside whole-stage codegen and handles nulls/mismatch") {
+    val df = spark.range(100).select(col("id"),
+      call_function("graft_agree_i64",
+        expr("array(id, 1L, id % 2)"), expr("array(id, 2L, 0L)")).as("n"))
+    val codegenSpans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty, df.queryExecution.executedPlan.toString)
+    // slot 0 always agrees, slot 1 never, slot 2 agrees iff id even
+    assert(df.filter(col("n") =!= when(col("id") % 2 === 0, 2L).otherwise(1L)).count() == 0)
+    assert(spark.sql(
+      "SELECT graft_agree_i64(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n")
+      .collect().head.isNullAt(0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_agree_i64(array(1L), array(1L, 2L))").collect()
+    }
+    assert(e.getMessage.contains("length mismatch")
+      || Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
+  }
+
   test("interpreted (non-codegen) eval path agrees with codegen") {
     // force the interpreted path by evaluating the expression directly
     import org.apache.spark.sql.catalyst.InternalRow
@@ -97,5 +134,7 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
       Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
     val d = DotProductI64(mk(Seq(2L, 3L)), mk(Seq(5L, 7L))).eval(InternalRow.empty)
     assert(d == 31L)
+    val n = ArrayAgreeI64(mk(Seq(2L, 3L, 4L)), mk(Seq(2L, 9L, 4L))).eval(InternalRow.empty)
+    assert(n == 2L)
   }
 }
