@@ -91,6 +91,7 @@ object Sink {
     * [[appendPartitioned]] calls land in a consistent layout.
     */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long = 1000000L): Int = {
+    recoverCompact(spark, path) // heal a crashed prior swap before touching anything
     val partCols = partitionColsOf(spark, path)
     val df = spark.read.parquet(path)
     val n = df.count()
@@ -105,6 +106,36 @@ object Sink {
     if (!fs.rename(t, p)) { fs.rename(bak, p); throw new java.io.IOException(s"compact: swap failed for $path") }
     fs.delete(bak, true)
     files
+  }
+
+  /** Crash recovery for [[compact]]'s swap window: between the two renames
+    * the table path briefly doesn't exist, and a crash there leaves only
+    * `_compact_bak` (old data, intact) and possibly `_compact_tmp` (new
+    * data, unswapped). Recovery restores the backup as the table — the
+    * conservative choice: the backup is known-complete, the tmp may be a
+    * partial write — and drops the tmp. Invoked automatically at the top of
+    * [[compact]]; callers can also run it at process start. Readers racing
+    * a live compaction should treat a transient missing path as retryable;
+    * on an object store a manifest-pointer commit replaces the rename pair.
+    *
+    * @return true if a crashed swap was found and healed
+    */
+  def recoverCompact(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(path + "_compact_bak")
+    val tmp = new Path(path + "_compact_tmp")
+    if (!fs.exists(p) && fs.exists(bak)) {
+      if (!fs.rename(bak, p))
+        throw new java.io.IOException(s"compact recovery: restore rename failed for $path")
+      fs.delete(tmp, true)
+      true
+    } else {
+      // normal completion leaves neither; a crash AFTER the swap completes
+      // can leave a stale bak next to a healthy table — drop it
+      if (fs.exists(p) && fs.exists(bak)) fs.delete(bak, true)
+      false
+    }
   }
 
   /** C3: append `clean` to `path` in batches of at most `batchSize` rows.

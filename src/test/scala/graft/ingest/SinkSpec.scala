@@ -93,6 +93,33 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(readParts == 1, s"expected 1 pruned partition, scanned $readParts")
   }
 
+  test("compact recovers from a crash inside the swap window") {
+    import spark.implicits._
+    val path = tmp("sinkcr")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(path)
+    val before = spark.read.parquet(path).orderBy("k").collect().toSeq
+    // simulate a crash between the two renames: table gone, only _compact_bak
+    // (old data) and a possibly-partial _compact_tmp remain
+    val f = new java.io.File(path)
+    assert(f.renameTo(new java.io.File(path + "_compact_bak")))
+    val tmpDir = new java.io.File(path + "_compact_tmp")
+    tmpDir.mkdirs()
+    Files.writeString(tmpDir.toPath.resolve("part-partial.parquet"), "truncated")
+    // next compact() heals first (restores the known-good backup, drops the
+    // partial tmp), then compacts normally
+    assert(Sink.recoverCompact(spark, path))
+    assert(spark.read.parquet(path).orderBy("k").collect().toSeq == before)
+    assert(!new java.io.File(path + "_compact_bak").exists())
+    assert(!tmpDir.exists())
+    val written = Sink.compact(spark, path)
+    assert(written == 1)
+    assert(spark.read.parquet(path).orderBy("k").collect().toSeq == before)
+    // a stale bak next to a healthy table (crash after swap) is dropped too
+    new java.io.File(path + "_compact_bak").mkdirs()
+    assert(!Sink.recoverCompact(spark, path))
+    assert(!new java.io.File(path + "_compact_bak").exists())
+  }
+
   test("appendBatched rejects batchSize < 1 with a clear error") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException](
