@@ -134,24 +134,37 @@ object CtbIngest {
       .withColumnRenamed("value", LINE)
       .drop("_pid", "_mid", "_file")
 
+    val (clean, errors) = applyRowRules(numbered, canonical, keyCols = Nil)
+    IngestResult(clean, errors, fileFailed = false, failureReason = None)
+  }
+
+  /** B6-B13 row rules over numbered lines: width check, trim, null-if-empty,
+    * typed casts, row-drop, error strings. `keyCols` (e.g. the source-file
+    * column in the multi-file path) ride through to both outputs.
+    */
+  private def applyRowRules(
+      numbered: DataFrame,
+      canonical: Seq[String],
+      keyCols: Seq[String]): (DataFrame, DataFrame) = {
     val ncols = canonical.length
     val parts = split(col(LINE), "\t", -1)
     val widthOk = size(parts) === ncols
+    val keys = keyCols.map(col)
 
     // B6 errors: wrong width -> skip row, record error with line number+content.
     val widthErrors = numbered
       .filter(!widthOk)
-      .select(concat(
+      .select(keys :+ concat(
         lit("Row "), col(LINENO),
         lit(s" has incorrect number of columns. Expected $ncols, got "), size(parts),
-        lit(". Row content: "), col(LINE)).as("error"))
+        lit(". Row content: "), col(LINE)).as("error"): _*)
 
     // B7+B8: trim each field, empty -> NULL.
     val wide = numbered
       .filter(widthOk)
-      .select(col(LINENO) +: canonical.zipWithIndex.map { case (name, i) =>
+      .select(keys ++ (col(LINENO) +: canonical.zipWithIndex.map { case (name, i) =>
         nullif(trim(parts.getItem(i)), lit("")).as(name)
-      }: _*)
+      }): _*)
 
     // B9/B10: typed casts. For each typed column build (value, ok) pairs.
     // try_* keeps this ANSI-safe (Spark 4 defaults to ANSI mode).
@@ -179,21 +192,178 @@ object CtbIngest {
 
     // B13: cast errors, one row per failing field.
     val castErrors = wide
-      .select(col(LINENO), array(canonical.map { n =>
+      .select(keys :+ array(canonical.map { n =>
         val (_, ok, err) = casts(n)
         when(!ok, err).otherwise(lit(null))
-      }: _*).as("errs"))
-      .select(explode(col("errs")).as("error"))
+      }: _*).as("errs"): _*)
+      .select(keys :+ explode(col("errs")).as("error"): _*)
       .filter(col("error").isNotNull)
 
     // B12: the row-drop rule — keep a row iff every typed column either was
     // NULL/empty in the source or cast successfully.
     val clean = wide
       .filter(rowOk)
-      .select(canonical.map(n => casts(n)._1.as(n)): _*)
+      .select(keys ++ canonical.map(n => casts(n)._1.as(n)): _*)
 
-    val errors = widthErrors.unionByName(castErrors)
-    IngestResult(clean, errors, fileFailed = false, failureReason = None)
+    (clean, widthErrors.unionByName(castErrors))
+  }
+
+  /** Result of ingesting a whole set of files as one distributed plan.
+    *
+    * @param clean       surviving rows, full canonical schema, plus a
+    *                    `_src_file` column for per-file accounting
+    * @param errors      per-row error strings with their `_src_file`
+    * @param fileFailed  whole-file failures (B1 empty / header-only, B5
+    *                    unknown header): file path -> reason
+    */
+  final case class MultiIngestResult(
+      clean: DataFrame,
+      errors: DataFrame,
+      fileFailed: Map[String, String])
+
+  val SRC_FILE = "_src_file"
+
+  /** Ingest MANY TSV files (glob / directory / comma-free path list) in
+    * O(#distinct-header-layouts) Spark jobs instead of O(#files).
+    */
+  def ingestMany(spark: SparkSession, pathOrGlob: String): MultiIngestResult =
+    ingestManyLines(spark, spark.read.text(pathOrGlob))
+
+  /** Multi-file core: the single-file semantics (B1-B13), applied per
+    * source file, driven by ONE stats pass and one header-collection pass.
+    *
+    * How it scales past the sequential per-file driver loop:
+    *   1. per-(file, partition) stats — counts, min id, min/max non-blank
+    *      id — come from one aggregation (a few rows per partition);
+    *      per-file line numbers are then `_mid + adjust(file, partition)`
+    *      exactly as in the single-file path. Within one file, equal-size
+    *      text splits keep offset order under Spark's stable
+    *      size-descending packing (same assumption ingestLines documents);
+    *      rows of different files never share a (file, partition) key
+    *      ordering problem because a partition reads its files
+    *      sequentially.
+    *   2. all header lines are fetched in ONE filter keyed by the per-file
+    *      header coordinates from (1) — not one driver round-trip per file.
+    *   3. files are grouped by canonical header layout; each group runs the
+    *      shared row-rule pipeline once, with per-file line offsets and
+    *      bounds applied via literal lookup maps. In the common case (every
+    *      file shares the CTB layout) the whole batch is ONE plan.
+    *
+    * Whole-file failures (empty, header-only, unknown columns) affect only
+    * their file and are reported in `fileFailed`.
+    *
+    * The literal lookup maps grow with #files × #partitions-per-file —
+    * bounded in streaming use by `maxFilesPerTrigger`; a millions-of-files
+    * backfill would chunk the listing and loop this per chunk.
+    *
+    * Caveat: a 0-BYTE file contributes no scan rows, so it is invisible
+    * here (no `fileFailed` entry) — same blindness as the streaming
+    * listing. B1 for 0-byte files needs the single-file path ([[ingestFile]]
+    * sees the empty scan) or an FS listing diffed against the stats keys.
+    */
+  def ingestManyLines(spark: SparkSession, raw: DataFrame): MultiIngestResult = {
+    val nonblank = length(trim(col("value"))) > 0
+    val ids = raw.select(col("value"),
+      spark_partition_id().as("_pid"), monotonically_increasing_id().as("_mid"),
+      input_file_name().as("_file"))
+
+    // (1) one stats pass, keyed by (file, partition)
+    val statRows = ids.groupBy(col("_file"), col("_pid")).agg(
+        count(lit(1)).as("n"), min(col("_mid")).as("m0"),
+        min(when(nonblank, col("_mid"))).as("nbMin"),
+        max(when(nonblank, col("_mid"))).as("nbMax"))
+      .collect()
+
+    val failures = scala.collection.mutable.Map[String, String]()
+
+    // per-file chunk bookkeeping -> adjust / header / last line numbers
+    final case class FileMeta(
+        adjust: Map[Int, Long], hdrLineno: Long, lastLineno: Long,
+        hdrPid: Int, hdrMid: Long)
+    val metas: Map[String, FileMeta] = statRows.groupBy(_.getString(0)).flatMap {
+      case (file, rows) =>
+        val chunks = rows.map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5))))
+          .sortBy(_._1) // pid order = offset order within one file (see above)
+        if (chunks.forall(_._4.isEmpty)) {
+          failures(file) = "File is empty" // B1
+          None
+        } else {
+          var off = 0L
+          val adjust = chunks.map { case (pid, n, m0, _, _) =>
+            val a = off - m0 + 1; off += n; (pid, a)
+          }.toMap
+          val hdr = chunks.collect { case (pid, _, _, Some(nb), _) => (pid, nb) }
+            .minBy { case (pid, nb) => nb + adjust(pid) }
+          val hdrLineno = hdr._2 + adjust(hdr._1)
+          val lastLineno = chunks
+            .collect { case (pid, _, _, _, Some(nb)) => nb + adjust(pid) }.max
+          if (lastLineno == hdrLineno) {
+            failures(file) = "File contains no data rows" // B1
+            None
+          } else Some(file -> FileMeta(adjust, hdrLineno, lastLineno, hdr._1, hdr._2))
+        }
+    }
+
+    // (2) all headers in one filter/collect
+    val headerLines: Map[String, String] =
+      if (metas.isEmpty) Map.empty
+      else ids.filter(metas.map { case (f, m) =>
+          col("_file") === f && col("_pid") === m.hdrPid && col("_mid") === m.hdrMid
+        }.reduce(_ || _))
+        .select(col("_file"), col("value")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // B3+B4+B5 per file; group survivors by canonical layout
+    val canonicalByFile: Map[String, Seq[String]] = headerLines.flatMap {
+      case (file, line) =>
+        val canonical = line.split("\t", -1).toSeq.map(CtbSchema.canonicalName)
+        val unknown = canonical.filterNot(columnTypes.contains)
+        if (unknown.nonEmpty) {
+          failures(file) = s"Schema mismatch. Unknown columns: ${unknown.mkString(", ")}" // B5
+          None
+        } else Some(file -> canonical)
+    }
+
+    val emptyClean = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(StructField(SRC_FILE, StringType) +: sparkSchema.fields))
+    val emptyErr = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(SRC_FILE, StringType), StructField("error", StringType))))
+
+    // (3) one row-rule plan per distinct layout
+    val groups = canonicalByFile.groupBy(_._2).toSeq.map {
+      case (canonical, fileMap) =>
+        val files = fileMap.keys.toSeq
+        val relAdjust = files.flatMap { f =>
+          val m = metas(f)
+          m.adjust.map { case (pid, a) => s"$f#$pid" -> (a - m.hdrLineno + 1) }
+        }.toMap
+        val lastRel = files.map(f => f -> (metas(f).lastLineno - metas(f).hdrLineno + 1)).toMap
+        val numbered = ids
+          .filter(col("_file").isin(files: _*))
+          .withColumn(LINENO, col("_mid") +
+            element_at(typedlit(relAdjust), concat(col("_file"), lit("#"), col("_pid"))))
+          .filter(col(LINENO) > 1)                                      // rows after the header
+          .filter(col(LINENO) <= element_at(typedlit(lastRel), col("_file"))) // strip trailing blanks
+          .withColumnRenamed("value", LINE)
+          .withColumnRenamed("_file", SRC_FILE)
+          .drop("_pid", "_mid")
+        val (clean, errors) = applyRowRules(numbered, canonical, keyCols = Seq(SRC_FILE))
+        // null-fill to the full canonical schema so layout groups union
+        val present = canonical.toSet
+        val full = canonicalColumns.foldLeft(clean) { (df, c) =>
+          if (present.contains(c)) df else df.withColumn(c, lit(null).cast(sparkSchema(c).dataType))
+        }.select(col(SRC_FILE) +: canonicalColumns.map(col): _*)
+        (full, errors)
+    }
+
+    MultiIngestResult(
+      clean = groups.map(_._1).foldLeft(emptyClean)(_ unionByName _),
+      errors = groups.map(_._2).foldLeft(emptyErr)(_ unionByName _),
+      fileFailed = failures.toMap)
   }
 
   /** Type-safe view of a full-width clean result: a Dataset[CtbRecord] for

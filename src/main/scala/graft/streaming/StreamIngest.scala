@@ -32,15 +32,15 @@ import java.util.concurrent.atomic.AtomicLong
   * and notification and the run continues (reference's per-message
   * try/except, main.py:662-677).
   *
-  * Scale note: each file's rows are processed as a distributed plan, but
-  * files within a micro-batch are dispatched sequentially from the driver —
-  * fine for the reference's workload (tens of attachments per poll) and
-  * bounded by maxFilesPerTrigger. A millions-of-files deployment would
-  * dispatch per-file pipelines from a bounded driver thread pool with a
-  * serialized sink-commit section (Spark schedules concurrent jobs, but
-  * concurrent parquet appends to ONE directory race on the committer's
-  * _temporary dir), or fold files into per-batch unions with a file-id
-  * column when per-file accounting can be relaxed.
+  * Scale note: the whole micro-batch is parsed and validated as ONE
+  * distributed plan (CtbIngest.ingestManyLines — per-file line numbers from
+  * a single stats pass, one row-rule pipeline per distinct header layout),
+  * so ingest cost is O(#layouts) Spark jobs per trigger, not O(#files).
+  * Only the sink COMMIT remains a per-file driver loop: it preserves the
+  * reference's per-file batched-append accounting (C3 partial success is
+  * per file), and concurrent parquet appends to ONE directory would race on
+  * the committer's _temporary dir anyway — the commits are cheap filters
+  * over the already-parsed, persisted batch.
   */
 object StreamIngest {
 
@@ -62,31 +62,47 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Only file NAMES reach the driver (the reference materialized whole
-        // files in driver memory, main.py:366 — explicitly rejected here);
-        // each file's rows are then processed as a distributed plan.
+        // Only file NAMES and per-file stats reach the driver (the reference
+        // materialized whole files in driver memory, main.py:366 — rejected
+        // here); the batch's rows are parsed as one distributed plan.
         val spark2 = batch.sparkSession
         val files = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).sorted
-        files.foreach { file =>
-          seen.incrementAndGet()
-          val name = new org.apache.hadoop.fs.Path(file).getName
-          try {
-            if (!Sink.tableExists(spark2, cfg.sinkDir)) {
-              // C2: missing destination table fails the file, no auto-create
-              fileFailed(spark2, cfg, notifier, name,
-                s"Destination table '${cfg.sinkDir}' does not exist. " +
-                  "Please ensure the table is created before running.")
-            } else {
-              val res = CtbIngest.ingestFile(spark2, file)
-              if (res.fileFailed) {
+        if (files.nonEmpty) {
+          val sinkOk = Sink.tableExists(spark2, cfg.sinkDir)
+          val empty = CtbIngest.MultiIngestResult(
+            spark2.emptyDataFrame, spark2.emptyDataFrame, Map.empty)
+          val multi =
+            if (!sinkOk) empty // C2 short-circuit: don't parse
+            else try CtbIngest.ingestManyLines(spark2, batch)
+            catch { case e: Exception =>
+              // a scan-level poison batch (unreadable file, vanished split)
+              // must not kill the run (E1): fail the batch's files with the
+              // cause, keep draining subsequent triggers
+              empty.copy(fileFailed = files.map(f => f -> s"Batch parse failed: $e").toMap)
+            }
+          val clean = if (sinkOk) multi.clean.persist() else multi.clean
+          val errors = if (sinkOk) multi.errors.persist() else multi.errors
+          try files.foreach { file =>
+            seen.incrementAndGet()
+            val name = new org.apache.hadoop.fs.Path(file).getName
+            try {
+              if (!sinkOk) {
+                // C2: missing destination table fails the file, no auto-create
                 fileFailed(spark2, cfg, notifier, name,
-                  res.failureReason.getOrElse("file failed"))
+                  s"Destination table '${cfg.sinkDir}' does not exist. " +
+                    "Please ensure the table is created before running.")
+              } else if (multi.fileFailed.contains(file)) {
+                fileFailed(spark2, cfg, notifier, name, multi.fileFailed(file))
               } else {
-                val rowErrors = res.errors.persist()
+                // per-file commit section over the persisted parsed batch:
+                // C3 batched append + accounting stay per file
+                val mine = col(CtbIngest.SRC_FILE) === file
+                val rowErrors = errors.filter(mine).drop(CtbIngest.SRC_FILE)
                 val nErrors = rowErrors.count()
                 rowErrors.write.mode("append").parquet(cfg.errorsDir)
-                val w = Sink.appendBatched(res.clean, cfg.sinkDir, cfg.batchSize)
+                val w = Sink.appendBatched(
+                  clean.filter(mine).drop(CtbIngest.SRC_FILE), cfg.sinkDir, cfg.batchSize)
                 if (w.insertedRows > 0) {
                   // partial success IS success (reference main.py:470-495)
                   succeeded.incrementAndGet()
@@ -102,14 +118,13 @@ object StreamIngest {
                     s"No valid rows from '$name' could be inserted into the sink." +
                       (if (nErrors > 0) "\nRow-level errors:\n" + errorSample(rowErrors).mkString("\n") else ""))
                 }
-                rowErrors.unpersist(false)
               }
+            } catch {
+              case e: Exception => // poison file must not kill the run (E1)
+                try fileFailed(spark2, cfg, notifier, name, e.toString)
+                catch { case _: Exception => () }
             }
-          } catch {
-            case e: Exception => // poison file must not kill the run (E1)
-              try fileFailed(spark2, cfg, notifier, name, e.toString)
-              catch { case _: Exception => () }
-          }
+          } finally if (sinkOk) { clean.unpersist(false); errors.unpersist(false) }
         }
       }
       .start()

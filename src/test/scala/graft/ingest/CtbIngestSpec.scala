@@ -73,6 +73,68 @@ class CtbIngestSpec extends AnyFunSuite with SparkSpec {
     assert(res.failureReason.get.contains("one input file"))
   }
 
+  test("ingestMany: a directory of mixed files ingests as one plan with per-file accounting") {
+    val dir = Files.createTempDirectory("ctbmany")
+    def put(name: String, lines: Seq[String]): Unit =
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // two files sharing the full layout, one with a valid SUBSET layout
+    // (second plan group), one empty, one with an unknown column
+    put("a.tsv", Seq(headerLine,
+      validRow(Map(0 -> "AAA")).mkString("\t"),
+      validRow(Map(0 -> "AA2", 7 -> "bogus")).mkString("\t"))) // cast error on line 3
+    put("b.tsv", Seq(headerLine,
+      validRow(Map(0 -> "BBB")).mkString("\t"),
+      validRow(Map(0 -> "BB2")).mkString("\t"),
+      validRow(Map(0 -> "BB3", 6 -> "2025-99-99")).mkString("\t"))) // date error on line 4
+    put("subset.tsv", Seq(Seq("Org Code", "Demand Qty").mkString("\t"), "SSS\t42"))
+    put("empty.tsv", Seq("", "  ")) // blank lines only (a 0-BYTE file yields no scan rows at all)
+    put("unknown.tsv", Seq(
+      (rawHeaders :+ "Mystery Col").mkString("\t"), (validRow() :+ "x").mkString("\t")))
+
+    val res = CtbIngest.ingestMany(spark, dir.toString)
+
+    // whole-file failures hit only their file
+    assert(res.fileFailed.size == 2)
+    assert(res.fileFailed.exists { case (f, r) => f.endsWith("empty.tsv") && r == "File is empty" })
+    assert(res.fileFailed.exists { case (f, r) => f.endsWith("unknown.tsv") && r.contains("MYSTERY_COL") })
+
+    // per-file clean accounting, in one aggregation
+    val counts = res.clean.groupBy(CtbIngest.SRC_FILE).count().collect()
+      .map(r => new java.io.File(r.getString(0).stripPrefix("file:")).getName -> r.getLong(1)).toMap
+    assert(counts == Map("a.tsv" -> 1L, "b.tsv" -> 2L, "subset.tsv" -> 1L))
+
+    // subset-layout file null-fills to the full canonical schema
+    assert(res.clean.columns.length == 22) // _src_file + 21 canonical
+    val subsetRow = res.clean
+      .filter(org.apache.spark.sql.functions.col("ORG_CODE") === "SSS").collect()(0)
+    assert(subsetRow.getAs[Long]("DEMAND_QTY") == 42L)
+    assert(subsetRow.getAs[String]("MASTER_CUST_NAME") == null)
+
+    // per-file 1-based line numbers: a.tsv's error is line 3, b.tsv's line 4
+    val errs = res.errors.collect()
+      .map(r => new java.io.File(r.getString(0).stripPrefix("file:")).getName -> r.getString(1))
+    assert(errs.exists { case (f, e) => f == "a.tsv" && e.startsWith("Row 3:") && e.contains("bogus") })
+    assert(errs.exists { case (f, e) => f == "b.tsv" && e.startsWith("Row 4:") && e.contains("2025-99-99") })
+    assert(errs.length == 2)
+  }
+
+  test("ingestMany matches ingestFile row-for-row on the same file") {
+    val f = writeTsv(Seq(headerLine,
+      validRow().mkString("\t"),
+      validRow(Map(7 -> "1,234")).mkString("\t"),
+      "short\trow"))
+    val single = CtbIngest.ingestFile(spark, f.toString)
+    val multi = CtbIngest.ingestMany(spark, f.toString)
+    assert(multi.fileFailed.isEmpty && !single.fileFailed)
+    val a = single.clean.orderBy("ORG_CODE", "DEMAND_QTY").collect().toSeq
+    val b = multi.clean.drop(CtbIngest.SRC_FILE)
+      .select(single.clean.columns.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("ORG_CODE", "DEMAND_QTY").collect().toSeq
+    assert(a == b)
+    assert(single.errors.collect().map(_.getString(0)).sorted.toSeq
+      == multi.errors.select("error").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("B5: unknown header fails the whole file") {
     val badHeader = (rawHeaders :+ "Mystery Column").mkString("\t")
     val res = ingest(Seq(badHeader, (validRow() :+ "x").mkString("\t")))

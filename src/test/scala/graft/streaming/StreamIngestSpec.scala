@@ -94,6 +94,34 @@ class StreamIngestSpec extends AnyFunSuite with SparkSpec {
     assert(err.body.contains("not-a-number"))
   }
 
+  test("a 3-file trigger parses as one plan with per-file accounting intact") {
+    val cfg = mkCfg()
+    val notifier = new LogNotifier()
+    Sink.init(spark, cfg.sinkDir, graft.schema.CtbSchema.sparkSchema)
+    writeFile(cfg, "CTB_one.tsv",
+      rawHeaders.mkString("\t") +: Seq(validRow("A1")).map(_.mkString("\t")))
+    writeFile(cfg, "CTB_two.tsv",
+      rawHeaders.mkString("\t") +: Seq(validRow("B1"), validRow("B2")).map(_.mkString("\t")))
+    writeFile(cfg, "CTB_three.tsv",
+      rawHeaders.mkString("\t") +: Seq(
+        validRow("C1"), validRow("C2"), validRow("C3").updated(7, "junk")).map(_.mkString("\t")))
+
+    val stats = StreamIngest.runOnce(spark, cfg, notifier)
+    assert(stats.filesSeen == 3)
+    assert(stats.filesSucceeded == 3)
+    assert(spark.read.parquet(cfg.sinkDir).count() == 5) // 1 + 2 + 2
+    // per-file notifications carry per-file counts
+    val byFile = notifier.sent.map(n => n.subject -> n.body)
+    assert(byFile.exists { case (s, b) => s.startsWith("SUCCESS") && s.contains("CTB_one.tsv") && b.contains("1 rows") })
+    assert(byFile.exists { case (s, b) => s.startsWith("SUCCESS") && s.contains("CTB_two.tsv") && b.contains("2 rows") })
+    // the mixed file reports its partial insert + its own row error
+    assert(byFile.exists { case (s, b) =>
+      s.startsWith("ERROR") && s.contains("CTB_three.tsv") && b.contains("Inserted 2 rows") && b.contains("junk") })
+    // the error channel attributes the bad row to file three, line 4
+    val errs = spark.read.parquet(cfg.errorsDir).collect().map(_.getString(0))
+    assert(errs.exists(e => e.startsWith("Row 4:") && e.contains("junk")))
+  }
+
   test("C2: missing destination table fails the file without auto-creating it") {
     val cfg = mkCfg()
     val notifier = new LogNotifier()
