@@ -49,6 +49,31 @@ object VectorOps extends Pack {
       |    (x, w) -> x * bigint(w)), bigint(0), (a2, v) -> a2 + v) > 0
       |  THEN shiftleft(1, j) ELSE 0 END)""".stripMargin
 
+  /** Codegen'd form of one band's 8-bit sign signature over quantized
+    * vector column `q`: each plane dot runs as `graft_dot_i64` against the
+    * plane's literal weight array (a tight long[] loop), not an interpreted
+    * `aggregate(zip_with(...))` lambda pair. The interpreted form (kept
+    * above as documentation of the shared formula) cost 512 lambda
+    * applications per band row — the dominant term of the sig-building
+    * scan. Values are identical: same planes, same integer arithmetic.
+    */
+  private def sigColNative(band: Int): Column =
+    (0 until 8).map { j =>
+      val p = band * 8 + j
+      val plane = (1 to 64).map(k => ((17L + 13 * p) * k + 7 * p) % 61 - 30)
+      when(call_function("graft_dot_i64", col("q"), typedlit(plane)) > 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** (vec_id, band, sig) for all 4 bands — sigs computed as columns (no
+    * per-band recompute of q), then unpivoted via one explode.
+    */
+  private def bandSigs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("q"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), sigColNative(b).as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
   // the same signature CTE in DuckDB SQL (over CTEs q/n defined by callers)
   private val sigsCteSql =
     """sigs AS (
@@ -103,14 +128,12 @@ object VectorOps extends Pack {
       // signs (no float sign flips); recall is the standard LSH
       // OR-construction (high for true near-dups, by design not exhaustive
       // at the loose 0.3 threshold).
+      graft.expressions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
-        .withColumn("n2", dotq(col("q"), col("q")))
+        .withColumn("n2", call_function("graft_dot_i64", col("q"), col("q")))
         .persist()
-      val sigs = emb
-        .select(col("vec_id"), col("q"), explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("sig", expr(sigSql))
-        .select(col("vec_id"), col("band"), col("sig"))
+      val sigs = bandSigs(emb)
       val cand = sigs.as("x").join(sigs.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
             && col("x.vec_id") < col("y.vec_id"))
@@ -119,7 +142,7 @@ object VectorOps extends Pack {
       cand
         .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na2")), "id_a")
         .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb2")), "id_b")
-        .withColumn("dot_q", dotq(col("qa"), col("qb")))
+        .withColumn("dot_q", call_function("graft_dot_i64", col("qa"), col("qb")))
         .filter(col("dot_q") > 0 &&
           lit(10000) * col("dot_q") * col("dot_q") >= lit(900) * col("na2") * col("nb2"))
         .select(col("id_a"), col("id_b"), col("dot_q"), col("na2"), col("nb2"))
@@ -139,13 +162,11 @@ object VectorOps extends Pack {
       // similarity — on this synthetic corpus (random unit vectors, best
       // cos ~0.37) it keeps ~1 of the brute-force top-20, by design. Tune
       // bands/bits (and multi-probe) to the corpus at deployment.
+      graft.expressions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
         .persist()
-      val sigs = emb
-        .select(col("vec_id"), col("q"), explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("sig", expr(sigSql))
-        .select(col("vec_id"), col("band"), col("sig"))
+      val sigs = bandSigs(emb)
       val probeSigs = sigs.filter(col("vec_id") === 0)
         .select(col("band").as("pband"), col("sig").as("psig"))
       val candIds = sigs.filter(col("vec_id") =!= 0)
@@ -154,7 +175,8 @@ object VectorOps extends Pack {
       val probe = emb.filter(col("vec_id") === 0).select(col("q").as("pq"))
       candIds.join(emb, "vec_id")
         .crossJoin(broadcast(probe))
-        .select(col("vec_id"), dotq(col("q"), col("pq")).as("dot_q"))
+        .select(col("vec_id"),
+          call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))
         .orderBy(col("dot_q").desc, col("vec_id").asc)
         .limit(10)
     })
