@@ -118,6 +118,33 @@ class CtbIngestSpec extends AnyFunSuite with SparkSpec {
     assert(errs.length == 2)
   }
 
+  test("line numbers stay correct when one file splits across many partitions") {
+    // force the text scan to split a ~180 KB file into many partitions —
+    // the stress case for offset-order line numbering in BOTH ingest paths
+    val n = 800
+    val rows = (1 to n).map { i =>
+      if (i == 457) validRow(Map(7 -> s"bad$i")).mkString("\t") // known bad line
+      else validRow(Map(0 -> f"ORG$i%04d")).mkString("\t")
+    }
+    val f = writeTsv(headerLine +: rows)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      assert(spark.read.text(f.toString).rdd.getNumPartitions > 4) // split actually happened
+      val single = CtbIngest.ingestFile(spark, f.toString)
+      assert(!single.fileFailed)
+      assert(single.clean.count() == n - 1)
+      val errs = single.errors.collect().map(_.getString(0))
+      // the bad row is on 1-based line 458 (header = line 1)
+      assert(errs.length == 1 && errs.head.startsWith("Row 458:") && errs.head.contains("bad457"), errs.toSeq)
+      val multi = CtbIngest.ingestMany(spark, f.toString)
+      assert(multi.fileFailed.isEmpty)
+      assert(multi.clean.count() == n - 1)
+      val merrs = multi.errors.select("error").collect().map(_.getString(0))
+      assert(merrs.length == 1 && merrs.head.startsWith("Row 458:"), merrs.toSeq)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("ingestMany matches ingestFile row-for-row on the same file") {
     val f = writeTsv(Seq(headerLine,
       validRow().mkString("\t"),
