@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming aggregations over event streams — the true streaming form of
   * the oracle-checked batch `stream_tumbling` query, plus a custom keyed
@@ -47,6 +47,58 @@ object StreamingAggs {
             prev.total + batch.map(_.value).sum)
           state.update(next)
           next
+      }
+  }
+
+  case class Click(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start_ms: Long, last_ms: Long, n: Long)
+  case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+
+  /** Streaming sessionization via `flatMapGroupsWithState` + event-time
+    * timeout — the 0..N-outputs-per-group extension point the batch
+    * `sessionize` query mirrors. A user's session EMITS exactly when the
+    * watermark passes `last_event + gap` (the state times out), so output
+    * is append-mode-final and per-user state is evicted on close — bounded
+    * state at any event volume, like the watermarked window aggregates.
+    *
+    * In-batch events more than `gap` apart split eagerly (only the trailing
+    * session stays in state); cross-batch splits close via the timeout.
+    */
+  def streamingSessions(
+      clicks: Dataset[Click], gapSec: Long = 30L,
+      watermark: String = "2 minutes"): Dataset[SessionOut] = {
+    import clicks.sparkSession.implicits._
+    val gapMs = gapSec * 1000L
+    clicks.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Click], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start_ms / 1000, s.last_ms / 1000, s.n))
+          } else {
+            val times = it.map(_.ts.getTime).toArray.sorted
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last_ms <= gapMs =>
+                  cur = Some(SessionState(s.start_ms, math.max(s.last_ms, t), s.n + 1))
+                case Some(s) => // in-batch gap: close the old session eagerly
+                  closed += SessionOut(uid, s.start_ms / 1000, s.last_ms / 1000, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.result().iterator
+          }
       }
   }
 }

@@ -36,6 +36,41 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization emits on event-time timeout and evicts state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[StreamingAggs.Click]
+    val q = StreamingAggs.streamingSessions(mem.toDS(), gapSec = 30L, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 10 s apart (one session); user 2: one event
+      mem.addData(StreamingAggs.Click(1, ts(100)), StreamingAggs.Click(1, ts(110)),
+        StreamingAggs.Click(2, ts(105)))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // nothing closed yet
+      // advance event time far enough that watermark (max - 1 min) passes
+      // last_event + 30 s for both users -> both sessions time out and emit
+      mem.addData(StreamingAggs.Click(1, ts(400)))
+      q.processAllAvailable()
+      mem.addData(StreamingAggs.Click(1, ts(600))) // watermark on, closes the ts(400) session
+      q.processAllAvailable()
+      mem.addData(StreamingAggs.Click(9, ts(900))) // push watermark past 600+30
+      q.processAllAvailable()
+
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((1L, 100L, 110L, 2L))) // first session: both events, correct bounds
+      assert(rows.contains((2L, 105L, 105L, 1L)))
+      assert(rows.contains((1L, 400L, 400L, 1L))) // cross-batch split became its own session
+      // in-batch split: two sessions in ONE addData, leading one emits eagerly
+      mem.addData(StreamingAggs.Click(5, ts(1000)), StreamingAggs.Click(5, ts(1200)))
+      q.processAllAvailable()
+      val u5 = spark.table("sessions").collect().filter(_.getLong(0) == 5L)
+        .map(r => (r.getLong(1), r.getLong(3)))
+      assert(u5.toSeq == Seq((1000L, 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
