@@ -122,6 +122,27 @@ class StreamIngestSpec extends AnyFunSuite with SparkSpec {
     assert(errs.exists(e => e.startsWith("Row 4:") && e.contains("junk")))
   }
 
+  test("a batch where every file fails still notifies per-file and ends with D4") {
+    val cfg = mkCfg()
+    val notifier = new LogNotifier()
+    Sink.init(spark, cfg.sinkDir, graft.schema.CtbSchema.sparkSchema)
+    writeFile(cfg, "CTB_bad1.tsv",
+      Seq((rawHeaders :+ "Alien").mkString("\t"), (validRow("A") :+ "x").mkString("\t")))
+    writeFile(cfg, "CTB_bad2.tsv", Seq("", "   ")) // blank lines only -> File is empty
+
+    val stats = StreamIngest.runOnce(spark, cfg, notifier)
+    assert(stats.filesSeen == 2)
+    assert(stats.filesSucceeded == 0)
+    assert(spark.read.parquet(cfg.sinkDir).count() == 0) // nothing landed
+    val subjects = notifier.sent.map(_.subject)
+    assert(subjects.exists(s => s.startsWith("ERROR") && s.contains("CTB_bad1.tsv")))
+    assert(subjects.exists(s => s.startsWith("ERROR") && s.contains("CTB_bad2.tsv")))
+    assert(subjects.exists(_.startsWith("INFO: No CTB Documents"))) // none succeeded -> D4
+    val errs = spark.read.parquet(cfg.errorsDir).collect().map(_.getString(0))
+    assert(errs.exists(e => e.contains("CTB_bad1.tsv") && e.contains("ALIEN")))
+    assert(errs.exists(e => e.contains("CTB_bad2.tsv") && e.contains("File is empty")))
+  }
+
   test("C2: missing destination table fails the file without auto-creating it") {
     val cfg = mkCfg()
     val notifier = new LogNotifier()
