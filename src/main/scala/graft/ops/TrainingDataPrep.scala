@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end "prepare a training shard" composition: quality filter →
+  * exact dedup → MinHash near-dedup → benchmark decontamination →
+  * stratified sample, as one DataFrame-in / DataFrame-out pipeline built
+  * from the same primitives the oracle-checked queries run.
+  *
+  * Every stage is shuffle-by-key and stays proportional to the corpus (or
+  * to dup-cluster/contamination volume), never all-pairs:
+  *   - quality: embarrassingly-parallel row predicate;
+  *   - exact dedup: groupBy on the 16-byte md5 digest, keep min doc_id;
+  *   - near-dedup: [[TextOps.minhashBands]] banding self-join, drop the
+  *     larger doc of each >= 14/16-agreement pair (cluster-transitive
+  *     survivors are re-derivable; at 100 TB run the pair set through a
+  *     connected-components pass if canonical cluster reps are needed);
+  *   - decontamination: word-4-gram 60-bit-hash inverted-index semi-join
+  *     against the benchmark set — the shuffle key is a long;
+  *   - sampling: deterministic keyed-hash percentage per language stratum
+  *     (reproducible across runs, retries and engines — no rand()).
+  */
+object TrainingDataPrep {
+
+  final case class PrepStats(
+      input: Long, afterQuality: Long, afterExactDedup: Long,
+      afterNearDedup: Long, afterDecontam: Long, sampled: Long)
+
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The text_quality operating point (same predicate as the oracle-checked
+    * query): plausible length, enough tokens, bounded punctuation density.
+    */
+  def qualityOk: Column = {
+    val ws = split(col("text"), " ")
+    val nChars = length(col("text"))
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    nChars >= 40 && nChars <= 10000 && size(ws) >= 5 && nPunct * 5 <= nChars
+  }
+
+  /** Doc ids to DROP as near-duplicates: the larger id of every
+    * >= 14/16-agreement MinHash pair.
+    */
+  def nearDupIds(docs: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val bands = TextOps.minhashBands(docs).persist()
+    try TextOps.minhashPairs(bands, bands)
+      .select(col("doc_b").as("doc_id")).distinct()
+    finally () // bands unpersists with the session cache clear; plan is built
+  }
+
+  /** Doc ids sharing any word-4-gram with the benchmark corpus. */
+  def contaminatedIds(docs: DataFrame, bench: DataFrame): DataFrame = {
+    def grams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-3), i -> array_join(slice(ws, i, 4), ' '))")).as("gram"))
+      .select(col("doc_id"), h60(col("gram")).as("g"))
+      .distinct()
+    grams(docs).join(grams(bench).select("g").distinct(), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
+  /** Run the full pipeline over (doc_id, lang, text) documents.
+    *
+    * @param bench      held-out eval documents (doc_id, text) to
+    *                   decontaminate against
+    * @param samplePct  deterministic per-language sample percentage (100 =
+    *                   keep everything)
+    * @return surviving documents and per-stage counts. Stage counts cost
+    *         one action each; pass `withStats = false` to build the final
+    *         DataFrame purely lazily.
+    */
+  def prepare(
+      docs: DataFrame, bench: DataFrame, samplePct: Int = 100,
+      withStats: Boolean = true): (DataFrame, Option[PrepStats]) = {
+    require(samplePct >= 1 && samplePct <= 100, s"samplePct must be 1..100, got $samplePct")
+    val quality = docs.filter(qualityOk)
+    // exact dedup: canonical representative = min doc_id per identical text
+    val exact = quality.join(
+      quality.groupBy(md5(col("text")).as("_fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val near = exact.join(nearDupIds(exact), Seq("doc_id"), "left_anti")
+    val clean = near.join(contaminatedIds(near, bench), Seq("doc_id"), "left_anti")
+    val sampled =
+      if (samplePct == 100) clean
+      else clean.filter(
+        h60(concat(col("lang"), lit("#"), col("doc_id").cast("string"))) % 100 < samplePct)
+    val stats =
+      if (!withStats) None
+      else Some(PrepStats(docs.count(), quality.count(), exact.count(),
+        near.count(), clean.count(), sampled.count()))
+    (sampled, stats)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed shard-prep pipeline: each stage drops exactly the engineered
+  * offender and survivors come through intact.
+  */
+class TrainingDataPrepSpec extends AnyFunSuite with SparkSpec {
+
+  private def mkDocs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  private val good1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+  private val good2 = (1 to 30).map(i => s"beta$i").mkString(" ")
+  private val good3 = (1 to 30).map(i => s"gamma$i").mkString(" ")
+
+  test("pipeline drops low-quality, exact-dup, near-dup and contaminated docs") {
+    import spark.implicits._
+    val docs = mkDocs(
+      (1L, "en", good1),
+      (2L, "en", good2),
+      (3L, "en", good3),
+      (4L, "en", "too short"),        // fails quality (length / tokens)
+      (5L, "en", good1),              // exact dup of 1
+      (6L, "en", good2),              // exact dup of 2
+      (7L, "de", (1 to 30).map(i => s"delta$i").mkString(" ")))
+    // benchmark shares a 4-gram run with good3 -> doc 3 is contaminated
+    val bench = Seq((100L, (10 to 20).map(i => s"gamma$i").mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val (out, Some(stats)) = TrainingDataPrep.prepare(docs, bench)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 7L), s"got $ids")
+    assert(stats.input == 7 && stats.afterQuality == 6)
+    assert(stats.afterExactDedup == 4)  // 5,6 dropped
+    assert(stats.afterNearDedup == 4)   // exact dups already gone; no near-dups left
+    assert(stats.afterDecontam == 3)    // 3 dropped
+    assert(stats.sampled == 3)
+  }
+
+  test("near-dedup stage drops one side of a non-identical near-dup pair") {
+    // 30 shared tokens + 1 differing -> Jaccard ~0.94, agreement >= 14/16
+    val nearA = ((1 to 30).map(i => s"omega$i") :+ "unique-a").mkString(" ")
+    val nearB = ((1 to 30).map(i => s"omega$i") :+ "unique-b").mkString(" ")
+    val docs = mkDocs((1L, "en", nearA), (2L, "en", nearB), (3L, "en", good1))
+    val dropped = TrainingDataPrep.nearDupIds(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(2L), s"got $dropped") // larger id of the pair
+  }
+
+  test("sampling is deterministic and stratified") {
+    // per-doc unique vocabulary so the dedup stages keep everything
+    val docs = mkDocs((1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de",
+        (1 to 30).map(j => s"tok${i}x$j").mkString(" "))): _*)
+    val bench = mkDocs().select("doc_id", "text")
+    val (a, Some(sa)) = TrainingDataPrep.prepare(docs, bench, samplePct = 20)
+    val (b, _) = TrainingDataPrep.prepare(docs, bench, samplePct = 20, withStats = false)
+    assert(sa.afterDecontam == 200) // dedup/quality/decontam kept everything
+    val idsA = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsA == b.select("doc_id").collect().map(_.getLong(0)).toSet) // reproducible
+    assert(idsA.size > 10 && idsA.size < 80) // ~20% of 200, hash-spread
+    val langs = a.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en", "de")) // both strata survive
+  }
+}
