@@ -45,10 +45,12 @@ object TrainingDataPrep {
     */
   def nearDupIds(docs: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
+    // persisted: both sides of the banding self-join read it. Like the
+    // query surface's persisted intermediates, it lives until the caller's
+    // spark.catalog.clearCache() (Bench/Verify do this per query).
     val bands = TextOps.minhashBands(docs).persist()
-    try TextOps.minhashPairs(bands, bands)
+    TextOps.minhashPairs(bands, bands)
       .select(col("doc_b").as("doc_id")).distinct()
-    finally () // bands unpersists with the session cache clear; plan is built
   }
 
   /** Doc ids sharing any word-4-gram with the benchmark corpus. */
