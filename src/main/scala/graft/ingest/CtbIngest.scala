@@ -56,7 +56,12 @@ object CtbIngest {
     * separately so tests and the streaming path can reuse it.
     */
   def ingestLines(spark: SparkSession, raw: DataFrame): IngestResult = {
-    val nonblank = length(trim(col("value"))) > 0
+    // "blank" must match the reference's str.strip(): ALL whitespace (tabs
+    // included), not Spark trim's spaces-only — a trailing "\t \t " line
+    // must vanish in the file-level strip, and a leading one must not be
+    // mistaken for the header. rlike("\\S") is exactly "has any
+    // non-whitespace char".
+    val nonblank = col("value").rlike("\\S")
     val ids = raw.select(col("value"),
       spark_partition_id().as("_pid"), monotonically_increasing_id().as("_mid"),
       input_file_name().as("_file"))
@@ -159,11 +164,15 @@ object CtbIngest {
         lit(s" has incorrect number of columns. Expected $ncols, got "), size(parts),
         lit(". Row content: "), col(LINE)).as("error"): _*)
 
-    // B7+B8: trim each field, empty -> NULL.
+    // B7+B8: trim each field, empty -> NULL. Trim is WHITESPACE-exact
+    // (python str.strip()), not Spark trim's spaces-only: a CRLF file
+    // leaves "\r" on every row's last field, which space-trim would feed
+    // into the date/int casts and silently drop every row (B12).
+    def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
     val wide = numbered
       .filter(widthOk)
       .select(keys ++ (col(LINENO) +: canonical.zipWithIndex.map { case (name, i) =>
-        nullif(trim(parts.getItem(i)), lit("")).as(name)
+        nullif(wsTrim(parts.getItem(i)), lit("")).as(name)
       }): _*)
 
     // B9/B10: typed casts. For each typed column build (value, ok) pairs.
@@ -262,7 +271,12 @@ object CtbIngest {
     * sees the empty scan) or an FS listing diffed against the stats keys.
     */
   def ingestManyLines(spark: SparkSession, raw: DataFrame): MultiIngestResult = {
-    val nonblank = length(trim(col("value"))) > 0
+    // "blank" must match the reference's str.strip(): ALL whitespace (tabs
+    // included), not Spark trim's spaces-only — a trailing "\t \t " line
+    // must vanish in the file-level strip, and a leading one must not be
+    // mistaken for the header. rlike("\\S") is exactly "has any
+    // non-whitespace char".
+    val nonblank = col("value").rlike("\\S")
     val ids = raw.select(col("value"),
       spark_partition_id().as("_pid"), monotonically_increasing_id().as("_mid"),
       input_file_name().as("_file"))

@@ -13,7 +13,9 @@ import org.scalacheck.Prop.{forAll, propBoolean}
 object CtbIngestProps extends Properties("CtbIngest") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(15) // each sample runs Spark jobs; keep it tight
+    // each sample runs Spark jobs; keep the default tight. Override for a
+    // deep soak: GRAFT_PROP_N=300 sbt "testOnly graft.ingest.CtbIngestProps"
+    p.withMinSuccessfulTests(sys.env.getOrElse("GRAFT_PROP_N", "15").toInt)
 
   private lazy val spark = graft.SparkSpec.session
 
@@ -63,10 +65,13 @@ object CtbIngestProps extends Properties("CtbIngest") {
   } yield Row(o, p1 + q + p2, p1 + d + p2) // random whitespace; trim must absorb it
 
   property("B12 round-trip: engine survivors == reference-model survivors") =
-    forAll(Gen.listOfN(25, genRow).suchThat(_.nonEmpty)) { rows =>
+    forAll(Gen.listOfN(25, genRow).suchThat(_.nonEmpty), Gen.oneOf("\n", "\r\n")) {
+      (rows, eol) =>
+      // CRLF rendering leaves "\r" on every non-final line — per-field
+      // whitespace-strip (reference str.strip()) must absorb it
       val f = java.nio.file.Files.createTempFile("prop", ".tsv")
       java.nio.file.Files.write(f,
-        (header +: rows.map(_.rendered)).mkString("\n").getBytes("UTF-8"))
+        (header +: rows.map(_.rendered)).mkString(eol).getBytes("UTF-8"))
       val res = CtbIngest.ingestFile(spark, f.toString)
 
       // reference model: file-level strip drops trailing whitespace-only

@@ -145,6 +145,34 @@ class CtbIngestSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("CRLF files ingest cleanly: the CR on each row's last field is stripped") {
+    val f = Files.createTempFile("ctbcrlf", ".tsv")
+    Files.write(f, (headerLine.stripSuffix("\r") +: Seq(
+      validRow().mkString("\t"),
+      validRow(Map(0 -> "ORG2")).mkString("\t"))).mkString("\r\n").getBytes(StandardCharsets.UTF_8))
+    val res = CtbIngest.ingestFile(spark, f.toString)
+    assert(!res.fileFailed)
+    assert(res.errors.count() == 0) // "2025-01-01\r" must NOT fail the date cast
+    val rows = res.clean.orderBy("ORG_CODE").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[java.sql.Date]("SNAPSHOT_DATE").toString == "2025-01-01")
+  }
+
+  test("tab-whitespace-only lines count as blank: trailing vanish, leading skip to the header") {
+    // a line of empty fields ("\t \t ...") is whitespace-only under the
+    // reference's str.strip() even though Spark trim (spaces-only) disagrees
+    val tabsLine = Seq.fill(rawHeaders.length)(" ").mkString("\t")
+    val res = ingest(Seq(tabsLine, headerLine, validRow().mkString("\t"), tabsLine))
+    assert(!res.fileFailed, res.failureReason) // leading tabs line is NOT the header
+    assert(res.clean.count() == 1)             // trailing tabs line vanished (not an all-null row)
+    assert(res.errors.count() == 0)
+    // ...but an INTERIOR all-empty line survives the strip and becomes an
+    // all-null row (width matches, every field trims to NULL) — same as
+    // the reference's row loop
+    val res2 = ingest(Seq(headerLine, tabsLine, validRow().mkString("\t")))
+    assert(res2.clean.count() == 2 && res2.errors.count() == 0)
+  }
+
   test("ingestMany matches ingestFile row-for-row on the same file") {
     val f = writeTsv(Seq(headerLine,
       validRow().mkString("\t"),
