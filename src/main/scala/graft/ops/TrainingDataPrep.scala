@@ -40,8 +40,13 @@ object TrainingDataPrep {
     nChars >= 40 && nChars <= 10000 && size(ws) >= 5 && nPunct * 5 <= nChars
   }
 
-  /** Doc ids to DROP as near-duplicates: the larger id of every
-    * >= 14/16-agreement MinHash pair.
+  /** Doc ids to DROP as near-duplicates: everything but the minimum-id
+    * representative of each TRANSITIVE near-dup cluster
+    * ([[DedupClusters.components]] over the >= 14/16-agreement MinHash
+    * pair graph). Pairwise rules ("drop the larger of each pair") delete
+    * chain members that are not actually similar to the survivor without
+    * ever choosing a canonical representative; components make the
+    * keep-one-per-cluster semantics exact.
     */
   def nearDupIds(docs: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
@@ -49,8 +54,7 @@ object TrainingDataPrep {
     // query surface's persisted intermediates, it lives until the caller's
     // spark.catalog.clearCache() (Bench/Verify do this per query).
     val bands = TextOps.minhashBands(docs).persist()
-    TextOps.minhashPairs(bands, bands)
-      .select(col("doc_b").as("doc_id")).distinct()
+    DedupClusters.dropIds(TextOps.minhashPairs(bands, bands))
   }
 
   /** Doc ids sharing any word-4-gram with the benchmark corpus. */
