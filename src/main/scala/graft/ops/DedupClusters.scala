@@ -27,35 +27,51 @@ object DedupClusters {
     *         with its cluster's minimum doc_id
     */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Both edge orientations from ONE pass over the pair source (a
+    // self-union would execute the upstream pair pipeline twice), then
+    // materialized once for all iterations.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
+    edges.count()
+
     // Iterative plans MUST truncate lineage every round: persist() caches
     // data but keeps the logical plan, so N iterations nest N joins and
     // the plan (and its analysis/stringification) grows exponentially —
     // localCheckpoint materializes AND cuts the lineage to the stored
     // partitions. On a cluster, reliable checkpoint() (HDFS dir) is the
     // fault-tolerant equivalent.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var labels = edges.select(col("dst").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // each doc pulls the min label among its neighbors...
+      // one fused plan per round, materialized by a single localCheckpoint:
+      //   1. neighbor-min: each doc pulls the min label in its neighborhood
+      //   2. two pointer jumps: then takes its label's label (twice) —
+      //      label paths shrink multiplicatively every round, so chains
+      //      converge in O(log diameter) rounds instead of O(diameter)
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("component")).as("nbr_min"))
-      // ...and keeps the smaller of (own, neighborhood) labels
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+      def jump(df: DataFrame, from: String, to: String): DataFrame = df
+        .join(labels.select(col("doc_id").as(s"_k_$to"), col("component").as(s"_c_$to")),
+          df(from) === col(s"_k_$to"), "left")
+        .withColumn(to, least(col(from), coalesce(col(s"_c_$to"), col(from))))
+        .drop(s"_k_$to", s"_c_$to")
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("component").as("old"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("c1"))
+      val next = jump(jump(stepped, "c1", "c2"), "c2", "c3")
+        .select(col("doc_id"), col("old"), col("c3").as("component"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.component") =!= col("o.component")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("old")).limit(1).count()
+      labels = next.select(col("doc_id"), col("component"))
       converged = changed == 0
       iter += 1
     }
