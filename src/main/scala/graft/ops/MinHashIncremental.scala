@@ -82,4 +82,47 @@ object MinHashIncremental {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
+
+  // ---- bucketed-state variants: the 100 TB layout ------------------------
+  //
+  // At corpus scale the state table dwarfs every batch, so the candidate
+  // join must not shuffle it: kept as a managed table BUCKETED on the join
+  // key (band, band_hash), the state scan already satisfies the join's
+  // hash distribution — only the (small) batch side gets an Exchange, or
+  // none at all when it broadcasts. New-vs-new pairs come from a separate
+  // tiny self-join so the union of old state and new batch never has to be
+  // materialized un-bucketed.
+
+  /** Append a batch's band rows to the bucketed state table (creates it on
+    * first commit). Every append writes per-bucket files with the same
+    * spec; periodic [[graft.ingest.Sink.compact]]-style maintenance applies.
+    */
+  def commitBucketed(batch: BatchDedup, stateTable: String, buckets: Int = 64): Unit =
+    batch.newBands.write.mode("append")
+      .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
+      .format("parquet").saveAsTable(stateTable)
+
+  /** [[dedupBatch]] against a bucketed state table: the state side of the
+    * candidate join carries no Exchange.
+    */
+  def dedupBatchBucketed(
+      spark: SparkSession, newDocs: DataFrame, stateTable: String): BatchDedup = {
+    graft.expressions.GraftFunctions.register(spark)
+    val newBands = signatures(newDocs).persist()
+    def pairsOf(x: DataFrame, y: DataFrame): DataFrame =
+      x.as("x").join(y.as("y"),
+          col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+            && col("x.doc_id") =!= col("y.doc_id"))
+        .select(
+          least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+          call_function("graft_agree_i64", col("x.sig"), col("y.sig")).as("n_agree"))
+        .filter(col("n_agree") >= 14)
+    val vsState =
+      if (spark.catalog.tableExists(stateTable)) pairsOf(newBands, spark.table(stateTable))
+      else spark.emptyDataFrame
+        .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"), lit(0L).as("n_agree")).limit(0)
+    val vsSelf = pairsOf(newBands, newBands)
+    BatchDedup(vsState.unionByName(vsSelf).distinct(), newBands)
+  }
 }

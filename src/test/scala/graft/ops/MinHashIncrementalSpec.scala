@@ -45,6 +45,46 @@ class MinHashIncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(state).count() == 12) // 6 docs × 2 bands
   }
 
+  test("bucketed state: candidate join reads state without an Exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose the shuffle shape
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree so collect() sees the join
+    try {
+      spark.sql("DROP TABLE IF EXISTS mh_state")
+      val b1 = MinHashIncremental.dedupBatchBucketed(
+        spark, docs(1L -> textA, 2L -> textB), "mh_state")
+      assert(b1.pairs.count() == 0)
+      MinHashIncremental.commitBucketed(b1, "mh_state", buckets = 8)
+
+      val b2 = MinHashIncremental.dedupBatchBucketed(spark, docs(3L -> textA), "mh_state")
+      // correctness: the cross-batch dup is found from bucketed state
+      val got = b2.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 3L)), s"got $got")
+      // plan shape: the state-vs-batch SortMergeJoin has one side that is a
+      // file scan with NO shuffle under it — bucketing satisfied the join's
+      // required distribution, so 100 TB of state stays where it was written
+      val smjs = b2.pairs.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, b2.pairs.queryExecution.executedPlan.toString)
+      val stateSideUnshuffled = smjs.exists(_.children.exists { side =>
+        side.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+          side.collect { case s: FileSourceScanExec => s }.nonEmpty
+      })
+      assert(stateSideUnshuffled,
+        "expected a shuffle-free bucketed state side:\n" +
+          b2.pairs.queryExecution.executedPlan.toString)
+      MinHashIncremental.commitBucketed(b2, "mh_state", buckets = 8)
+      assert(spark.table("mh_state").count() == 6) // 3 docs x 2 bands accumulated
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS mh_state")
+    }
+  }
+
   test("incremental signatures agree with the batch dedup_minhash query") {
     // the same doc set, processed as one batch vs. via the shared builder,
     // yields identical band rows (the incremental path IS the oracle path)
