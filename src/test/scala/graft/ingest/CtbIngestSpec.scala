@@ -145,6 +145,23 @@ class CtbIngestSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("ingestMany scales to a 50-file directory with per-file accounting intact") {
+    val dir = Files.createTempDirectory("ctb50")
+    (1 to 50).foreach { i =>
+      val rows = (1 to 1 + i % 3).map(r => validRow(Map(0 -> f"F$i%02dR$r")).mkString("\t"))
+      Files.write(dir.resolve(f"f$i%02d.tsv"),
+        (headerLine +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    val res = CtbIngest.ingestMany(spark, dir.toString)
+    assert(res.fileFailed.isEmpty)
+    val counts = res.clean.groupBy(CtbIngest.SRC_FILE).count().collect()
+      .map(r => new java.io.File(r.getString(0).stripPrefix("file:")).getName -> r.getLong(1))
+      .toMap
+    assert(counts.size == 50)
+    (1 to 50).foreach(i => assert(counts(f"f$i%02d.tsv") == 1 + i % 3))
+    assert(res.errors.count() == 0)
+  }
+
   test("CRLF files ingest cleanly: the CR on each row's last field is stripped") {
     val f = Files.createTempFile("ctbcrlf", ".tsv")
     Files.write(f, (headerLine.stripSuffix("\r") +: Seq(

@@ -51,6 +51,27 @@ class TrainingDataPrepSpec extends AnyFunSuite with SparkSpec {
     assert(dropped == Set(2L), s"got $dropped") // larger id of the pair
   }
 
+  test("pipeline runs end-to-end on the real documents corpus") {
+    // sf0.001 testdata: the corpus the oracle queries run on — catches
+    // shape assumptions synthetic fixtures can't (real near-dup clusters,
+    // lang distribution, punctuation)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 3)
+      .select("doc_id", "text")
+    val (out, Some(stats)) = TrainingDataPrep.prepare(docs, bench, samplePct = 50)
+    assert(stats.input == docs.count())
+    // each stage is monotone non-increasing and none empties the corpus
+    assert(stats.afterQuality <= stats.input && stats.afterQuality > 0)
+    assert(stats.afterExactDedup <= stats.afterQuality && stats.afterExactDedup > 0)
+    assert(stats.afterNearDedup <= stats.afterExactDedup && stats.afterNearDedup > 0)
+    assert(stats.afterDecontam <= stats.afterNearDedup)
+    assert(stats.sampled <= stats.afterDecontam)
+    // this corpus is engineered near-dup-heavy: the dedup stages must bite
+    assert(stats.afterNearDedup < stats.input)
+    assert(out.count() == stats.sampled)
+  }
+
   test("sampling is deterministic and stratified") {
     // per-doc unique vocabulary so the dedup stages keep everything
     val docs = mkDocs((1L to 200L).map(i =>
