@@ -50,6 +50,21 @@ object StreamingAggs {
       }
   }
 
+  /** Streaming exact dedup by content fingerprint with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a fingerprint only until the
+    * watermark passes its event time, so state is O(dedup-window volume),
+    * not O(stream history) — the streaming form of the batch `dedup_exact`
+    * operator (which a plain streaming `dropDuplicates` cannot provide at
+    * 100 TB/day: its state never evicts). The fingerprint is md5(text), so
+    * the shuffle key is 16 bytes, never the document.
+    */
+  def dedupWithinWatermark(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   case class Click(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start_ms: Long, last_ms: Long, n: Long)
   case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)

@@ -36,6 +36,31 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one copy per fingerprint and evicts state past the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingAggs.dedupWithinWatermark(
+        mem.toDF.toDF("ts", "text"), watermark = "1 minute")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      mem.addData((ts(10), "alpha"), (ts(12), "alpha"), (ts(15), "beta")) // in-batch dup
+      q.processAllAvailable()
+      mem.addData((ts(20), "alpha")) // cross-batch dup, within watermark
+      q.processAllAvailable()
+      assert(spark.table("sdedup").collect().map(_.getString(1)).sorted.toSeq
+        == Seq("alpha", "beta"))
+      // advance event time so the watermark passes alpha's fingerprint state,
+      // then the same content is admitted again — state really evicted
+      mem.addData((ts(500), "gamma"))
+      q.processAllAvailable()
+      mem.addData((ts(510), "alpha"))
+      q.processAllAvailable()
+      val texts = spark.table("sdedup").collect().map(_.getString(1)).sorted.toSeq
+      assert(texts == Seq("alpha", "alpha", "beta", "gamma"), texts)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits on event-time timeout and evicts state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
