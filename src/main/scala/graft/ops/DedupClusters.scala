@@ -50,24 +50,28 @@ object DedupClusters {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // one fused plan per round, materialized by a single localCheckpoint:
-      //   1. neighbor-min: each doc pulls the min label in its neighborhood
-      //   2. two pointer jumps: then takes its label's label (twice) —
-      //      label paths shrink multiplicatively every round, so chains
-      //      converge in O(log diameter) rounds instead of O(diameter)
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+      // one fused plan per round, materialized by a single localCheckpoint —
+      // every checkpoint+convergence pass costs two fixed-floor jobs, so
+      // the plan packs TWO neighbor-min propagations (2-hop label spread)
+      // plus two pointer jumps (label-of-label against the materialized
+      // frame) into each round; labels are tiny relative to edges and
+      // broadcast, so re-computing the intermediate step inside the fused
+      // plan is cheaper than materializing it
+      def nbrMin(l: DataFrame): DataFrame = edges
+        .join(l.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("component")).as("nbr_min"))
+      def step(l: DataFrame): DataFrame = l.join(nbrMin(l), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
       def jump(df: DataFrame, from: String, to: String): DataFrame = df
         .join(labels.select(col("doc_id").as(s"_k_$to"), col("component").as(s"_c_$to")),
           df(from) === col(s"_k_$to"), "left")
         .withColumn(to, least(col(from), coalesce(col(s"_c_$to"), col(from))))
         .drop(s"_k_$to", s"_c_$to")
-      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("component").as("old"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("c1"))
-      val next = jump(jump(stepped, "c1", "c2"), "c2", "c3")
+      val twoHop = step(step(labels)).withColumnRenamed("component", "c1")
+        .join(labels.select(col("doc_id"), col("component").as("old")), "doc_id")
+      val next = jump(jump(twoHop, "c1", "c2"), "c2", "c3")
         .select(col("doc_id"), col("old"), col("c3").as("component"))
         .localCheckpoint(true)
       val changed = next.filter(col("component") =!= col("old")).limit(1).count()
