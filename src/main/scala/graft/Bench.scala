@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
 
 /** Per-round benchmark: times every declared query at $SPARK_GRAFT_SF_DIR.
   *
@@ -25,6 +26,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint scratch for iterative queries (DedupClusters hands
+    // its result off through checkpoint files so no block-manager storage
+    // outlives a query); removed on exit
+    val ckptDir = Files.createTempDirectory("graft-bench-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
 
     def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -36,8 +42,13 @@ object Bench {
         Left(e.getClass.getSimpleName)
       } finally {
         // queries persist intermediates (dedup signatures etc.) — drop them
-        // so later queries aren't charged for earlier queries' cache/GC
+        // so later queries aren't charged for earlier queries' cache/GC.
+        // clearCache only reaches the SQL cache; localCheckpoint blocks live
+        // at the RDD level and must be swept from the context's registry
+        // (the round-4 full-run contamination: one query's leaked blocks
+        // inflated every later query's time)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
 
@@ -61,5 +72,11 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}""")
     spark.stop()
+    deleteRecursively(ckptDir.toFile)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

@@ -22,4 +22,17 @@ object SparkSpec {
     .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  {
+    // reliable-checkpoint scratch: iterative ops (DedupClusters) hand their
+    // results off through checkpoint files so no RDD blocks outlive a call
+    val dir = java.nio.file.Files.createTempDirectory("graft-test-ckpt")
+    session.sparkContext.setCheckpointDir(dir.toString)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
 }
