@@ -465,13 +465,18 @@ object Relational extends Pack {
     }),
 
     "subquery_scalar" -> ((s, d) => {
-      val mx = t(s, d, "part").agg(max(col("p_retailprice")).as("max_retail"))
-      t(s, d, "lineitem")
-        .crossJoin(broadcast(mx))
-        .filter(col("l_extendedprice") > col("max_retail"))
-        .groupBy(col("max_retail"))
-        .agg(count(lit(1)).as("n_above"))
-        .select(col("n_above"), col("max_retail"))
+      // a TRUE scalar subquery, so the engine's subquery planning path is
+      // exercised (Subquery hosting expressions) rather than a hand-composed
+      // crossJoin: each subquery executes as a tiny side job whose
+      // single-row result feeds the main scan's filter as a runtime
+      // literal — no nested-loop join appears anywhere in the plan.
+      t(s, d, "part").createOrReplaceTempView("graft_sq_part")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_sq_lineitem")
+      s.sql(
+        """SELECT count(*) AS n_above,
+          |       (SELECT max(p_retailprice) FROM graft_sq_part) AS max_retail
+          |FROM graft_sq_lineitem
+          |WHERE l_extendedprice > (SELECT max(p_retailprice) FROM graft_sq_part)""".stripMargin)
     }),
 
     "pivot_manual" -> ((s, d) => {
