@@ -234,9 +234,24 @@ object CtbIngest {
 
   /** Ingest MANY TSV files (glob / directory / comma-free path list) in
     * O(#distinct-header-layouts) Spark jobs instead of O(#files).
+    *
+    * 0-byte files contribute no scan rows, so the distributed stats pass
+    * cannot see them ([[ingestManyLines]]'s documented blindness); this
+    * path owns the listing, so it closes the gap directly: matched files
+    * with zero length are reported in `fileFailed` as B1 "File is empty"
+    * (keyed by their qualified path).
     */
-  def ingestMany(spark: SparkSession, pathOrGlob: String): MultiIngestResult =
-    ingestManyLines(spark, spark.read.text(pathOrGlob))
+  def ingestMany(spark: SparkSession, pathOrGlob: String): MultiIngestResult = {
+    val res = ingestManyLines(spark, spark.read.text(pathOrGlob))
+    val p = new org.apache.hadoop.fs.Path(pathOrGlob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty).toSeq
+    val leaves = matched.flatMap(st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+    val zero = leaves.filter(st => st.isFile && st.getLen == 0)
+      .map(st => st.getPath.toString -> "File is empty") // B1
+    if (zero.isEmpty) res else res.copy(fileFailed = res.fileFailed ++ zero)
+  }
 
   /** Multi-file core: the single-file semantics (B1-B13), applied per
     * source file, driven by ONE stats pass and one header-collection pass.
@@ -265,10 +280,11 @@ object CtbIngest {
     * bounded in streaming use by `maxFilesPerTrigger`; a millions-of-files
     * backfill would chunk the listing and loop this per chunk.
     *
-    * Caveat: a 0-BYTE file contributes no scan rows, so it is invisible
-    * here (no `fileFailed` entry) — same blindness as the streaming
-    * listing. B1 for 0-byte files needs the single-file path ([[ingestFile]]
-    * sees the empty scan) or an FS listing diffed against the stats keys.
+    * Caveat: a 0-BYTE file contributes no scan rows, so it is invisible to
+    * THIS DataFrame-entry point (no `fileFailed` entry) — the caller owns
+    * the file listing and must diff it against the results ([[ingestMany]]
+    * and the streaming drain both do; [[ingestFile]] sees the empty scan
+    * directly).
     */
   def ingestManyLines(spark: SparkSession, raw: DataFrame): MultiIngestResult = {
     // "blank" must match the reference's str.strip(): ALL whitespace (tabs

@@ -118,6 +118,20 @@ class CtbIngestSpec extends AnyFunSuite with SparkSpec {
     assert(errs.length == 2)
   }
 
+  test("ingestMany: a 0-byte file is failed as B1 despite yielding no scan rows") {
+    // a truly empty file (0 bytes, not blank lines) contributes nothing to
+    // the text scan — ingestMany must catch it from its own FS listing
+    val dir = Files.createTempDirectory("ctbzero")
+    Files.write(dir.resolve("zero.tsv"), Array.empty[Byte])
+    Files.write(dir.resolve("ok.tsv"),
+      Seq(headerLine, validRow(Map(0 -> "ZZZ")).mkString("\t"))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val res = CtbIngest.ingestMany(spark, dir.toString)
+    assert(res.fileFailed.size == 1)
+    assert(res.fileFailed.exists { case (f, r) => f.endsWith("zero.tsv") && r == "File is empty" })
+    assert(res.clean.count() == 1)
+  }
+
   test("line numbers stay correct when one file splits across many partitions") {
     // force the text scan to split a ~180 KB file into many partitions —
     // the stress case for offset-order line numbering in BOTH ingest paths
