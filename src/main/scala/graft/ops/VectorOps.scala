@@ -149,6 +149,50 @@ object VectorOps extends Pack {
         .orderBy("id_a", "id_b")
     }),
 
+    "sim_ann_ivf" -> ((s, d) => {
+      // IVF-style ANN — the OTHER standard scale path next to sim_ann_lsh:
+      // a coarse quantizer partitions the corpus into cells, the probe
+      // scores only the centroids (10 rows here; ~sqrt(n) lists at scale),
+      // and exact ranking touches ONLY the nprobe=2 closest cells (~20% of
+      // the corpus) instead of everything. The `label` column plays the
+      // trained k-means assignment (at a real deployment the cell ids come
+      // from a clustering pass; the search-side dataflow is identical).
+      //
+      // Cross-engine determinism: centroids are EXACT integer per-dimension
+      // sums of the quantized vectors; cells rank by mean dot product
+      // computed as one IEEE double division of two exact integers
+      // (bit-identical in both engines), ties broken by label. Candidate
+      // ranking is the same integer dot as sim_topk.
+      //
+      // Scale design: centroid build is one shuffle keyed (label, dim);
+      // cell scoring is a 10-row broadcast; the candidate scan is a
+      // semi-join on label — partition the corpus BY cell at rest and it
+      // prunes to 2 file groups before the scan.
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+        .persist()
+      val cent = emb.select(col("label"), posexplode(col("q")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("cnt"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, sv))), x -> x.sv)").as("csum"),
+          max(col("cnt")).as("cnt"))
+      val probe = emb.filter(col("vec_id") === 0).select(col("q").as("pq"))
+      val cells = cent.crossJoin(broadcast(probe))
+        .select(col("label"), col("cnt"),
+          call_function("graft_dot_i64", col("csum"), col("pq")).as("dot_c"))
+        .orderBy((col("dot_c").cast("double") / col("cnt")).desc, col("label").asc)
+        .limit(2)
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(cells.select(col("label"))), "label")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))
+        .orderBy(col("dot_q").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     "sim_ann_lsh" -> ((s, d) => {
       // approximate-nearest-neighbor: the 100 TB scale path for sim_topk.
       // The corpus is signatured once (4 bands × 8 sign bits); candidates
@@ -214,6 +258,26 @@ object VectorOps extends Pack {
         |      * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
         |      >= 900 * a.n2 * b.n2
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "sim_ann_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |p AS (SELECT qe AS pq FROM q WHERE vec_id = 0),
+        |sums AS (
+        |  SELECT label, d, sum(qe[d])::BIGINT AS sv, count(*)::BIGINT AS cnt
+        |  FROM q, (SELECT unnest(generate_series(1, 64)) AS d)
+        |  GROUP BY label, d),
+        |cent AS (SELECT label, max(cnt) AS cnt, list(sv ORDER BY d) AS csum FROM sums GROUP BY label),
+        |cells AS (
+        |  SELECT label FROM cent, p
+        |  ORDER BY (list_sum(list_transform(csum, (x, i) -> x * pq[i]))::BIGINT::DOUBLE / cnt) DESC,
+        |    label ASC
+        |  LIMIT 2)
+        |SELECT q.vec_id AS vec_id, list_sum(list_transform(qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
+        |FROM q JOIN cells USING (label), p
+        |WHERE vec_id <> 0
+        |ORDER BY dot_q DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "sim_ann_lsh" ->
       ((s"""WITH q AS (

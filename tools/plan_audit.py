@@ -10,7 +10,7 @@ import sys, re
 # the only queries allowed a BroadcastNestedLoopJoin: a bounded band-range
 # join and the one-row-probe broadcasts (see PLANS.md "Known intentional
 # non-equi plans")
-BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh"}
+BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim_ann_ivf"}
 
 def main():
     text = open(sys.argv[1]).read()
