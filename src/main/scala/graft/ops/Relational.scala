@@ -236,6 +236,23 @@ object Relational extends Pack {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    "agg_grouping_sets" -> ((s, d) => {
+      // the general form rollup/cube specialize: an explicit grouping-set
+      // list — here the two per-dimension marginals WITHOUT the cross table
+      // or grand total. Plans as ONE Expand over the scan (each row
+      // replicated once per set) feeding a single hash aggregate: no
+      // re-scan per set, map-side partial agg intact
+      t(s, d, "lineitem")
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // ---- windows ---------------------------------------------------------
     "window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -609,6 +626,13 @@ object Relational extends Pack {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        |count(*) AS n, GROUPING(l_returnflag)::BIGINT AS g_flag, GROUPING(l_linestatus)::BIGINT AS g_status
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "window_rank" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (

@@ -193,6 +193,36 @@ object VectorOps extends Pack {
         .limit(10)
     }),
 
+    "sim_knn_join" -> ((s, d) => {
+      // k-NN JOIN: every vector's top-3 neighbors at once — the bulk form
+      // of sim_topk (what a training pipeline runs for corpus-wide
+      // neighbor/centroid assignment, not one probe at a time). Blocked by
+      // the IVF cell (label): candidate pairs come from an EQUI-join on
+      // the cell id — a shuffle on one int key, never an all-pairs
+      // product — and ranking is a per-vector window top-k, which Spark
+      // plans with WindowGroupLimit (per-partition heaps before the
+      // window sort). Recall is within-cell by construction; raise it by
+      // probing adjacent cells exactly as sim_ann_ivf does, the same
+      // recall/cost dial every IVF deployment tunes.
+      //
+      // At 100 TB: cost is Σ cell², linear in cell count at fixed cell
+      // size; a skewed cell is the thing to watch (split hot cells, or
+      // salt the self-join) — same discipline as every key-blocked join.
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+      val pairs = emb.as("x").join(emb.as("y"),
+          col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"),
+          call_function("graft_dot_i64", col("x.q"), col("y.q")).as("dot_q"))
+      pairs
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("dot_q").desc, col("nbr_id").asc)).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("vec_id", "rnk")
+    }),
+
     "sim_ann_lsh" -> ((s, d) => {
       // approximate-nearest-neighbor: the 100 TB scale path for sim_topk.
       // The corpus is signatured once (4 bands × 8 sign bits); candidates
@@ -258,6 +288,20 @@ object VectorOps extends Pack {
         |      * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
         |      >= 900 * a.n2 * b.n2
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "sim_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
+        |    list_sum(list_transform(x.qe, (v, i) -> v * y.qe[i]))::BIGINT AS dot_q
+        |  FROM q x JOIN q y ON x.label = y.label AND x.vec_id <> y.vec_id)
+        |SELECT vec_id, nbr_id, dot_q, rnk FROM (
+        |  SELECT vec_id, nbr_id, dot_q,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dot_q DESC, nbr_id ASC)::BIGINT AS rnk
+        |  FROM pairs) WHERE rnk <= 3
+        |ORDER BY vec_id, rnk""".stripMargin,
 
     "sim_ann_ivf" ->
       """WITH q AS (
