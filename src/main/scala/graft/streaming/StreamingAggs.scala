@@ -65,6 +65,35 @@ object StreamingAggs {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Stream-stream INTERVAL join: each click pairs with the view it
+    * followed within `horizonSec` for the same user — the canonical
+    * attribution join. BOTH sides are watermarked and the join condition
+    * bounds the event-time distance, so each side's state store holds only
+    * watermark+horizon of history — the condition every 100 TB/day
+    * stream-stream join must satisfy (an unbounded-time equi-join's state
+    * never evicts, and Spark rejects it in append mode for exactly that
+    * reason). Inner join: a click emits once per qualifying view, final
+    * when the watermark passes — no retraction.
+    *
+    * @param views  (user_id, view_ts) impression stream
+    * @param clicks (user_id, click_ts) click stream
+    */
+  def clickAttribution(
+      views: DataFrame, clicks: DataFrame,
+      horizonSec: Long = 30L, watermark: String = "1 minute"): DataFrame = {
+    val v = views.withWatermark("view_ts", watermark)
+      .select(col("user_id").as("v_user"), col("view_ts"))
+    val c = clicks.withWatermark("click_ts", watermark)
+      .select(col("user_id").as("c_user"), col("click_ts"))
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("v_user").as("user_id"),
+        unix_timestamp(col("view_ts")).as("view_s"),
+        unix_timestamp(col("click_ts")).as("click_s"))
+  }
+
   case class Click(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start_ms: Long, last_ms: Long, n: Long)
   case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)

@@ -96,6 +96,34 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to views within the horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val vmem = MemoryStream[(Long, java.sql.Timestamp)]
+    val cmem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingAggs.clickAttribution(
+        vmem.toDF.toDF("user_id", "view_ts"),
+        cmem.toDF.toDF("user_id", "click_ts"),
+        horizonSec = 30L, watermark = "1 minute")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      vmem.addData((1L, ts(100)), (2L, ts(100)))
+      cmem.addData((1L, ts(110)))  // user 1: within 30 s of the view -> joins
+      cmem.addData((2L, ts(170)))  // user 2: 70 s later -> outside horizon
+      cmem.addData((3L, ts(115)))  // user 3: no view at all
+      q.processAllAvailable()
+      // advance both watermarks so the join state finalizes and emits
+      vmem.addData((9L, ts(600)))
+      cmem.addData((9L, ts(900)))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, 100L, 110L)))
+      assert(!rows.exists(_._1 == 2L)) // outside the horizon never joins
+      assert(!rows.exists(_._1 == 3L)) // clicks without a view never join
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
