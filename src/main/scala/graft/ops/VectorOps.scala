@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -217,7 +218,7 @@ object VectorOps extends Pack {
           call_function("graft_dot_i64", col("x.q"), col("y.q")).as("dot_q"))
       pairs
         .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          Window.partitionBy(col("vec_id"))
             .orderBy(col("dot_q").desc, col("nbr_id").asc)).cast("long"))
         .filter(col("rnk") <= 3)
         .orderBy("vec_id", "rnk")
@@ -354,6 +355,50 @@ object VectorOps extends Pack {
         call_function("graft_cos_f32", col("embedding"), pLit).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Float k-NN JOIN — the production form of the oracle-checked
+    * `sim_knn_join`: every corpus vector's top-k cosine neighbors, blocked
+    * by IVF cell with an `nprobe` recall dial. Query vectors probe their
+    * `nprobe` nearest cell centroids (a broadcast of #cells tiny rows), so
+    * cross-cell true neighbors are recovered as nprobe grows — at
+    * nprobe = #cells this is EXACTLY brute force (the equivalence the spec
+    * asserts), at nprobe = 1 it is the within-cell query. Cost scales as
+    * nprobe × Σ cell² — the standard IVF recall/cost trade, tuned per
+    * deployment.
+    *
+    * @param corpus (vec_id, label, embedding) — label is the cell id from
+    *               the coarse quantizer (a clustering pass at deployment)
+    */
+  def knnJoinCells(corpus: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    // float cell centroids: one (cell, dim) aggregation, reassembled in order
+    val cent = corpus.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> cast(x.m as float))")
+        .as("centroid"))
+    // each query vector's nprobe nearest cells (centroid table broadcasts)
+    val probes = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        call_function("graft_cos_f32", col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("label").asc)))
+      .filter(col("crnk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("label"))
+    // candidates = members of each probed cell (a neighbor lives in exactly
+    // one cell, so no pair duplicates); exact cosine ranks per query
+    probes
+      .join(corpus.select(col("vec_id").as("n_id"), col("label"),
+        col("embedding").as("n_emb")), "label")
+      .filter(col("q_id") =!= col("n_id"))
+      .join(corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .select(col("q_id"), col("n_id"),
+        call_function("graft_cos_f32", col("q_emb"), col("n_emb")).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)))
+      .filter(col("rnk") <= k)
   }
 
   /** LSH-bucketed ANN scale path: random-hyperplane signature buckets the

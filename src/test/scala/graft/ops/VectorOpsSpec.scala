@@ -37,6 +37,52 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(all.last.getAs[Double]("cosine") + 1.0) < 1e-5)
   }
 
+  test("knnJoinCells at nprobe = #cells equals brute force; nprobe=1 stays within-cell") {
+    import spark.implicits._
+    // 3 tight clusters of 8 vectors each, labels = cluster id; deterministic
+    // perturbations so each vector's true neighbors are its cluster-mates
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat; v.map(_ / n)
+    }
+    val bases = Array.fill(3)(unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val rows = for (c <- 0 until 3; j <- 0 until 8) yield {
+      val v = unit(bases(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      ((c * 8 + j).toLong, c, v)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+
+    // driver-side brute-force ground truth (same float->double cosine)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    val want = rows.map { case (q, _, qv) =>
+      q -> rows.filter(_._1 != q)
+        .map { case (n, _, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1).toSeq
+    }.toMap
+
+    val full = VectorOps.knnJoinCells(df, k = 3, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"), r.getAs[Long]("n_id")))
+    val got = full.groupBy(_._1).map { case (q, ns) =>
+      q -> ns.sortBy(_._2).map(_._3).toSeq
+    }
+    assert(got.keySet == byId.keySet)
+    got.foreach { case (q, ns) => assert(ns == want(q), s"query $q: $ns vs ${want(q)}") }
+
+    // nprobe=1: every reported neighbor shares the query's cluster
+    val labelOf = rows.map(r => r._1 -> r._2).toMap
+    val one = VectorOps.knnJoinCells(df, k = 3, nprobe = 1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    assert(one.nonEmpty)
+    one.foreach { case (q, n) => assert(labelOf(q) == labelOf(n)) }
+  }
+
   test("lshBucketCosine finds the probe's twin through its bucket") {
     val (probe, df) = corpus()
     val top = VectorOps.lshBucketCosine(df, probe, 3).collect()
