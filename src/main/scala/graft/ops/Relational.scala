@@ -496,6 +496,33 @@ object Relational extends Pack {
           |WHERE l_extendedprice > (SELECT max(p_retailprice) FROM graft_sq_part)""".stripMargin)
     }),
 
+    "subquery_exists" -> ((s, d) => {
+      // correlated EXISTS — Catalyst's decorrelation rewrites the per-row
+      // subquery into one LEFT SEMI join on the correlation key: the scan
+      // of orders happens once, not once per customer row
+      t(s, d, "customer").createOrReplaceTempView("graft_sq_cust")
+      t(s, d, "orders").createOrReplaceTempView("graft_sq_ord")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name FROM graft_sq_cust c
+          |WHERE EXISTS (SELECT 1 FROM graft_sq_ord o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
+    "subquery_correlated" -> ((s, d) => {
+      // correlated scalar aggregate — decorrelates into a per-key aggregate
+      // joined back on the correlation key (max, not avg: max is
+      // order-insensitive, so both engines agree bit-for-bit; a float avg's
+      // summation order would not). Counts lineitems holding their part's
+      // maximum quantity.
+      t(s, d, "lineitem").createOrReplaceTempView("graft_sq_li")
+      s.sql(
+        """SELECT count(*) AS n_at_max
+          |FROM graft_sq_li l
+          |WHERE l.l_quantity = (SELECT max(l2.l_quantity) FROM graft_sq_li l2
+          |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    }),
+
     "pivot_manual" -> ((s, d) => {
       // conditional aggregation (portable pivot)
       t(s, d, "documents")
@@ -771,6 +798,18 @@ object Relational extends Pack {
     "subquery_scalar" ->
       """SELECT count(*) AS n_above, (SELECT max(p_retailprice) FROM part) AS max_retail
         |FROM lineitem WHERE l_extendedprice > (SELECT max(p_retailprice) FROM part)""".stripMargin,
+
+    "subquery_exists" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "subquery_correlated" ->
+      """SELECT count(*) AS n_at_max
+        |FROM lineitem l
+        |WHERE l.l_quantity = (SELECT max(l2.l_quantity) FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
 
     "pivot_manual" ->
       """SELECT lang,
