@@ -282,6 +282,21 @@ object Relational extends Pack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "window_range" -> ((s, d) => {
+      // VALUE-based (RANGE) frame — a different frame evaluator than the
+      // ROWS frames above: the 30-day trailing sum is bounded by the ORDER
+      // BY value, so peer rows (same day) always land in the same frame.
+      // Ordered on the integer epoch-day so both engines frame identically.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_day"))
+        .rangeBetween(-30, 0)
+      t(s, d, "orders")
+        .withColumn("epoch_day", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("trailing_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "window_ntile" -> ((s, d) => {
       // quartile assignment within each customer's order history — the
       // window is partitioned (a no-partition global window funnels the
@@ -681,6 +696,15 @@ object Relational extends Pack {
         |  PARTITION BY o_custkey ORDER BY o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_range" ->
+      """SELECT o_custkey, o_orderkey, epoch_day,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY epoch_day
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM (SELECT *, date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS epoch_day
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "window_ntile" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
