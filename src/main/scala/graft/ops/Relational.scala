@@ -359,6 +359,29 @@ object Relational extends Pack {
         .orderBy("user_id", "event_id")
     }),
 
+    "events_funnel" -> ((s, d) => {
+      // sequential-pattern funnel: per user, first view -> first click
+      // STRICTLY AFTER it -> first purchase strictly after that. Three
+      // per-user aggregations chained on the previous stage's timestamp —
+      // each stage is one shuffle keyed user_id (AQE coalesces the tiny
+      // ones), never a per-user driver loop; nulls mark where the user
+      // dropped out of the funnel.
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("es")).as("view_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .join(views, "user_id").filter(col("es") > col("view_s"))
+        .groupBy(col("user_id")).agg(min(col("es")).as("click_s"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(clicks, "user_id").filter(col("es") > col("click_s"))
+        .groupBy(col("user_id")).agg(min(col("es")).as("purchase_s"))
+      views
+        .join(clicks, Seq("user_id"), "left")
+        .join(purchases, Seq("user_id"), "left")
+        .orderBy("user_id")
+    }),
+
     // ---- sort / limit / set ops ------------------------------------------
     "sort_limit" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -743,6 +766,17 @@ object Relational extends Pack {
         |           LAG(floor(epoch(ts))::BIGINT, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ep
         |    FROM events))
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS es FROM events),
+        |v AS (SELECT user_id, min(es) AS view_s FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(es) AS click_s FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND es > view_s GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(es) AS purchase_s FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND es > click_s GROUP BY e.user_id)
+        |SELECT v.user_id, view_s, click_s, purchase_s
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
 
     "sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
