@@ -217,6 +217,26 @@ object Relational extends Pack {
         .orderBy("l_returnflag")
     }),
 
+    "agg_approx_percentile" -> ((s, d) => {
+      // the 100 TB percentile: approx_percentile is a mergeable one-pass
+      // sketch (map-side combinable, bounded memory) where the exact form
+      // needs per-group sorted values. The sketch's value is
+      // engine/accuracy specific, so — like agg_approx_distinct — the
+      // oracle checks the deterministic BOUND, not the estimate: at
+      // accuracy 10000 the rank error is <= n/10000, which on this
+      // distribution keeps the estimate within 10% of the exact median.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_med"),
+          expr("percentile(l_quantity, 0.5)").as("exact_med"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_med"), col("n"),
+          (abs(col("approx_med") - col("exact_med")) * 10 <= col("exact_med"))
+            .as("within_10pct"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_rollup" -> ((s, d) => {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -677,6 +697,11 @@ object Relational extends Pack {
     "agg_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_med,
+        |count(*) AS n, TRUE AS within_10pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_rollup" ->
