@@ -124,6 +124,22 @@ object Relational extends Pack {
         .orderBy("c_custkey")
     }),
 
+    "join_full" -> ((s, d) => {
+      // FULL OUTER: unmatched rows preserved from BOTH sides — the
+      // reconciliation join (source-vs-sink diffs). Both inputs are
+      // filtered so each genuinely has keys the other lacks; the output
+      // classifies every key as matched / left-only / right-only.
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("k")).distinct()
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k2")).distinct()
+      big.join(rich, col("k") === col("k2"), "full_outer")
+        .agg(
+          sum(when(col("k").isNotNull && col("k2").isNotNull, 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("k2").isNull, 1L).otherwise(0L)).as("n_left_only"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_right_only"))
+    }),
+
     "join_asof" -> ((s, d) => {
       // as-of join: each click event picks the most recent prior-or-equal
       // view event of the same user. Implemented as ONE window pass over the
@@ -659,6 +675,15 @@ object Relational extends Pack {
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_full" ->
+      """WITH big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+        |rich AS (SELECT DISTINCT c_custkey AS k2 FROM customer WHERE c_acctbal > 5000)
+        |SELECT
+        |  SUM(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        |  SUM(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_left_only,
+        |  SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_right_only
+        |FROM big FULL OUTER JOIN rich ON k = k2""".stripMargin,
 
     "join_asof" ->
       """SELECT event_id, user_id, asof_view FROM (
