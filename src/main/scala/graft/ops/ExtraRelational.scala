@@ -140,6 +140,155 @@ object ExtraRelational extends Pack {
         .orderBy("bucket")
     }),
 
+    "fn_conditional" -> ((s, d) => {
+      // conditional scalar suite: CASE ladders, NULLIF/COALESCE, bounded
+      // GREATEST/LEAST, and a guarded division (single IEEE op — exact
+      // cross-engine); p_size >= 1 so the NULLIF guard is never hit but
+      // shapes the null-safety contract
+      t(s, d, "part").select(
+        col("p_partkey"),
+        when(col("p_size") > 25, "large")
+          .when(col("p_size") > 10, "medium")
+          .otherwise("small").as("size_class"),
+        nullif(col("p_brand"), lit("Brand#33")).as("brand_or_null"),
+        coalesce(nullif(col("p_brand"), lit("Brand#33")), lit("REDACTED")).as("brand_coalesced"),
+        greatest(col("p_size"), lit(20)).as("size_floor20"),
+        least(col("p_size"), lit(30)).as("size_cap30"),
+        when(pmod(col("p_size"), lit(5)) === 0, lit(null)).otherwise(col("p_size")).as("size_nz"),
+        (col("p_retailprice") / nullif(col("p_size"), lit(0)).cast("double")).as("price_per_size"))
+        .orderBy("p_partkey")
+    }),
+
+    "fn_hash" -> ((s, d) => {
+      // cryptographic digest surface: md5 / sha256 hex over single and
+      // concatenated columns — both engines emit lowercase hex, so digests
+      // compare exactly (the engine's dedup/fingerprint ops build on this)
+      t(s, d, "part").select(
+        col("p_partkey"),
+        md5(col("p_name")).as("h_md5"),
+        sha2(col("p_name"), 256).as("h_sha256"),
+        md5(concat(col("p_name"), lit("#"), col("p_brand"))).as("h_comb"),
+        substring(md5(col("p_name")), 1, 8).as("h_pre"))
+        .orderBy("p_partkey")
+    }),
+
+    "agg_moments" -> ((s, d) => {
+      // variance via integer moments: sum and sum-of-squares stay EXACT
+      // 64-bit integers through the shuffle (long*long fits: max key^2 *
+      // rows << 2^63), and the float math is three IEEE ops on identical
+      // exact inputs — bit-identical across engines, where the built-in
+      // stddev/var (Welford accumulation, partition-order-dependent) is not
+      val k = col("l_partkey")
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(k).as("sum_k"),
+          sum(k * k).as("sumsq_k"))
+        .select(col("l_returnflag"), col("n"), col("sum_k"), col("sumsq_k"),
+          (col("sumsq_k") / col("n")
+            - (col("sum_k") / col("n")) * (col("sum_k") / col("n"))).as("var_k"))
+        .orderBy("l_returnflag")
+    }),
+
+    "join_lateral" -> ((s, d) => {
+      // correlated LATERAL subquery (top-2 orders per customer): Catalyst
+      // decorrelates the per-row ORDER BY ... LIMIT into one windowed
+      // row_number <= 2 pass — no per-customer re-execution
+      val sp = s
+      t(sp, d, "customer").createOrReplaceTempView("graft_lat_customer")
+      t(sp, d, "orders").createOrReplaceTempView("graft_lat_orders")
+      sp.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM graft_lat_customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        ORDER BY c_custkey, o_orderkey""")
+    }),
+
+    "agg_mode" -> ((s, d) => {
+      // deterministic mode: most frequent o_orderstatus per priority with a
+      // min-value tiebreak — two hash aggregates + a WindowGroupLimit pass,
+      // where the built-in mode() leaves ties engine-defined
+      val counts = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("mode_n"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("mode_n").desc, col("o_orderstatus"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"), col("mode_n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "window_session" -> ((s, d) => {
+      // native session windows (1h inactivity gap): Spark merges per-key
+      // event windows in ONE aggregation — no lag/running-sum window pair.
+      // Inputs are floored to whole seconds so the gap decision is made on
+      // exactly the integers the oracle's island arithmetic sees; the
+      // session end is last_event + gap, so subtract the gap back out
+      val ev = t(s, d, "events")
+        .select(col("user_id"), timestamp_seconds(unix_timestamp(col("ts"))).as("tss"))
+      ev.groupBy(col("user_id"), session_window(col("tss"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("sess_start"),
+          (unix_timestamp(col("sw.end")) - 3600).as("sess_end"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start")
+    }),
+
+    "fn_url" -> ((s, d) => {
+      // URL parsing: synthesized deterministic URLs (the corpus has none),
+      // dissected with the same regexes on both engines — DuckDB has no
+      // parse_url, so the oracle uses identical patterns
+      val url = concat(lit("https://"), col("source"), lit(".example."),
+        when(pmod(col("doc_id"), lit(3)) === 0, "com")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "org").otherwise("net"),
+        lit("/docs/"), pmod(col("doc_id"), lit(50)), lit("/page?id="), col("doc_id"),
+        lit("&lang="), col("lang"))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "^([a-z]+)://", 1).as("proto"),
+          regexp_extract(col("url"), "://([^/]+)/", 1).as("host"),
+          regexp_extract(col("url"), "://[^/]+(/[^?]*)", 1).as("path"),
+          regexp_extract(col("url"), "id=([0-9]+)", 1).as("qid"),
+          regexp_extract(col("url"), "\\.([a-z]+)/", 1).as("tld"))
+        .orderBy("doc_id")
+    }),
+
+    "fn_bitwise" -> ((s, d) => {
+      // bitwise scalar suite on 64-bit keys; rows are fully determined by
+      // (l_orderkey, l_partkey) so duplicate key pairs yield identical rows
+      t(s, d, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("and255"),
+          col("l_orderkey").bitwiseOR(lit(4096L)).as("or4096"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("xork"),
+          shiftleft(col("l_partkey"), 2).as("shl2"),
+          shiftright(col("l_orderkey"), 3).as("shr3"),
+          bitwise_not(col("l_partkey")).as("notk"))
+        .orderBy("l_orderkey", "l_partkey")
+    }),
+
+    "agg_sketch_merge" -> ((s, d) => {
+      // mergeable distinct-count sketches — the 100 TB cardinality shape:
+      // per-partition (here: per-returnflag) HLL sketches built in one
+      // pass, unioned WITHOUT re-touching rows, estimated once. The oracle
+      // checks the estimate against the exact count within the sketch's
+      // error envelope (lgK=12 => ~1.6% rse; 5% is a safe gate)
+      val sketches = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      val est = sketches.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      val exact = t(s, d, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.crossJoin(est)
+        .select(col("exact_parts"),
+          (abs(col("est") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("within_5pct"))
+    }),
+
     "agg_filtered" -> ((s, d) => {
       // FILTER-clause aggregates: conditional counts/sums inside ONE
       // hash aggregate (no self-joins, no second scan)
@@ -216,6 +365,95 @@ object ExtraRelational extends Pack {
         |  CAST(min(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS min_price,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS max_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size > 25 THEN 'large' WHEN p_size > 10 THEN 'medium' ELSE 'small' END AS size_class,
+        |  NULLIF(p_brand, 'Brand#33') AS brand_or_null,
+        |  COALESCE(NULLIF(p_brand, 'Brand#33'), 'REDACTED') AS brand_coalesced,
+        |  GREATEST(p_size, 20) AS size_floor20,
+        |  LEAST(p_size, 30) AS size_cap30,
+        |  CASE WHEN p_size % 5 = 0 THEN NULL ELSE p_size END AS size_nz,
+        |  p_retailprice / CAST(NULLIF(p_size, 0) AS DOUBLE) AS price_per_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS h_md5,
+        |  sha256(p_name) AS h_sha256,
+        |  md5(p_name || '#' || p_brand) AS h_comb,
+        |  substr(md5(p_name), 1, 8) AS h_pre
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "agg_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  SUM(l_partkey)::BIGINT AS sum_k,
+        |  SUM(l_partkey * l_partkey)::BIGINT AS sumsq_k,
+        |  (SUM(l_partkey * l_partkey)::BIGINT / count(*))
+        |    - (SUM(l_partkey)::BIGINT / count(*)) * (SUM(l_partkey)::BIGINT / count(*)) AS var_k
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT o_orderpriority, mode_status, mode_n FROM (
+        |  SELECT o_orderpriority, o_orderstatus AS mode_status, count(*) AS mode_n,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY count(*) DESC, o_orderstatus) AS rn
+        |  FROM orders GROUP BY o_orderpriority, o_orderstatus)
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "window_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, floor(epoch(ts))::BIGINT AS es, event_id,
+        |    CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+        |         OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w >= 3600
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT, event_id)),
+        |sess AS (
+        |  SELECT user_id, es,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(es) AS sess_start, max(es) AS sess_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END ||
+        |    '/docs/' || (doc_id % 50) || '/page?id=' || doc_id || '&lang=' || lang AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  regexp_extract(url, '://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, 'id=([0-9]+)', 1) AS qid,
+        |  regexp_extract(url, '\.([a-z]+)/', 1) AS tld
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_partkey,
+        |  (l_orderkey & 255) AS and255,
+        |  (l_orderkey | 4096) AS or4096,
+        |  xor(l_orderkey, l_partkey) AS xork,
+        |  (l_partkey << 2) AS shl2,
+        |  (l_orderkey >> 3) AS shr3,
+        |  (~l_partkey) AS notk
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "agg_sketch_merge" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
+        |FROM lineitem""".stripMargin,
 
     "agg_filtered" ->
       """SELECT l_returnflag,

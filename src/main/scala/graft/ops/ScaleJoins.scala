@@ -50,4 +50,27 @@ object ScaleJoins {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Pre-filter the big side with a Bloom filter of the small side's join
+    * keys BEFORE the join's shuffle. When the small side is selective (a
+    * filtered dimension), most big-side rows can't match — at 100 TB the
+    * win is not shuffling them at all. No false negatives, so the join
+    * result is exactly the plain join's; `fpp` only controls how many
+    * non-matching rows slip through to the join to be dropped there.
+    *
+    * Spark injects this automatically for some shuffle joins (runtime
+    * bloom filters) when size thresholds align; the explicit form works
+    * for any join shape and lets the caller size the filter from known
+    * key counts. Long keys only (the common surrogate-key case): the
+    * driver-side filter build collects NO rows — `stat.bloomFilter` runs
+    * one distributed aggregation and ships back the bit array.
+    */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedKeys: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(key, expectedKeys, fpp)
+    val bcast = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bcast.value.mightContain(k.longValue()))
+    big.filter(mightContain(col(key))).join(small, key)
+  }
 }

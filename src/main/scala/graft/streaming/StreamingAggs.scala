@@ -28,6 +28,31 @@ object StreamingAggs {
       .select(unix_timestamp(col("window.start")).as("bucket_s"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked SLIDING window counts: each event lands in len/slide
+    * overlapping windows (the Expand that materializes the window
+    * assignments is linear in that overlap factor, not in window length).
+    * State per (window, event_type) evicts when the watermark passes the
+    * window end — same bound as tumbling, times the overlap factor.
+    */
+  def slidingCounts(events: DataFrame, winLen: String = "2 minutes",
+      slide: String = "1 minute", watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), winLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        unix_timestamp(col("window.end")).as("win_end_s"),
+        col("event_type"), col("n"))
+
+  /** Stream-static enrichment: join each micro-batch against a slowly
+    * changing dimension. The static side is broadcast (re-planned per
+    * batch, so an updated dim TABLE is re-read at its next batch) — the
+    * streaming side never shuffles for the join, which is the only
+    * per-event cost that matters at 100 TB/day.
+    */
+  def enrichAgainstDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total: Double)
 

@@ -46,4 +46,23 @@ class ScaleJoinsSpec extends AnyFunSuite with SparkSpec {
       .select("_salt").distinct().count()
     assert(saltSpread == 8)
   }
+
+  test("bloom prefilter prunes non-matching rows and preserves the exact join result") {
+    import spark.implicits._
+    // big side: 100k keys; small side: 500 of them — a selective dim where
+    // ~99.5% of big rows can't match and should never reach the join
+    val big = (1L to 100000L).toDF("k").withColumn("v", col("k") * 2)
+    val small = (1L to 500L).map(_ * 200).toDF("k").withColumn("name", concat(lit("n"), col("k")))
+    val plain = big.join(small, "k")
+    val bloomed = ScaleJoins.bloomPrefilteredJoin(big, small, "k",
+      expectedKeys = 1000L, fpp = 0.01)
+    // no false negatives: result sets identical
+    assert(bloomed.select("k", "v", "name").exceptAll(plain.select("k", "v", "name")).isEmpty)
+    assert(plain.select("k", "v", "name").exceptAll(bloomed.select("k", "v", "name")).isEmpty)
+    // the prefilter actually prunes: survivors = 500 matches + fpp stragglers
+    val bf = small.stat.bloomFilter("k", 1000L, 0.01)
+    val survivors = big.filter(udf((x: Long) => bf.mightContain(x)).apply(col("k"))).count()
+    assert(survivors < 3000, s"bloom should prune ~99% of 100k rows, kept $survivors")
+    assert(survivors >= 500)
+  }
 }

@@ -36,6 +36,47 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows emit one finalized row per overlapping window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF.toDF("ts", "event_type", "value")
+    // 2-minute windows sliding by 1 minute: an event at t=70 belongs to
+    // [0,120) and [60,180)
+    val q = StreamingAggs.slidingCounts(events, "2 minutes", "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("sliding").outputMode("append").start()
+    try {
+      mem.addData((ts(70), "click", 1.0), (ts(130), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(600), "click", 1.0)) // watermark 540 finalizes all early windows
+      q.processAllAvailable()
+      val rows = spark.table("sliding").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(rows.contains((0L, 120L, 1L)))    // t=70 only
+      assert(rows.contains((60L, 180L, 2L)))   // t=70 and t=130 overlap here
+      assert(rows.contains((120L, 240L, 1L)))  // t=130 only
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches each micro-batch against the dimension") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF.toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamingAggs.enrichAgainstDim(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData((1L, 5.0), (3L, 7.0))
+      q.processAllAvailable()
+      mem.addData((2L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, 5.0, Some("gold")), (3L, 7.0, None), (2L, 1.0, Some("basic"))))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one copy per fingerprint and evicts state past the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -8,9 +8,11 @@ Usage: python3 tools/plan_audit.py /tmp/explain_out.txt
 import sys, re
 
 # the only queries allowed a BroadcastNestedLoopJoin: a bounded band-range
-# join and the one-row-probe broadcasts (see PLANS.md "Known intentional
-# non-equi plans")
-BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim_ann_ivf"}
+# join, the one-row-probe broadcasts, and agg_sketch_merge's combine of two
+# single-row aggregates (exact count x sketch estimate) (see PLANS.md
+# "Known intentional non-equi plans")
+BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim_ann_ivf",
+                "agg_sketch_merge"}
 
 def main():
     text = open(sys.argv[1]).read()
