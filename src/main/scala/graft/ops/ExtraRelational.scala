@@ -289,6 +289,22 @@ object ExtraRelational extends Pack {
             col("exact_parts") * lit(0.05)).as("within_5pct"))
     }),
 
+    "shard_pack" -> ((s, d) => {
+      // token-budget shard packing: greedy sequential packing is inherently
+      // serial, so the distributed form packs PER MIXTURE SOURCE (shards
+      // are per-source in practice anyway): one shuffle on source, a
+      // running char total per source, shard = cum-before-doc div budget.
+      // All-integer arithmetic — bit-exact across engines and retries
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("_cum_before",
+          (sum(col("n_chars")).over(w) - col("n_chars")).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("_cum_before div 2000").as("shard"))
+        .orderBy("source", "doc_id")
+    }),
+
     "agg_filtered" -> ((s, d) => {
       // FILTER-clause aggregates: conditional counts/sums inside ONE
       // hash aggregate (no self-joins, no second scan)
@@ -454,6 +470,13 @@ object ExtraRelational extends Pack {
     "agg_sketch_merge" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
         |FROM lineitem""".stripMargin,
+
+    "shard_pack" ->
+      """SELECT doc_id, source, n_chars,
+        |  (((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    - n_chars) // 2000)::BIGINT AS shard
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
 
     "agg_filtered" ->
       """SELECT l_returnflag,
