@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF index maintenance: add batches of vectors to a persisted
+  * approximate-nearest-neighbor index without re-clustering or re-reading
+  * the corpus — the vector-side sibling of [[MinHashIncremental]], and the
+  * production shape for a continuously-embedding 100 TB pipeline.
+  *
+  * Persisted state under `indexPath`:
+  *
+  *   - `vectors/` — (vec_id, cell, q) rows, parquet PARTITIONED BY cell: a
+  *     probe that ranks centroids and reads nprobe cells prunes to nprobe
+  *     directories before any scan (file-level pruning, no index scan);
+  *   - `centroids/` — one row per cell: EXACT integer per-dimension sums
+  *     (`csum`) and member count. Sums are mergeable, so a batch update is
+  *     "add the batch's per-cell sums" — never a corpus re-aggregation —
+  *     and deterministic across engines, retries and partition orders
+  *     (float means drift; integer sums don't).
+  *
+  * Assignment ranks cells by mean dot product, computed as one IEEE double
+  * division of two exact integers (bit-identical everywhere), ties broken
+  * by cell id. Centroids DRIFT as batches accrete (the usual IVF trade);
+  * monitor per-cell counts and re-bootstrap when imbalance degrades recall
+  * — the re-cluster is one job over `vectors/`, not over raw embeddings.
+  *
+  * Bootstrap seeds cells from the first batch's lowest vec_ids (a real
+  * deployment would run a k-means pass; the incremental dataflow — assign,
+  * merge sums, probe — is identical and is what's under test here).
+  */
+object IvfIncremental {
+
+  private def vecDir(p: String) = s"$p/vectors"
+  private def centDir(p: String) = s"$p/centroids"
+
+  /** Quantize raw float embeddings to the engine's integer vector form. */
+  private def quantized(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), VectorOps.qvec(col("embedding")).as("q"))
+
+  /** Per-cell exact integer sums + counts for assigned vectors. */
+  private def cellSums(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("q")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("col")).as("sv"), count(lit(1)).as("cnt"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sv))), x -> x.sv)").as("csum"),
+        max(col("cnt")).as("cnt"))
+
+  /** Create the index from a first batch: the `nCells` lowest vec_ids seed
+    * the cells, every batch vector is assigned to its nearest seed, and
+    * both state tables are written.
+    */
+  def bootstrap(spark: SparkSession, vecs: DataFrame, nCells: Int, indexPath: String): Unit = {
+    graft.expressions.GraftFunctions.register(spark)
+    val q = quantized(vecs).persist()
+    val seeds = q.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell"), col("q").as("cq"))
+    val assigned = assignTo(q, seeds.withColumn("cnt", lit(1L))
+      .select(col("cell"), col("cq").as("csum"), col("cnt")))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(vecDir(indexPath))
+    cellSums(assigned).write.mode("overwrite").parquet(centDir(indexPath))
+    q.unpersist(false): Unit
+  }
+
+  /** Nearest-cell assignment: centroids broadcast, mean-dot ranking via one
+    * exact-integer dot + one double division per (vector, cell), top-1 by
+    * a max_by struct — one pass over the batch, no shuffle of the vectors.
+    */
+  private def assignTo(q: DataFrame, centroids: DataFrame): DataFrame =
+    q.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("q"), col("cell"),
+        (call_function("graft_dot_i64", col("q"), col("csum")).cast("double") / col("cnt"))
+          .as("score"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("q")),
+        struct(col("score"), (-col("cell")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.q").as("q"), col("best.cell").as("cell"))
+
+  /** Assign a new batch against the CURRENT centroids, append its vectors
+    * to the partitioned store, and merge its per-cell integer sums into the
+    * centroid table (a #cells-row rewrite, never a corpus pass). Returns
+    * the batch's (vec_id, cell) assignments.
+    */
+  def addBatch(spark: SparkSession, vecs: DataFrame, indexPath: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(centDir(indexPath))
+    val assigned = assignTo(quantized(vecs), cents).persist()
+    assigned.write.mode("append").partitionBy("cell").parquet(vecDir(indexPath))
+    val merged = cellSums(assigned).unionByName(cents)
+      .select(col("cell"), posexplode(col("csum")), col("cnt"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("col")).as("sv"), sum(col("cnt")).as("c"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sv))), x -> x.sv)").as("csum"),
+        max(col("c")).as("cnt"))
+    // small table: stage to a temp dir then swap, so a mid-write failure
+    // can't leave the index without centroids
+    val tmp = centDir(indexPath) + "_staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(centDir(indexPath)), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(centDir(indexPath)))
+    assigned.select("vec_id", "cell")
+  }
+
+  /** Top-k by exact integer dot among the vectors of the `nprobe` cells
+    * whose centroids score best against the probe. The cell filter is a
+    * partition-column IN-list, so the scan reads nprobe directories.
+    */
+  def probe(spark: SparkSession, indexPath: String, probeVec: Seq[Float],
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val pq = quantized(Seq((-1L, probeVec)).toDF("vec_id", "embedding"))
+      .select(col("q").as("pq"))
+    val cells = spark.read.parquet(centDir(indexPath)).crossJoin(broadcast(pq))
+      .select(col("cell"),
+        (call_function("graft_dot_i64", col("csum"), col("pq")).cast("double") / col("cnt"))
+          .as("score"))
+      .orderBy(col("score").desc, col("cell").asc)
+      .limit(nprobe)
+      .collect().map(_.getLong(0)) // nprobe ids: a bounded control-plane collect
+    spark.read.parquet(vecDir(indexPath))
+      .filter(col("cell").isin(cells: _*))
+      .crossJoin(broadcast(pq))
+      // `cell` is a partition column on read, so its type is directory-name
+      // inferred (int); pin the engine's long cell-id type at the boundary
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

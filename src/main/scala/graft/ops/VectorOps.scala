@@ -22,7 +22,7 @@ import Tables._
 object VectorOps extends Pack {
 
   /** quantized int64 view of a float vector (exact in both engines) */
-  private def qvec(c: Column): Column =
+  private[ops] def qvec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
   private def dotq(a: Column, b: Column): Column =

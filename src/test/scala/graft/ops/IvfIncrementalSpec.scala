@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental IVF index lifecycle: bootstrap from a first batch, add a
+  * second batch without re-clustering, probe with partition pruning —
+  * checked against a driver-side brute-force ground truth on the same
+  * integer-quantized dots the engine uses.
+  */
+class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
+
+  // 4 clusters in 8 dims: cluster c concentrates on axis c, plus small
+  // deterministic per-vector noise; cluster = id % 4 so bootstrap's seed
+  // choice (lowest 4 ids) lands one seed per cluster
+  private def mkVec(id: Int): Seq[Float] = {
+    val c = id % 4
+    (0 until 8).map(d =>
+      (if (d == c) 1.0f else 0.0f) + ((id * 7 + d * 3) % 5) * 0.01f)
+  }
+  private def quant(v: Seq[Float]): Seq[Long] =
+    v.map(x => math.round(x.toDouble * 1000))
+  private def dot(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("bootstrap + addBatch + probe matches brute force; state stays consistent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-inc").toString
+    val all = (0 until 100).map(i => (i.toLong, mkVec(i)))
+    val batch1 = all.take(50).toDF("vec_id", "embedding")
+    val batch2 = all.drop(50).toDF("vec_id", "embedding")
+
+    IvfIncremental.bootstrap(spark, batch1, nCells = 4, dir)
+    val assigned2 = IvfIncremental.addBatch(spark, batch2, dir)
+    assert(assigned2.count() == 50)
+
+    // state consistency: every vector stored exactly once; centroid counts
+    // add up; the vector store is physically partitioned by cell
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.count() == 100)
+    assert(stored.select("vec_id").distinct().count() == 100)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assert(cents.select(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) == 100)
+    val cellDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.length == 4, s"expected 4 cell partitions, got ${cellDirs.toSeq}")
+
+    // probing ALL cells must equal the brute-force top-k exactly (IVF with
+    // full probe scope has no approximation left)
+    val probeVec = mkVec(2).map(x => (x * 0.9f))
+    val got = IvfIncremental.probe(spark, dir, probeVec, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val pq = quant(probeVec)
+    val want = all.map { case (id, v) => (id, dot(quant(v), pq)) }
+      .sortBy { case (id, d) => (-d, id) }.take(10)
+    assert(got.toSeq == want)
+
+    // nprobe=1 probes exactly one cell and still finds the global top-1
+    // (the probe sits in one cluster and cells align with clusters)
+    val one = IvfIncremental.probe(spark, dir, probeVec, nprobe = 1, k = 10).collect()
+    assert(one.map(_.getLong(1)).distinct.length == 1)
+    assert(one.head.getLong(0) == want.head._1)
+
+    // incremental == batch: an index built from both batches at once ranks
+    // identically under the same centroid seeds' cell structure
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf-all").toString
+    IvfIncremental.bootstrap(spark, all.toDF("vec_id", "embedding"), nCells = 4, dir2)
+    val got2 = IvfIncremental.probe(spark, dir2, probeVec, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got2.toSeq == want)
+  }
+}
