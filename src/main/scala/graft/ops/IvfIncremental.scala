@@ -34,6 +34,24 @@ object IvfIncremental {
   private def vecDir(p: String) = s"$p/vectors"
   private def centDir(p: String) = s"$p/centroids"
 
+  /** Read the centroid table, completing a crashed swap if one is found.
+    * `centroids/` is only ever absent between [[addBatch]]'s two renames —
+    * at that point `centroids_staging` is already complete (it was fully
+    * written before the swap began), so finishing the swap is safe; the
+    * `centroids_old` fallback covers a staging dir lost to manual cleanup.
+    */
+  private def readCentroids(spark: SparkSession, indexPath: String): DataFrame = {
+    val cd = new org.apache.hadoop.fs.Path(centDir(indexPath))
+    val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cd)) {
+      val stg = new org.apache.hadoop.fs.Path(centDir(indexPath) + "_staging")
+      val old = new org.apache.hadoop.fs.Path(centDir(indexPath) + "_old")
+      if (fs.exists(stg)) fs.rename(stg, cd)
+      else if (fs.exists(old)) fs.rename(old, cd)
+    }
+    spark.read.parquet(centDir(indexPath))
+  }
+
   /** Quantize raw float embeddings to the engine's integer vector form. */
   private def quantized(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), VectorOps.qvec(col("embedding")).as("q"))
@@ -80,11 +98,28 @@ object IvfIncremental {
   /** Assign a new batch against the CURRENT centroids, append its vectors
     * to the partitioned store, and merge its per-cell integer sums into the
     * centroid table (a #cells-row rewrite, never a corpus pass). Returns
-    * the batch's (vec_id, cell) assignments.
+    * the batch's (vec_id, cell) assignments as an UNCACHED frame — the
+    * internal cache is released before returning, and the returned plan
+    * recomputes against a driver-pinned centroid snapshot, so consuming it
+    * after the swap still yields exactly what was written.
+    *
+    * Ordering note: vectors append BEFORE the centroid merge on purpose. A
+    * crash between the two leaves the new rows probe-able (they sit in the
+    * partition dirs) with slightly stale mean ranks — recoverable by
+    * re-merging — whereas the reverse order would leave phantom counts with
+    * no rows behind them. Re-running the same batch after such a crash
+    * double-appends its vectors (at-least-once, as everywhere in the sink
+    * layer); dedupe on vec_id downstream if exactly-once matters.
     */
   def addBatch(spark: SparkSession, vecs: DataFrame, indexPath: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    val cents = spark.read.parquet(centDir(indexPath))
+    // Pin the (bounded, #cells-row) centroid table on the driver: plans
+    // built against it stay valid after the directory swap below, unlike a
+    // parquet read of centDir, which would silently re-read the NEW
+    // centroids on any post-swap recompute.
+    val centSrc = readCentroids(spark, indexPath)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(centSrc.collect(): _*), centSrc.schema)
     val assigned = assignTo(quantized(vecs), cents).persist()
     assigned.write.mode("append").partitionBy("cell").parquet(vecDir(indexPath))
     val merged = cellSums(assigned).unionByName(cents)
@@ -94,14 +129,23 @@ object IvfIncremental {
       .groupBy(col("cell"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, sv))), x -> x.sv)").as("csum"),
         max(col("c")).as("cnt"))
-    // small table: stage to a temp dir then swap, so a mid-write failure
-    // can't leave the index without centroids
+    // small table: stage to a temp dir, then swap via rename-old-aside so
+    // no crash point leaves the index without a complete centroid dir
+    // (readCentroids completes an interrupted swap)
     val tmp = centDir(indexPath) + "_staging"
     merged.write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(centDir(indexPath)), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(centDir(indexPath)))
+    val cd = new org.apache.hadoop.fs.Path(centDir(indexPath))
+    val old = new org.apache.hadoop.fs.Path(centDir(indexPath) + "_old")
+    fs.delete(old, true)
+    fs.rename(cd, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), cd)
+    fs.delete(old, true)
+    // release the internal cache BEFORE returning: callers get a plan, not
+    // a storage-memory obligation (round-6 advice — the DedupClusters leak
+    // class). Recompute-on-consume is one broadcast pass over the batch.
+    assigned.unpersist(false)
     assigned.select("vec_id", "cell")
   }
 
@@ -115,7 +159,7 @@ object IvfIncremental {
     import spark.implicits._
     val pq = quantized(Seq((-1L, probeVec)).toDF("vec_id", "embedding"))
       .select(col("q").as("pq"))
-    val cells = spark.read.parquet(centDir(indexPath)).crossJoin(broadcast(pq))
+    val cells = readCentroids(spark, indexPath).crossJoin(broadcast(pq))
       .select(col("cell"),
         (call_function("graft_dot_i64", col("csum"), col("pq")).cast("double") / col("cnt"))
           .as("score"))

@@ -77,6 +77,26 @@ object StreamIngest {
         .toSeq.filter(st => st.isFile && st.getLen == 0)
         .map(_.getPath.getName).toSet
     } catch { case _: Exception => Set.empty[String] }
+    // The file source itself lists 0-byte files too: it "completes" them
+    // (zero rows, so no batch ever names them) and cleanSource=archive may
+    // move them out of inputDir before the end-of-run listing. A 0-byte
+    // file that migrated to the archive is still unprocessed data and must
+    // B1-fail — so the end listing is input ∪ archive (recursive: the
+    // source archives under the file's full source path).
+    def listZeroByteArchived(): Set[String] = try {
+      val p = new Path(cfg.archiveDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty[String]
+      else {
+        val it = fs.listFiles(p, true)
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getLen == 0) b += st.getPath.getName
+        }
+        b.result()
+      }
+    } catch { case _: Exception => Set.empty[String] }
     val zeroAtStart = listZeroByte()
 
     val raw = spark.readStream
@@ -208,7 +228,7 @@ object StreamIngest {
       val fs = new Path(cfg.inputDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val handledDir = new Path(cfg.checkpointDir, "graft-handled-empty")
       def handled(name: String): Boolean = fs.exists(new Path(handledDir, name))
-      val toFail = (zeroAtStart intersect listZeroByte())
+      val toFail = (zeroAtStart intersect (listZeroByte() ++ listZeroByteArchived()))
         .filterNot(n => seenInBatch.contains(n) || handled(n))
       toFail.toSeq.sorted.foreach { name =>
         seen.incrementAndGet()
@@ -216,8 +236,11 @@ object StreamIngest {
         try {
           fs.mkdirs(handledDir)
           fs.create(new Path(handledDir, name), true).close()
-          fs.mkdirs(new Path(cfg.archiveDir))
-          fs.rename(new Path(cfg.inputDir, name), new Path(cfg.archiveDir, name)): Unit
+          // move only if the source's own cleanup hasn't already archived it
+          if (fs.exists(new Path(cfg.inputDir, name))) {
+            fs.mkdirs(new Path(cfg.archiveDir))
+            fs.rename(new Path(cfg.inputDir, name), new Path(cfg.archiveDir, name)): Unit
+          }
         } catch { case _: Exception => () } // marker/move best-effort; failure keeps the error record
       }
     } catch { case _: Exception => () }

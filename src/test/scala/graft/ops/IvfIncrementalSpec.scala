@@ -31,8 +31,22 @@ class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
     val batch2 = all.drop(50).toDF("vec_id", "embedding")
 
     IvfIncremental.bootstrap(spark, batch1, nCells = 4, dir)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val assigned2 = IvfIncremental.addBatch(spark, batch2, dir)
+    // round-6 advice: addBatch must not accrete storage blocks the caller
+    // can't release — the internal cache is freed before returning
+    assert(spark.sparkContext.getPersistentRDDs.keySet == rddsBefore,
+      "addBatch leaked persistent RDD blocks")
     assert(assigned2.count() == 50)
+    // the returned frame recomputes against a pinned pre-swap centroid
+    // snapshot: consumed AFTER the swap it must still equal what was stored
+    val storedCells = spark.read.parquet(s"$dir/vectors")
+      .selectExpr("vec_id", "cast(cell as long) as cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assigned2.collect().foreach { r =>
+      assert(storedCells(r.getLong(0)) == r.getLong(1),
+        s"post-swap recompute diverged for vec ${r.getLong(0)}")
+    }
 
     // state consistency: every vector stored exactly once; centroid counts
     // add up; the vector store is physically partitioned by cell
@@ -68,5 +82,32 @@ class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
     val got2 = IvfIncremental.probe(spark, dir2, probeVec, nprobe = 4, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(got2.toSeq == want)
+  }
+
+  test("probe completes an interrupted centroid swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-crash").toString
+    val all = (0 until 40).map(i => (i.toLong, mkVec(i)))
+    IvfIncremental.bootstrap(spark, all.toDF("vec_id", "embedding"), nCells = 4, dir)
+
+    // simulate a crash between addBatch's two renames: centroids/ moved
+    // aside, a complete staging dir waiting to be swapped in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cd = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val stg = new org.apache.hadoop.fs.Path(s"$dir/centroids_staging")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/centroids_old")
+    assert(fs.rename(cd, stg))
+
+    val probeVec = mkVec(1)
+    val got = IvfIncremental.probe(spark, dir, probeVec, nprobe = 4, k = 5).collect()
+    assert(got.length == 5, "probe must recover from a half-finished swap")
+    assert(fs.exists(cd) && !fs.exists(stg), "recovery should finish the swap")
+
+    // older crash shape: only the pre-batch table (centroids_old) remains
+    assert(fs.rename(cd, old))
+    val got2 = IvfIncremental.probe(spark, dir, probeVec, nprobe = 4, k = 5).collect()
+    assert(got2.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq)
+    assert(fs.exists(cd) && !fs.exists(old))
   }
 }

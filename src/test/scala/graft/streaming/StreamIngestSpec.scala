@@ -174,6 +174,40 @@ class StreamIngestSpec extends AnyFunSuite with SparkSpec {
     assert(notifier.sent.count(_.subject.startsWith("ERROR")) == errBefore)
   }
 
+  test("a 0-byte file archived by the source's own cleanup still B1-fails") {
+    // round-6 advice: the file source lists 0-byte files too, "completes"
+    // them (zero rows -> no batch names them) and cleanSource=archive can
+    // move them out of inputDir before the end-of-run listing. Force a
+    // 2-trigger run (>64 files, maxFilesPerTrigger=64): the zero file is
+    // written first (oldest mtime -> trigger 1), and the source's cleanup
+    // archives trigger-1 files while trigger 2 runs — so the end listing
+    // must consult the archive too, not just inputDir.
+    val cfg = mkCfg()
+    val notifier = new LogNotifier()
+    Sink.init(spark, cfg.sinkDir, graft.schema.CtbSchema.sparkSchema)
+    Files.write(Paths.get(cfg.inputDir, "CTB_aa_zero.tsv"), Array.empty[Byte])
+    Thread.sleep(20) // distinct mtime: the zero file must sort into trigger 1
+    (1 to 65).foreach { i =>
+      writeFile(cfg, f"CTB_g$i%02d.tsv",
+        rawHeaders.mkString("\t") +: Seq(validRow(s"Z$i").mkString("\t")))
+    }
+
+    val stats = StreamIngest.runOnce(spark, cfg, notifier)
+    assert(stats.filesSeen == 66)
+    assert(stats.filesSucceeded == 65)
+    val errs = spark.read.parquet(cfg.errorsDir).collect().map(_.getString(0))
+    assert(errs.exists(e => e.contains("CTB_aa_zero.tsv") && e.contains("File is empty")),
+      "0-byte file must B1-fail whether it ended the run in inputDir or the archive")
+    assert(!Files.exists(Paths.get(cfg.inputDir, "CTB_aa_zero.tsv")))
+
+    // exactly-once across runs: the handled marker survives wherever the
+    // file ended up, so a second drain does not re-fail it
+    val errBefore = notifier.sent.count(_.subject.startsWith("ERROR"))
+    val stats2 = StreamIngest.runOnce(spark, cfg, notifier)
+    assert(stats2.filesSeen == 0)
+    assert(notifier.sent.count(_.subject.startsWith("ERROR")) == errBefore)
+  }
+
   test("a 50-file trigger commits every file with accounting intact") {
     // exercises the bounded-pool commit path: per-file C3 accounting and
     // notifications must be exactly per file even with concurrent commits
