@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Tables.{t, Pack, Q}
+
+/** Round-7 surface extensions: event-sequence analytics (activity streaks,
+  * cohort retention), corpus-statistics text ops (document-frequency gram
+  * profiles, per-language term profiles, prefix-fingerprint dedup), and two
+  * relational surface gaps (arg-max/arg-min aggregates, null-safe join).
+  *
+  * Determinism rules (memory: cross-engine oracle parity):
+  *   - event time is integer epoch seconds (`unix_timestamp` vs DuckDB
+  *     `floor(epoch(ts))::BIGINT`) and day/week ids are integer divisions
+  *     of non-negative operands (Spark `div` truncates, DuckDB `//`
+  *     floors — equivalent on non-negatives);
+  *   - arg-max/arg-min order by a UNIQUE key (o_orderkey) so ties cannot
+  *     arise; top-k windows tie-break on the term string.
+  *
+  * Scale notes per query inline; nothing here shuffles document text —
+  * corpus statistics shuffle (gram, doc_id) pairs or per-group counters.
+  */
+object PipelineOps extends Pack {
+
+  private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+  private val tokSql = "string_split(text, ' ')"
+
+  val queries: Map[String, Q] = Map(
+
+    "window_streak" -> ((s, d) => {
+      // gaps-and-islands: longest run of CONSECUTIVE active days per user.
+      // island id = epoch_day - row_number: constant within a consecutive
+      // run, strictly decreasing across gaps. Scale shape: the distinct and
+      // both windows/groupings share the user_id shuffle key; days-per-user
+      // is bounded (calendar), so no skew amplification.
+      val days = t(s, d, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("ed"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ed"))
+      days
+        .withColumn("island", col("ed") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"),
+          sum(col("len")).cast("long").as("active_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
+    "events_retention" -> ((s, d) => {
+      // weekly cohort retention: cohort = a user's first active epoch-week,
+      // cell (cohort, offset) counts users still active offset weeks later.
+      // Scale shape: user-week distinct, per-user min, and the join all
+      // shuffle on user_id (one co-partitioned chain); the output is
+      // O(weeks^2) cells — tiny at any corpus size.
+      val wk = t(s, d, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 604800").as("wk"))
+        .distinct()
+      val first = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      wk.join(first, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "week_offset")
+    }),
+
+    "text_gram_df" -> ((s, d) => {
+      // ccnet-style repeated-gram coverage: how much of each document is
+      // built from corpus-common word-3-grams (df >= 5). High coverage =
+      // boilerplate/template suspicion. Scale shape: grams shuffle as
+      // (gram, doc_id) pairs — never text; df joins back via the gram key.
+      // The df side is NOT broadcast: distinct grams grow with the corpus.
+      val ng = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"
+        )).as("g"))
+        .distinct()
+      val df = ng.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      ng.join(df, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          max(col("df")).as("max_df"),
+          sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_common"))
+        .withColumn("permille_common", expr("(n_common * 1000) div n_grams"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_prefix" -> ((s, d) => {
+      // cheap first-pass dedup on a first-10-token prefix fingerprint (the
+      // "same article, different tail" web-corpus case): md5 the prefix,
+      // keep the lowest doc_id per fingerprint. Scale shape: shuffles a
+      // 32-char digest per doc; the groupBy is map-side combinable.
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(toks(col("text")), 1, 10))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("keep_id"), col("n_dups"), col("fp"))
+        .orderBy("keep_id")
+    }),
+
+    "text_df_top" -> ((s, d) => {
+      // per-language term profile: top-3 terms by document frequency
+      // (df desc, term asc — total order). Plans as WindowGroupLimit:
+      // per-partition top-k heaps, no full sort of the term table.
+      val df = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), explode(toks(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .distinct()
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("w").asc)
+      df.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("lang", "rnk")
+    }),
+
+    "agg_minmax_by" -> ((s, d) => {
+      // arg-extremum aggregates: which customer placed the highest/lowest
+      // order key per priority class. Ordering key o_orderkey is UNIQUE in
+      // the data, so arg ties cannot arise (cross-engine determinism).
+      // One hash-aggregate, map-side combinable — the 100 TB-safe way to
+      // answer "row of the max" without a window over the whole table.
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+          min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"),
+          max(col("o_orderkey")).as("max_key"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "join_null_safe" -> ((s, d) => {
+      // null-safe equality (<=>): NULL keys match each other instead of
+      // dropping out — the semantics plain equi-joins cannot express. Both
+      // sides are pre-aggregated to one row per key (bounded key domain),
+      // so the null-bucket cannot cross-product at scale; the join itself
+      // plans as a broadcast hash join on EqualNullSafe.
+      val left = t(s, d, "part")
+        .select(nullif(pmod(col("p_size"), lit(10)), lit(0)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_parts"))
+      val right = t(s, d, "supplier")
+        .select(nullif(pmod(col("s_nationkey"), lit(10)), lit(0)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_supps"))
+      left.join(right, left("k") <=> right("k"), "full_outer")
+        .select(coalesce(left("k"), right("k")).as("k"),
+          // distinguish "matched with NULL key" from "no match at all":
+          // the null-safe full outer makes exactly one row per key incl. NULL
+          col("n_parts"), col("n_supps"))
+        .orderBy(col("k").asc_nulls_first)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "window_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, floor(epoch(ts))::BIGINT // 86400 AS ed FROM events),
+        |isl AS (
+        |  SELECT user_id, ed,
+        |         ed - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ed) AS island
+        |  FROM days),
+        |st AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY user_id, island)
+        |SELECT user_id, max(len)::BIGINT AS max_streak, sum(len)::BIGINT AS active_days,
+        |       count(*)::BIGINT AS n_streaks
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, floor(epoch(ts))::BIGINT // 604800 AS wk FROM events),
+        |first AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY user_id)
+        |SELECT cohort, wk - cohort AS week_offset, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM wk JOIN first USING (user_id)
+        |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
+
+    "text_gram_df" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $tokSql AS ws FROM documents WHERE len($tokSql) >= 3),
+         |ng AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM base)),
+         |df AS (SELECT g, count(*) AS df FROM ng GROUP BY g)
+         |SELECT doc_id, count(*)::BIGINT AS n_grams, max(df)::BIGINT AS max_df,
+         |       sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_common,
+         |       ((sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT AS permille_common
+         |FROM ng JOIN df USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_prefix" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups, fp
+         |FROM (SELECT doc_id, md5(array_to_string(($tokSql)[1:10], ' ')) AS fp FROM documents)
+         |GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    "text_df_top" ->
+      s"""WITH df AS (
+         |  SELECT lang, w, count(*) AS df FROM (
+         |    SELECT DISTINCT lang, doc_id, unnest($tokSql) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY lang, w)
+         |SELECT lang, w, df::BIGINT AS df, rnk FROM (
+         |  SELECT lang, w, df,
+         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, w ASC)::INT AS rnk
+         |  FROM df) r
+         |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+
+    "agg_minmax_by" ->
+      """SELECT o_orderpriority, arg_max(o_custkey, o_orderkey) AS last_cust,
+        |arg_min(o_custkey, o_orderkey) AS first_cust,
+        |max(o_orderkey) AS max_key, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH l AS (
+        |  SELECT nullif(p_size % 10, 0) AS k, count(*) AS n_parts FROM part GROUP BY 1),
+        |r AS (
+        |  SELECT nullif(s_nationkey % 10, 0) AS k, count(*) AS n_supps FROM supplier GROUP BY 1)
+        |SELECT coalesce(l.k, r.k) AS k, n_parts, n_supps
+        |FROM l FULL OUTER JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |ORDER BY k NULLS FIRST""".stripMargin
+  )
+}
