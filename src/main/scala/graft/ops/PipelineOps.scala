@@ -132,6 +132,62 @@ object PipelineOps extends Pack {
         .orderBy("o_orderpriority")
     }),
 
+    "agg_string" -> ((s, d) => {
+      // ordered string aggregation (LISTAGG): the distinct event types a
+      // user has produced, as one deterministic comma-joined string.
+      // collect_set is unordered and partition-order-dependent — sort_array
+      // makes the result total-ordered, so the aggregation is
+      // partition-order-PROOF (same cross-engine rule as integer moments).
+      // Bounded state: the event-type domain is small; never listagg an
+      // unbounded value domain at scale.
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types_csv"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "sort_paginate" -> ((s, d) => {
+      // keyset-free pagination: global total order + OFFSET/LIMIT. Spark
+      // plans offset+limit into ONE CollectLimit(offset, limit) over the
+      // sorted stream — at scale, prefer keyset pagination (WHERE key >
+      // last_seen) for deep pages; this exercises the operator surface.
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100)
+        .limit(20)
+    }),
+
+    "agg_bool" -> ((s, d) => {
+      // boolean aggregates (every/any): per-priority data-quality style
+      // assertions in one map-side-combinable pass
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("n_over_400k"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "events_transitions" -> ((s, d) => {
+      // first-order behavior model: event-type -> next-event-type transition
+      // counts per user sequence, global top-10. The lead window shuffles
+      // once on user_id; the transition count is a two-column hash agg; the
+      // top-10 is TakeOrderedAndProject (never a full sort at scale).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type").asc, col("next_type").asc)
+        .limit(10)
+    }),
+
     "join_null_safe" -> ((s, d) => {
       // null-safe equality (<=>): NULL keys match each other instead of
       // dropping out — the semantics plain equi-joins cannot express. Both
@@ -210,6 +266,32 @@ object PipelineOps extends Pack {
         |arg_min(o_custkey, o_orderkey) AS first_cust,
         |max(o_orderkey) AS max_key, count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_string" ->
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+        |count(DISTINCT event_type)::BIGINT AS n_types, count(*)::BIGINT AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "sort_paginate" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 100""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT o_orderpriority, bool_and(o_totalprice > 1000) AS all_over_1k,
+        |bool_or(o_totalprice > 400000) AS any_over_400k,
+        |sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)::BIGINT AS n_over_400k,
+        |count(*)::BIGINT AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*)::BIGINT AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY n DESC, event_type ASC, next_type ASC LIMIT 10""".stripMargin,
 
     "join_null_safe" ->
       """WITH l AS (
