@@ -24,6 +24,9 @@ object PipelineOps extends Pack {
 
   private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
   private val tokSql = "string_split(text, ' ')"
+  private def h60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private val h60Sql = "('0x'||substr(md5(%s),1,15))::BIGINT"
 
   val queries: Map[String, Q] = Map(
 
@@ -67,15 +70,19 @@ object PipelineOps extends Pack {
     "text_gram_df" -> ((s, d) => {
       // ccnet-style repeated-gram coverage: how much of each document is
       // built from corpus-common word-3-grams (df >= 5). High coverage =
-      // boilerplate/template suspicion. Scale shape: grams shuffle as
-      // (gram, doc_id) pairs — never text; df joins back via the gram key.
-      // The df side is NOT broadcast: distinct grams grow with the corpus.
+      // boilerplate/template suspicion. Scale shape: grams are 60-bit md5
+      // hashes from the start (same rationale as dedup_ngram — every
+      // shuffle moves a (long, long) pair, never a ~25-byte gram string;
+      // a collision would need ~2^30 distinct grams); df joins back via
+      // the hash key. The df side is NOT broadcast: distinct grams grow
+      // with the corpus.
       val ng = t(s, d, "documents")
         .select(col("doc_id"), toks(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"
-        )).as("g"))
+        )).as("gs"))
+        .select(col("doc_id"), h60(col("gs")).as("g"))
         .distinct()
       val df = ng.groupBy(col("g")).agg(count(lit(1)).as("df"))
       ng.join(df, "g")
@@ -99,6 +106,26 @@ object PipelineOps extends Pack {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .select(col("keep_id"), col("n_dups"), col("fp"))
         .orderBy("keep_id")
+    }),
+
+    "dedup_latest" -> ((s, d) => {
+      // keep-latest-version compaction (the CDC / re-crawled-corpus case):
+      // one surviving row per (user_id, event_type) — the one with the
+      // highest event_id. row_number()=1 plans as WindowGroupLimit
+      // (per-partition top-1 heaps before the shuffle), so the shuffle
+      // carries at most one row per key per input partition — the same
+      // shape dropDuplicates cannot give when "which row survives" matters.
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id").desc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          // surviving row's payload as integer permille: ONE IEEE multiply
+          // + floor is bit-identical across engines (float-compare rule)
+          floor(col("value") * 1000).cast("long").as("value_permille"))
+        .orderBy("user_id", "event_type")
     }),
 
     "text_df_top" -> ((s, d) => {
@@ -232,23 +259,30 @@ object PipelineOps extends Pack {
         |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
 
     "text_gram_df" ->
-      s"""WITH base AS (
+      (s"""WITH base AS (
          |  SELECT doc_id, $tokSql AS ws FROM documents WHERE len($tokSql) >= 3),
          |ng AS (
-         |  SELECT DISTINCT doc_id, g FROM (
+         |  SELECT DISTINCT doc_id, (""" + h60Sql.format("gs") + s""") AS g FROM (
          |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
-         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM base)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs FROM base)),
          |df AS (SELECT g, count(*) AS df FROM ng GROUP BY g)
          |SELECT doc_id, count(*)::BIGINT AS n_grams, max(df)::BIGINT AS max_df,
          |       sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_common,
          |       ((sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT AS permille_common
          |FROM ng JOIN df USING (g)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |GROUP BY doc_id ORDER BY doc_id""").stripMargin,
 
     "dedup_prefix" ->
       s"""SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups, fp
          |FROM (SELECT doc_id, md5(array_to_string(($tokSql)[1:10], ' ')) AS fp FROM documents)
          |GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    "dedup_latest" ->
+      """SELECT user_id, event_type, event_id, floor(value * 1000)::BIGINT AS value_permille FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "text_df_top" ->
       s"""WITH df AS (
