@@ -215,6 +215,82 @@ object PipelineOps extends Pack {
         .limit(10)
     }),
 
+    "agg_weighted" -> ((s, d) => {
+      // weighted mean via exact integer moments: weights are price CENTS
+      // (decimal-exact, never float), the two sums are exact longs, and
+      // the mean is ONE IEEE division of two integer-valued doubles —
+      // bit-identical across engines, partition orders, and retries
+      // (built-in avg()-of-floats is none of those). Map-side combinable.
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(10,2)") * 100).cast("long").as("w"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("w") * col("q")).as("swq"), sum(col("w")).as("sw"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          (col("swq").cast("double") / col("sw").cast("double")).as("weighted_qty"),
+          col("sw"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "multimodal_chunks" -> ((s, d) => {
+      // chunk plan for opaque blobs: one row per fixed-256-byte transfer
+      // unit with (offset, length) — the shard map a decode/upload stage
+      // consumes. Generate (posexplode of a sequence) is the UDTF surface;
+      // nothing materializes the blob itself. Bounded output: ceil(bytes/256)
+      // rows per doc.
+      t(s, d, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+        .select(col("doc_id"), col("n_bytes"),
+          posexplode(expr("sequence(0, (n_bytes + 255) div 256 - 1)")))
+        .select(col("doc_id"),
+          col("col").as("chunk_id"),
+          (col("col") * 256).as("off"),
+          least(lit(256), col("n_bytes") - col("col") * 256).as("len"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "pipeline_prep" -> ((s, d) => {
+      // the flagship COMPOSITE: quality gate -> exact dedup -> benchmark
+      // decontamination -> stratified sample -> shard stats, as ONE lazy
+      // plan (the TrainingDataPrep composition, here in its oracle-paired
+      // form — DuckDB independently reproduces every stage). Scale notes:
+      // the dedup keeps one row per content hash via a WindowGroupLimit
+      // top-1 (never collect_list); contamination is an inverted-index
+      // semi-join on 8-byte gram hashes; the sample is a keyed hash
+      // (reproducible across engines/retries); nothing shuffles text
+      // except the md5-keyed dedup of quality survivors.
+      val ws = toks(col("text"))
+      val quality = t(s, d, "documents")
+        .filter(col("n_chars").between(40, 10000) && size(ws) >= 5 &&
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")) * 5 <= col("n_chars"))
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = quality
+        .withColumn("fp", md5(col("text")))
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1)
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-3), i -> array_join(slice(ws, i, 4), ' '))")).as("gram"))
+        .select(col("doc_id"), h60(col("gram")).as("g"))
+        .distinct()
+        .persist() // consumed by both the benchmark side and the corpus side
+      val bench = grams.filter(col("doc_id") < 5).select(col("g")).distinct()
+      val contaminated = grams.filter(col("doc_id") >= 5)
+        .join(bench, "g").select(col("doc_id")).distinct()
+      deduped
+        .filter(col("doc_id") >= 5)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(h60(concat(col("lang"), lit("#"), col("doc_id").cast("string"))) % 100 < 50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("lang")
+    }),
+
     "join_null_safe" -> ((s, d) => {
       // null-safe equality (<=>): NULL keys match each other instead of
       // dropping out — the semantics plain equi-joins cannot express. Both
@@ -326,6 +402,51 @@ object PipelineOps extends Pack {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type
         |ORDER BY n DESC, event_type ASC, next_type ASC LIMIT 10""".stripMargin,
+
+    "agg_weighted" ->
+      """SELECT l_returnflag,
+        |(sum(w * q)::DOUBLE) / (sum(w)::DOUBLE) AS weighted_qty,
+        |sum(w)::BIGINT AS sw, count(*)::BIGINT AS n
+        |FROM (SELECT l_returnflag,
+        |        (CAST(l_extendedprice AS DECIMAL(10,2)) * 100)::BIGINT AS w,
+        |        l_quantity::BIGINT AS q FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "multimodal_chunks" ->
+      """SELECT doc_id, chunk_id::INT AS chunk_id, (chunk_id * 256)::INT AS off,
+        |least(256, n_bytes - chunk_id * 256)::INT AS len
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+        |     unnest(generate_series(0, (n_bytes + 255) // 256 - 1)) AS u(chunk_id)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pipeline_prep" ->
+      (s"""WITH quality AS (
+         |  SELECT doc_id, text, lang, n_chars FROM documents
+         |  WHERE n_chars BETWEEN 40 AND 10000
+         |    AND len($tokSql) >= 5
+         |    AND length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 5 <= n_chars),
+         |dedup AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM quality),
+         |kept AS (
+         |  SELECT q.* FROM quality q JOIN dedup USING (doc_id)
+         |  WHERE rn = 1 AND q.doc_id >= 5),
+         |docs4 AS (
+         |  SELECT doc_id, $tokSql AS ws FROM documents WHERE len($tokSql) >= 4),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, (""" + h60Sql.format("gram") + s""") AS g FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-3),
+         |      i -> array_to_string(ws[i:i+3], ' '))) AS gram FROM docs4)),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) WHERE doc_id >= 5),
+         |sampled AS (
+         |  SELECT * FROM kept
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND (""" + h60Sql.format("lang || '#' || doc_id::VARCHAR") + """) % 100 < 50)
+         |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+         |       min(doc_id) AS min_doc
+         |FROM sampled GROUP BY lang ORDER BY lang""").stripMargin,
 
     "join_null_safe" ->
       """WITH l AS (
