@@ -18,9 +18,12 @@ object SparkEntry {
   private val packs: Seq[graft.ops.Tables.Pack] =
     Seq(CtbOps, Relational, ExtraRelational, PipelineOps, TextOps, VectorOps, UdfQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * pipeline_prep is the engine's composite: quality gate -> exact dedup ->
+    * decontamination -> stratified sample -> shard stats as one lazy plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("agg_groupby")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_prep")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
