@@ -215,6 +215,23 @@ object PipelineOps extends Pack {
         .limit(10)
     }),
 
+    "fn_try" -> ((s, d) => {
+      // error-tolerant scalar surface: try_divide / try_cast /
+      // try_element_at return NULL where the strict forms raise — the
+      // semantics a 100 TB pipeline needs (one malformed row must never
+      // kill a stage; the NULLs flow to the error-accounting side).
+      // Cross-engine note: q_div is a SINGLE division of two exact
+      // integers (bit-stable); the round-trip cast goes through LONG so
+      // both engines parse the same canonical string.
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        expr("try_divide(cast(l_quantity as long), pmod(l_linenumber, 3))").as("q_div"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+        expr("try_cast(cast(cast(l_quantity as long) as string) AS BIGINT)").as("qty_rt"),
+        expr("try_element_at(array(l_orderkey), 2)").as("oob"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     "agg_weighted" -> ((s, d) => {
       // weighted mean via exact integer moments: weights are price CENTS
       // (decimal-exact, never float), the two sums are exact longs, and
@@ -402,6 +419,15 @@ object PipelineOps extends Pack {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type
         |ORDER BY n DESC, event_type ASC, next_type ASC LIMIT 10""".stripMargin,
+
+    "fn_try" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |CASE WHEN l_linenumber % 3 = 0 THEN NULL
+        |     ELSE l_quantity::BIGINT / (l_linenumber % 3) END AS q_div,
+        |TRY_CAST(l_returnflag AS INT) AS flag_int,
+        |TRY_CAST((l_quantity::BIGINT)::VARCHAR AS BIGINT) AS qty_rt,
+        |[l_orderkey][2] AS oob
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "agg_weighted" ->
       """SELECT l_returnflag,
