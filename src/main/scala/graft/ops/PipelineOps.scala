@@ -220,13 +220,19 @@ object PipelineOps extends Pack {
       // try_element_at return NULL where the strict forms raise — the
       // semantics a 100 TB pipeline needs (one malformed row must never
       // kill a stage; the NULLs flow to the error-accounting side).
-      // Cross-engine note: q_div is a SINGLE division of two exact
-      // integers (bit-stable); the round-trip cast goes through LONG so
-      // both engines parse the same canonical string.
+      // PERF TRAP (measured): Spark's TRY eval is exception-driven, so a
+      // column that fails on EVERY row throws per row (~8 s / 600k rows at
+      // sf0.1 — an exception-throughput benchmark, not a scalar suite).
+      // Errors are rare in production data; the failing branches here fire
+      // on ~0.1-0.2% of rows, which is the case try_* is for. Cross-engine:
+      // q_div is a SINGLE division of two exact integers (bit-stable); the
+      // round-trip cast goes through LONG so both engines parse the same
+      // canonical string.
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        expr("try_divide(cast(l_quantity as long), pmod(l_linenumber, 3))").as("q_div"),
-        expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+        expr("try_divide(cast(l_quantity as long), pmod(l_orderkey, 499))").as("q_div"),
+        expr("try_cast(CASE WHEN pmod(l_orderkey, 1000) = 0 THEN l_returnflag " +
+          "ELSE cast(pmod(l_orderkey, 100) as string) END AS INT)").as("flag_int"),
         expr("try_cast(cast(cast(l_quantity as long) as string) AS BIGINT)").as("qty_rt"),
         expr("try_element_at(array(l_orderkey), 2)").as("oob"))
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
@@ -422,9 +428,10 @@ object PipelineOps extends Pack {
 
     "fn_try" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |CASE WHEN l_linenumber % 3 = 0 THEN NULL
-        |     ELSE l_quantity::BIGINT / (l_linenumber % 3) END AS q_div,
-        |TRY_CAST(l_returnflag AS INT) AS flag_int,
+        |CASE WHEN l_orderkey % 499 = 0 THEN NULL
+        |     ELSE l_quantity::BIGINT / (l_orderkey % 499) END AS q_div,
+        |TRY_CAST(CASE WHEN l_orderkey % 1000 = 0 THEN l_returnflag
+        |              ELSE (l_orderkey % 100)::VARCHAR END AS INT) AS flag_int,
         |TRY_CAST((l_quantity::BIGINT)::VARCHAR AS BIGINT) AS qty_rt,
         |[l_orderkey][2] AS oob
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
