@@ -159,6 +159,23 @@ object PipelineOps extends Pack {
         .orderBy("o_orderpriority")
     }),
 
+    "pivot_native" -> ((s, d) => {
+      // the native relational pivot operator (vs pivot_manual's portable
+      // conditional-aggregation form): an explicit value list keeps the
+      // plan ONE hash aggregate — omitting it adds a distinct-values job
+      // before planning, which at 100 TB is a full extra pass. Spark
+      // rewrites pivot to exactly pivot_manual's shape; this query pins
+      // that equivalence under the oracle.
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .count()
+        .na.fill(0L)
+        .select(col("user_id"), col("view").as("n_view"),
+          col("click").as("n_click"), col("purchase").as("n_purchase"))
+        .orderBy("user_id")
+    }),
+
     "agg_string" -> ((s, d) => {
       // ordered string aggregation (LISTAGG): the distinct event types a
       // user has produced, as one deterministic comma-joined string.
@@ -399,6 +416,13 @@ object PipelineOps extends Pack {
         |arg_min(o_custkey, o_orderkey) AS first_cust,
         |max(o_orderkey) AS max_key, count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "pivot_native" ->
+      """SELECT user_id,
+        |count(*) FILTER (event_type = 'view') AS n_view,
+        |count(*) FILTER (event_type = 'click') AS n_click,
+        |count(*) FILTER (event_type = 'purchase') AS n_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "agg_string" ->
       """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
