@@ -51,6 +51,29 @@ object PipelineOps extends Pack {
         .orderBy("user_id")
     }),
 
+    "events_active_users" -> ((s, d) => {
+      // DAU / trailing-7-day WAU per day — the standard activity rollup.
+      // Exact WAU needs distinct-users-over-a-range, which no window
+      // function gives. Instead of a range JOIN (plans as a nested-loop),
+      // each (user, active-day) row EXPLODES into the 7 window-days it
+      // contributes to — a pure equi-shuffle shape: 7x row growth bounded
+      // by calendar x users, never by event volume (events collapse to
+      // day-user first), then one distinct-count per day. The equi-join
+      // with the observed-day list trims phantom trailing days. At much
+      // larger user counts swap exact distinct for the mergeable HLL
+      // sketch (agg_sketch_merge shows the primitive); the shape holds.
+      val du = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("ed"), col("user_id"))
+        .distinct()
+      val days = du.select(col("ed")).distinct()
+      val dau = du.groupBy(col("ed")).agg(countDistinct(col("user_id")).as("dau"))
+      val wau = du.select(explode(expr("sequence(ed, ed + 6)")).as("ed"), col("user_id"))
+        .join(days, "ed")
+        .groupBy(col("ed"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "ed").orderBy("ed")
+    }),
+
     "events_retention" -> ((s, d) => {
       // weekly cohort retention: cohort = a user's first active epoch-week,
       // cell (cohort, offset) counts users still active offset weeks later.
@@ -365,6 +388,19 @@ object PipelineOps extends Pack {
         |SELECT user_id, max(len)::BIGINT AS max_streak, sum(len)::BIGINT AS active_days,
         |       count(*)::BIGINT AS n_streaks
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT floor(epoch(ts))::BIGINT // 86400 AS ed, user_id FROM events),
+        |days AS (SELECT DISTINCT ed FROM du),
+        |dau AS (SELECT ed, count(DISTINCT user_id)::BIGINT AS dau FROM du GROUP BY ed),
+        |contrib AS (
+        |  SELECT unnest(generate_series(ed, ed + 6)) AS ed, user_id FROM du),
+        |wau AS (
+        |  SELECT c.ed, count(DISTINCT c.user_id)::BIGINT AS wau
+        |  FROM contrib c JOIN days USING (ed)
+        |  GROUP BY c.ed)
+        |SELECT ed, dau, wau FROM dau JOIN wau USING (ed) ORDER BY ed""".stripMargin,
 
     "events_retention" ->
       """WITH wk AS (
