@@ -316,6 +316,31 @@ object ExtraRelational extends Pack {
               .cast("double"), lit(0.0)).as("disc_rev"),
           countDistinct(when(col("l_linestatus") === "F", col("l_suppkey"))).as("supps_f"))
         .orderBy("l_returnflag")
+    }),
+
+    "agg_corr" -> ((s, d) => {
+      // Pearson correlation per group via EXACT integer moments: inputs are
+      // quantized (quantity as-is, discount -> integer percent), the five
+      // sums stay in BIGINT, and the only float ops are two correctly-
+      // rounded IEEE sqrts, one multiply and one divide on identical
+      // integers — bit-identical across engines. Built-in corr() is
+      // intentionally avoided: each engine's incremental float algorithm
+      // accumulates different rounding. ONE map-side-combinable hash agg.
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_qd"))
+        .orderBy("l_returnflag")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -484,5 +509,22 @@ object ExtraRelational extends Pack {
         |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
         |  CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) AS disc_rev,
         |  count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F') AS supps_f
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_corr" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, round(l_quantity)::BIGINT AS x,
+        |         round(l_discount * 100)::BIGINT AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*)::BIGINT AS n,
+        |         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |         sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+        |         sum(x*y)::BIGINT AS sxy
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       (n*sxy - sx*sy)::DOUBLE /
+        |       (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+        |         AS corr_qd
+        |FROM m ORDER BY l_returnflag""".stripMargin)
 }

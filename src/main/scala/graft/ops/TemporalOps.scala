@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Tables.{t, Pack, Q}
+
+/** Round-8 surface extensions: temporal / change-data analytics — anomaly
+  * detection on daily series, gap-fill (fill-forward), SCD type-2 history
+  * construction, CDC keep-latest upsert merge, and an interval-overlap
+  * join expressed as a bin equi-join (the scale-honest alternative to a
+  * nested-loop range join).
+  *
+  * Determinism rules (memory: cross-engine oracle parity):
+  *   - event time is integer epoch seconds (`unix_timestamp` truncation vs
+  *     DuckDB `floor(epoch(ts))::BIGINT`); day/hour ids are integer
+  *     divisions of non-negative operands;
+  *   - money/value quantization is `round(x * 100)` on the SAME double in
+  *     both engines (one product + one half-away round — bit-identical);
+  *   - the anomaly test is pure integer algebra: z > 2 rewritten as
+  *     (7c - S)^2 > 4(7Q - S^2) — no float mean/stddev ever compared;
+  *   - window orders use unique keys (event_id) or total orders (es,
+  *     event_id) so ties cannot arise.
+  */
+object TemporalOps extends Pack {
+
+  /** Per-user sessions (>1h gap starts a new one) as [start, end] epoch-sec
+    * intervals. Shared by join_interval; same gaps-and-islands kernel as
+    * the sessionize query, aggregated to one row per session.
+    */
+  private def sessions(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val run = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"))
+      .withColumn("prev", lag(col("es"), 1).over(byU))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("es") - col("prev") > 3600, 1).otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("es")).as("s_start"), max(col("es")).as("s_end"))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    "events_anomaly" -> ((s, d) => {
+      // spike detection on the daily event-count series, per event type:
+      // flag days whose count exceeds the trailing-7-observed-day mean by
+      // more than 2 sigma. The z-test is rewritten in integers so both
+      // engines decide from identical exact arithmetic:
+      //   (c - S/7)^2 > 4 * (7Q - S^2)/49   <=>   (7c - S)^2 > 4(7Q - S^2)
+      // Scale shape: one (day, type) hash agg (map-side combined) collapses
+      // event volume to a bounded calendar x type series; the trailing
+      // window then runs on that tiny frame — the window never sees rows
+      // proportional to event volume.
+      val daily = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("ed"), col("event_type"))
+        .groupBy(col("ed"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ed")).rowsBetween(-7, -1)
+      daily
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("s7", sum(col("cnt")).over(w))
+        .withColumn("q7", sum(col("cnt") * col("cnt")).over(w))
+        .filter(col("n7") === 7)
+        .withColumn("is_spike",
+          (lit(7) * col("cnt") - col("s7") > 0) &&
+            ((lit(7) * col("cnt") - col("s7")) * (lit(7) * col("cnt") - col("s7")) >
+              lit(4) * (lit(7) * col("q7") - col("s7") * col("s7"))))
+        .select(col("ed"), col("event_type"), col("cnt"), col("s7"), col("q7"), col("is_spike"))
+        .orderBy("event_type", "ed")
+    }),
+
+    "window_fill_forward" -> ((s, d) => {
+      // gap-fill: carry the last purchase amount forward over each user's
+      // event stream (the telemetry "sample-and-hold" op). last(ignoreNulls)
+      // over an unbounded-preceding frame is one pass per partition — no
+      // self-join, no recursive fill. Amounts are quantized to integer
+      // cents (same double product + half-away round in both engines).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("pv",
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")))
+        .select(col("event_id"), col("user_id"),
+          last(col("pv"), ignoreNulls = true).over(w).as("last_purchase_cents"))
+        .orderBy("event_id")
+    }),
+
+    "scd2_history" -> ((s, d) => {
+      // slowly-changing-dimension type-2 build from a change log: per user,
+      // keep only rows where the tracked attribute (value tier) CHANGES,
+      // then close each version with the next change's timestamp. Two
+      // window passes over the same (user_id | es, event_id) order — one
+      // shuffle; the change filter drops rows before the second window
+      // ranks them. Tier = floor(value/100): one double division, floored
+      // identically by both engines.
+      val byU = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"),
+          floor(col("value") / 100).cast("long").as("tier"))
+      ev.withColumn("prev_tier", lag(col("tier"), 1).over(byU))
+        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+        .withColumn("valid_to", lead(col("es"), 1).over(byU) - 1)
+        .select(col("user_id"), col("event_id"), col("tier"),
+          col("es").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    "merge_upsert" -> ((s, d) => {
+      // CDC upsert (MERGE): a base table absorbs a delta of updates and
+      // inserts; latest version per key wins. The delta here is derived
+      // deterministically from orders (keys %7 get a 10% price bump; keys
+      // %13 arrive as new +10M keys) so both engines see the same merge.
+      // Scale shape: union is free (no shuffle); the keep-latest is a
+      // WindowGroupLimit top-1 per key — partial per-partition heaps mean
+      // at most one row per key per input partition reaches the shuffle,
+      // exactly the dedup_latest compaction shape.
+      val base = t(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        lit(0L).as("version"))
+      val upd = base.filter(col("k") % 7 === 0)
+        .select(col("k"), lit("U").as("st"),
+          expr("(cents * 11) div 10").as("cents"), lit(1L).as("version"))
+      val ins = base.filter(col("k") % 13 === 0)
+        .select((col("k") + 10000000L).as("k"), lit("I").as("st"),
+          col("cents"), lit(1L).as("version"))
+      val w = Window.partitionBy(col("k")).orderBy(col("version").desc)
+      base.unionByName(upd).unionByName(ins)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("op",
+          when(col("k") >= 10000000L, "inserted")
+            .when(col("version") === 1, "updated")
+            .otherwise("unchanged"))
+        .select(col("k").as("o_orderkey"), col("st").as("status"),
+          col("cents").as("price_cents"), col("version"), col("op"))
+        .orderBy("o_orderkey")
+    }),
+
+    "join_interval" -> ((s, d) => {
+      // interval-overlap join without a nested loop: count concurrent
+      // session pairs (different users, overlapping [start,end]) per day.
+      // Each session EXPLODES into the hour bins it covers; candidates come
+      // from an equi-join on the bin id, the exact overlap predicate then
+      // filters within the bin, and a distinct collapses pairs that share
+      // several bins. Scale shape: candidate volume is (sessions per hour)^2
+      // per bin — local density, never |sessions|^2; the bin id is the only
+      // shuffle key. The DuckDB oracle runs the same semantics as a direct
+      // quadratic range join (its IEJoin), independent of the binning.
+      val sess = sessions(s, d).persist() // both sides of the self-join
+      val binned = sess.select(col("user_id"), col("s_start"), col("s_end"),
+        explode(expr("sequence(s_start div 3600, s_end div 3600)")).as("hb"))
+      val a = binned.select(col("hb").as("ha"), col("user_id").as("ua"),
+        col("s_start").as("sa"), col("s_end").as("ea"))
+      val b = binned.select(col("hb").as("hb2"), col("user_id").as("ub"),
+        col("s_start").as("sb"), col("s_end").as("eb"))
+      a.join(b, col("ha") === col("hb2") && col("ua") < col("ub") &&
+          col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .select(col("ua"), col("sa"), col("ub"), col("sb"),
+          greatest(col("sa"), col("sb")).as("ov_start"))
+        .distinct()
+        .groupBy(expr("ov_start div 86400").as("day"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("day")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT floor(epoch(ts))::BIGINT // 86400 AS ed, event_type,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT ed, event_type, cnt,
+        |         count(*)  OVER win AS n7,
+        |         sum(cnt)  OVER win AS s7,
+        |         sum(cnt*cnt) OVER win AS q7
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ed
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT ed, event_type, cnt, s7::BIGINT AS s7, q7::BIGINT AS q7,
+        |       (7*cnt - s7 > 0 AND
+        |        (7*cnt - s7)*(7*cnt - s7) > 4*(7*q7 - s7*s7)) AS is_spike
+        |FROM w WHERE n7 = 7 ORDER BY event_type, ed""".stripMargin,
+
+    "window_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase'
+        |                  THEN round(value * 100)::BIGINT END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "scd2_history" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS es,
+        |         floor(value / 100)::BIGINT AS tier
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, es, tier FROM (
+        |    SELECT user_id, event_id, es, tier,
+        |           lag(tier) OVER (PARTITION BY user_id ORDER BY es, event_id) AS pt
+        |    FROM ev)
+        |  WHERE pt IS NULL OR tier <> pt)
+        |SELECT user_id, event_id, tier, es AS valid_from,
+        |       lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id) - 1 AS valid_to
+        |FROM ch ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         round(o_totalprice * 100)::BIGINT AS cents, 0::BIGINT AS version
+        |  FROM orders),
+        |delta AS (
+        |  SELECT k, 'U' AS st, ((cents * 11) // 10)::BIGINT AS cents, 1::BIGINT AS version
+        |  FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k + 10000000 AS k, 'I' AS st, cents, 1::BIGINT AS version
+        |  FROM base WHERE k % 13 = 0),
+        |merged AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+        |latest AS (
+        |  SELECT k, st, cents, version FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |    FROM merged)
+        |  WHERE rn = 1)
+        |SELECT k AS o_orderkey, st AS status, cents AS price_cents, version,
+        |       CASE WHEN k >= 10000000 THEN 'inserted'
+        |            WHEN version = 1 THEN 'updated'
+        |            ELSE 'unchanged' END AS op
+        |FROM latest ORDER BY o_orderkey""".stripMargin,
+
+    "join_interval" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS es FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, es,
+        |         CASE WHEN prev IS NULL OR es - prev > 3600 THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, event_id, es,
+        |               lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev
+        |        FROM ev)),
+        |numbered AS (
+        |  SELECT user_id, es,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, sid, min(es) AS s_start, max(es) AS s_end
+        |  FROM numbered GROUP BY user_id, sid)
+        |SELECT (greatest(a.s_start, b.s_start) // 86400)::BIGINT AS day,
+        |       count(*)::BIGINT AS n_pairs
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id
+        | AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+        |GROUP BY day ORDER BY day""".stripMargin
+  )
+}
