@@ -140,6 +140,36 @@ object TemporalOps extends Pack {
         .orderBy("o_orderkey")
     }),
 
+    "events_rfm" -> ((s, d) => {
+      // RFM segmentation: per purchasing user, recency (days since last
+      // purchase vs corpus max), frequency, monetary (integer cents), each
+      // cut into quintiles. ntile needs a GLOBAL total order — fine at
+      // user cardinality (bounded, already one row per user), but at 100 TB
+      // the quintile edges should come from approx_percentile cutpoints
+      // (agg_approx_percentile shows the mergeable primitive) instead of a
+      // single-partition window. Unique user_id tiebreaks make every tile
+      // assignment deterministic across engines.
+      val p = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val per = p.groupBy(col("user_id"))
+        .agg(max(col("es")).as("last_es"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("monetary"))
+      val mx = p.agg(max(col("es")).as("gmax"))
+      per.crossJoin(broadcast(mx))
+        .withColumn("rec_days", expr("(gmax - last_es) div 86400"))
+        .withColumn("r_tile",
+          ntile(5).over(Window.orderBy(col("rec_days"), col("user_id"))))
+        .withColumn("f_tile",
+          ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
+        .withColumn("m_tile",
+          ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id"))))
+        .withColumn("rfm", col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
+        .select(col("user_id"), col("rec_days"), col("freq"), col("monetary"),
+          col("r_tile"), col("f_tile"), col("m_tile"), col("rfm"))
+        .orderBy("user_id")
+    }),
+
     "join_interval" -> ((s, d) => {
       // interval-overlap join without a nested loop: count concurrent
       // session pairs (different users, overlapping [start,end]) per day.
@@ -234,6 +264,30 @@ object TemporalOps extends Pack {
         |            WHEN version = 1 THEN 'updated'
         |            ELSE 'unchanged' END AS op
         |FROM latest ORDER BY o_orderkey""".stripMargin,
+
+    "events_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, floor(epoch(ts))::BIGINT AS es,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |per AS (
+        |  SELECT user_id, max(es) AS last_es, count(*)::BIGINT AS freq,
+        |         sum(cents)::BIGINT AS monetary
+        |  FROM p GROUP BY user_id),
+        |mx AS (SELECT max(es) AS gmax FROM p),
+        |r AS (
+        |  SELECT user_id, ((gmax - last_es) // 86400)::BIGINT AS rec_days,
+        |         freq, monetary
+        |  FROM per CROSS JOIN mx),
+        |tiles AS (
+        |  SELECT user_id, rec_days, freq, monetary,
+        |         ntile(5) OVER (ORDER BY rec_days, user_id)          AS r_tile,
+        |         ntile(5) OVER (ORDER BY freq DESC, user_id)         AS f_tile,
+        |         ntile(5) OVER (ORDER BY monetary DESC, user_id)     AS m_tile
+        |  FROM r)
+        |SELECT user_id, rec_days, freq, monetary, r_tile, f_tile, m_tile,
+        |       (r_tile * 100 + f_tile * 10 + m_tile) AS rfm
+        |FROM tiles ORDER BY user_id""".stripMargin,
 
     "join_interval" ->
       """WITH ev AS (
