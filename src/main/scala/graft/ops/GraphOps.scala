@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.IterativeCompute.CheckpointChain
+
+/** PageRank over a directed edge list — the canonical "importance from link
+  * structure" signal a training-data pipeline uses to weight or filter web
+  * documents (domain/page authority), and the second member of the engine's
+  * iterative-compute family next to [[DedupClusters]].
+  *
+  * Semantics (the standard damped random surfer, dangling mass
+  * redistributed uniformly):
+  *
+  *   pr'(v) = (1-d)/N + d * ( sum_{u->v} pr(u)/out(u)  +  dangling/N )
+  *
+  * where `dangling` is the total rank sitting on nodes with no out-edges.
+  * Ranks sum to exactly 1 at every iteration (up to float addition), so the
+  * result is directly usable as a sampling weight.
+  *
+  * Scale shape: the edge list is pre-joined ONCE with out-degrees so each
+  * iteration is a single equi-join (edges ⋈ ranks on src, the only big
+  * shuffle, partitioned the same way every round) plus a dst hash-agg with
+  * map-side combine. Ranks are one row per node — broadcast-sized relative
+  * to edges on real graphs. The dangling term and the L1 convergence delta
+  * are two scalar aggregates per round (driver scalars, like the
+  * convergence count in [[DedupClusters.components]] — never per-node
+  * driver state). Lineage is truncated every round through
+  * [[IterativeCompute.CheckpointChain]] and the result is handed off with
+  * zero retained storage blocks.
+  *
+  * Not oracle-comparable (float fixed point) — verified in GraphOpsSpec
+  * against a driver-side dense power iteration on the same semantics.
+  */
+object GraphOps {
+
+  /** @param edges   (src: long, dst: long) directed edges; duplicates are
+    *                collapsed (a repeated link is one edge, the usual
+    *                web-graph convention)
+    * @param damping d in [0,1); 0.85 is the classic choice
+    * @param maxIter hard round bound
+    * @param tol     stop once sum |pr' - pr| < tol
+    * @return (node, pagerank) for every node appearing as src or dst
+    */
+  def pagerank(edges: DataFrame, damping: Double = 0.85,
+               maxIter: Int = 30, tol: Double = 1e-7): DataFrame = {
+    val spark = edges.sparkSession
+    val chain = new CheckpointChain(spark)
+
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
+    // one materialized pass: every edge carries its source's 1/out-degree so
+    // iterations never re-join degrees
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out"))
+    val wEdges = chain.next(
+      e.join(outDeg, "src").select(col("src"), col("dst"),
+        (lit(1.0) / col("out")).as("w")))
+
+    val nodes = chain.next(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    val srcSet = wEdges.select(col("src").as("node")).distinct()
+
+    val rankChain = new CheckpointChain(spark)
+    var ranks = rankChain.next(nodes.withColumn("pr", lit(1.0 / n)))
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIter && delta >= tol) {
+      // rank mass on dangling nodes (no out-edges) — redistributed uniformly
+      val dangling = ranks.join(srcSet, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+      val contribs = wEdges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") * col("w")).as("contrib"))
+      val next = rankChain.next(
+        ranks.select(col("node"), col("pr").as("old"))
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"), col("old"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
+              .as("pr")))
+      delta = next.agg(sum(abs(col("pr") - col("old")))).head().getDouble(0)
+      ranks = next.select(col("node"), col("pr"))
+      iter += 1
+    }
+    IterativeCompute.handoff(ranks.select(col("node"), col("pr").as("pagerank")),
+      rankChain, chain)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank vs a driver-side dense power iteration on identical semantics
+  * (damping, uniform dangling redistribution), plus the iterative-family
+  * resource contract: no RDD blocks outlive a call.
+  */
+class GraphOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def edges(es: (Long, Long)*) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  /** Dense reference implementation of the same fixed point. */
+  private def densePagerank(es: Seq[(Long, Long)], d: Double = 0.85,
+                            iters: Int = 200): Map[Long, Double] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.size
+    val out = es.distinct.groupBy(_._1).map { case (s, g) => idx(s) -> g.size }
+    val adj = es.distinct.map { case (s, t) => (idx(s), idx(t)) }
+    var pr = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iters) {
+      val dangling = (0 until n).filter(!out.contains(_)).map(pr).sum
+      val next = Array.fill(n)((1.0 - d) / n + d * dangling / n)
+      adj.foreach { case (s, t) => next(t) += d * pr(s) / out(s) }
+      pr = next
+    }
+    nodes.map(v => v -> pr(idx(v))).toMap
+  }
+
+  test("classic 4-node graph with a dangling node matches dense power iteration") {
+    // 1->2, 1->3, 2->3, 3->1 form the classic cycle-with-shortcut; 4->3
+    // makes 3 heavy; 5 (fed by 3) has no out-edges — the dangling case.
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (3L, 5L))
+    val want = densePagerank(es)
+    val got = GraphOps.pagerank(edges(es: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-6, s"node $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pseudo-random 2k-edge graph: converges, sums to 1, matches dense reference") {
+    var seed = 987654321L
+    def nxt(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
+    val es = (1 to 2000).map(_ => (nxt() % 300, nxt() % 300)).filter(e => e._1 != e._2).distinct
+    val want = densePagerank(es)
+    val got = GraphOps.pagerank(edges(es: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-6, s"node $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("no persistent RDD blocks survive a pagerank call") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = GraphOps.pagerank(edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(out.count() == 4)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked RDD blocks: ${(after -- before).mkString(",")}")
+  }
+}
