@@ -341,6 +341,53 @@ object ExtraRelational extends Pack {
               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
             .as("corr_qd"))
         .orderBy("l_returnflag")
+    }),
+
+    "agg_linreg" -> ((s, d) => {
+      // ordinary-least-squares price = f(quantity) per returnflag, same
+      // exact-integer-moment discipline as agg_corr: BIGINT sums in one
+      // map-side-combinable aggregate, then slope = num/den is ONE IEEE
+      // division and intercept = (sy - slope*sx)/n reuses that slope with
+      // the same operation order in both engines — bit-identical doubles.
+      // y is whole dollars (not cents) so n*sxy stays far from Long range.
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select(col("l_returnflag"), col("n"), col("slope"),
+          ((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double")).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_gini" -> ((s, d) => {
+      // Gini concentration of order revenue per priority class — the
+      // data-profiling skew signal. On cents sorted ascending,
+      //   gini = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x))
+      // is ONE division of two exact BIGINTs (ties contribute x*sum(i)
+      // regardless of their internal order, so the unique-key tiebreak
+      // cannot change the sum). One ranking window + one hash agg; the
+      // window partitions by the group key, so no global sort.
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
+          sum(col("i") * col("cents")).as("s1"))
+        .select(col("o_orderpriority"), col("n"),
+          ((lit(2) * col("s1") - (col("n") + 1) * col("s0")).cast("double") /
+            (col("n") * col("s0")).cast("double")).as("gini"))
+        .orderBy("o_orderpriority")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -526,5 +573,41 @@ object ExtraRelational extends Pack {
         |       (n*sxy - sx*sy)::DOUBLE /
         |       (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
         |         AS corr_qd
-        |FROM m ORDER BY l_returnflag""".stripMargin)
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "agg_linreg" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, round(l_quantity)::BIGINT AS x,
+        |         round(l_extendedprice)::BIGINT AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*)::BIGINT AS n,
+        |         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |         sum(x*x)::BIGINT AS sxx, sum(x*y)::BIGINT AS sxy
+        |  FROM q GROUP BY l_returnflag),
+        |sl AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |         (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS slope
+        |  FROM m)
+        |SELECT l_returnflag, n, slope,
+        |       (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE AS intercept
+        |FROM sl ORDER BY l_returnflag""".stripMargin,
+
+    "agg_gini" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, cents,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY cents, o_orderkey)::BIGINT AS i
+        |  FROM c),
+        |m AS (
+        |  SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |         sum(cents)::BIGINT AS s0, sum(i * cents)::BIGINT AS s1
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n,
+        |       (2*s1 - (n+1)*s0)::DOUBLE / (n*s0)::DOUBLE AS gini
+        |FROM m ORDER BY o_orderpriority""".stripMargin)
 }

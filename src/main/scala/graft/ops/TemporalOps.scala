@@ -140,6 +140,38 @@ object TemporalOps extends Pack {
         .orderBy("o_orderkey")
     }),
 
+    "join_temporal" -> ((s, d) => {
+      // point-in-time (dim-snapshot) join: each purchase picks up the
+      // user's value-tier AS OF the purchase instant, against the SCD2-style
+      // change log scd2_history builds. No range join: change rows (kind 0)
+      // and fact rows (kind 1) UNION into one stream, a carry-forward
+      // last(ignoreNulls) window assigns the in-effect tier, and a filter
+      // keeps the facts — ONE user_id shuffle total. kind breaks the tie so
+      // an event that is itself a change point sees its own new tier,
+      // matching the oracle's (es, event_id) <= (fact es, id) predicate.
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") / 100).cast("long").as("tier"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val chw = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      val changes = ev
+        .withColumn("prev_tier", lag(col("tier"), 1).over(chw))
+        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+        .select(col("user_id"), col("es"), col("event_id"), lit(0).as("kind"),
+          col("tier"), lit(null).cast("long").as("cents"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("es"), col("event_id"), lit(1).as("kind"),
+          lit(null).cast("long").as("tier"), col("cents"))
+      val carry = Window.partitionBy(col("user_id"))
+        .orderBy(col("es"), col("event_id"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      changes.unionByName(facts)
+        .withColumn("tier_at", last(col("tier"), ignoreNulls = true).over(carry))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("event_id"), col("es"), col("cents"), col("tier_at"))
+        .orderBy("event_id")
+    }),
+
     "events_rfm" -> ((s, d) => {
       // RFM segmentation: per purchasing user, recency (days since last
       // purchase vs corpus max), frequency, monetary (integer cents), each
@@ -264,6 +296,27 @@ object TemporalOps extends Pack {
         |            WHEN version = 1 THEN 'updated'
         |            ELSE 'unchanged' END AS op
         |FROM latest ORDER BY o_orderkey""".stripMargin,
+
+    "join_temporal" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS es,
+        |         floor(value / 100)::BIGINT AS tier, event_type,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, es, event_id, tier FROM (
+        |    SELECT user_id, es, event_id, tier,
+        |           lag(tier) OVER (PARTITION BY user_id ORDER BY es, event_id) AS pt
+        |    FROM ev)
+        |  WHERE pt IS NULL OR tier <> pt),
+        |f AS (
+        |  SELECT user_id, event_id, es, cents FROM ev WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.es, f.cents,
+        |       (SELECT c.tier FROM ch c
+        |        WHERE c.user_id = f.user_id
+        |          AND (c.es < f.es OR (c.es = f.es AND c.event_id <= f.event_id))
+        |        ORDER BY c.es DESC, c.event_id DESC LIMIT 1) AS tier_at
+        |FROM f ORDER BY f.event_id""".stripMargin,
 
     "events_rfm" ->
       """WITH p AS (
