@@ -388,6 +388,72 @@ object ExtraRelational extends Pack {
           ((lit(2) * col("s1") - (col("n") + 1) * col("s0")).cast("double") /
             (col("n") * col("s0")).cast("double")).as("gini"))
         .orderBy("o_orderpriority")
+    }),
+
+    "check_constraints" -> ((s, d) => {
+      // dbt-test-style data-quality audit: PK uniqueness, FK orphans,
+      // domain membership, range bounds — one (check, checked, violations)
+      // row each. Every check is a single aggregate pass over its table
+      // (FK checks ride a left join: n_checked and n_violations come from
+      // the SAME pass, no second scan); the per-check frames are one row,
+      // so the union is driver-trivial. At 100 TB each check is exactly
+      // one scan + one (broadcast or shuffle) join at most — audits
+      // schedule as a handful of independent jobs, never a driver loop
+      // over rows.
+      import org.apache.spark.sql.{Column, DataFrame}
+      val orders = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      def row(name: String, checked: Column, viol: Column, src: DataFrame) =
+        src.agg(checked.cast("long").as("n_checked"), viol.cast("long").as("n_violations"))
+          .select(lit(name).as("chk"), col("n_checked"), col("n_violations"))
+      Seq(
+        row("orders_pk_unique", count(lit(1)), count(when(col("c") > 1, 1)),
+          orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))),
+        row("orders_fk_customer", count(lit(1)), count(when(col("c_custkey").isNull, 1)),
+          orders.join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left")),
+        row("orders_status_domain", count(lit(1)),
+          count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)), orders),
+        row("orders_price_bound", count(lit(1)),
+          count(when(col("o_totalprice") > 400000, 1)), orders),
+        row("lineitem_fk_orders", count(lit(1)), count(when(col("o_orderkey").isNull, 1)),
+          li.join(orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")),
+        row("lineitem_qty_range", count(lit(1)),
+          count(when(!col("l_quantity").between(1, 50), 1)), li),
+        row("events_value_bound", count(lit(1)),
+          count(when(col("value") < 0 || col("value") > 300, 1)), t(s, d, "events")))
+        .reduce(_ unionByName _)
+        .orderBy("chk")
+    }),
+
+    "profile_orders" -> ((s, d) => {
+      // column-level table profile (ANALYZE-style): rows, nulls, distincts,
+      // min/max per column, as one row per column. ONE aggregate pass over
+      // the table — the multi-countDistinct plans as a single Expand (x6)
+      // feeding one aggregate, not six scans; min/max surface as strings
+      // (money via integer cents) so one schema fits every column type.
+      val o = t(s, d, "orders")
+        .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+      def m(c: String, out: String) = Seq(
+        count(when(col(c).isNull, 1)).as(s"nn_$out"),
+        countDistinct(col(c)).as(s"nd_$out"),
+        min(col(c)).cast("string").as(s"mn_$out"),
+        max(col(c)).cast("string").as(s"mx_$out"))
+      val cols = Seq("o_orderkey" -> "k", "o_custkey" -> "c", "o_orderstatus" -> "s",
+        "price_c" -> "p", "o_orderdate" -> "d", "o_orderpriority" -> "y")
+      val agged = o.agg(count(lit(1)).as("n_rows"),
+        cols.flatMap { case (c, a) => m(c, a) }: _*)
+      def entry(name: String, a: String) = struct(
+        lit(name).as("col_name"), col(s"nn_$a").as("n_null"),
+        col(s"nd_$a").as("n_distinct"), col(s"mn_$a").as("min_s"), col(s"mx_$a").as("max_s"))
+      agged.select(col("n_rows"), explode(array(
+          entry("o_orderkey", "k"), entry("o_custkey", "c"), entry("o_orderstatus", "s"),
+          entry("o_totalprice_cents", "p"), entry("o_orderdate", "d"),
+          entry("o_orderpriority", "y"))).as("e"))
+        .select(col("e.col_name"), col("n_rows"), col("e.n_null"),
+          col("e.n_distinct"), col("e.min_s"), col("e.max_s"))
+        .orderBy("col_name")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -609,5 +675,72 @@ object ExtraRelational extends Pack {
         |  FROM r GROUP BY o_orderpriority)
         |SELECT o_orderpriority, n,
         |       (2*s1 - (n+1)*s0)::DOUBLE / (n*s0)::DOUBLE AS gini
-        |FROM m ORDER BY o_orderpriority""".stripMargin)
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
+
+    "check_constraints" ->
+      """SELECT chk, n_checked, n_violations FROM (
+        |  SELECT 'orders_pk_unique' AS chk, count(*)::BIGINT AS n_checked,
+        |         (count(*) FILTER (WHERE c > 1))::BIGINT AS n_violations
+        |  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE c_custkey IS NULL))::BIGINT
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'orders_status_domain', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')))::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_price_bound', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE o_totalprice > 400000))::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE o_orderkey IS NULL))::BIGINT
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50))::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events_value_bound', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE value < 0 OR value > 300))::BIGINT
+        |  FROM events
+        |) ORDER BY chk""".stripMargin,
+
+    "profile_orders" ->
+      """WITH o AS (
+        |  SELECT *, round(o_totalprice * 100)::BIGINT AS price_c FROM orders)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+        |         (count(*) FILTER (WHERE o_orderkey IS NULL))::BIGINT AS n_null,
+        |         count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+        |         min(o_orderkey)::VARCHAR AS min_s, max(o_orderkey)::VARCHAR AS max_s
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE o_custkey IS NULL))::BIGINT,
+        |         count(DISTINCT o_custkey)::BIGINT,
+        |         min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE o_orderstatus IS NULL))::BIGINT,
+        |         count(DISTINCT o_orderstatus)::BIGINT,
+        |         min(o_orderstatus), max(o_orderstatus) FROM o
+        |  UNION ALL
+        |  SELECT 'o_totalprice_cents', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE price_c IS NULL))::BIGINT,
+        |         count(DISTINCT price_c)::BIGINT,
+        |         min(price_c)::VARCHAR, max(price_c)::VARCHAR FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE o_orderdate IS NULL))::BIGINT,
+        |         count(DISTINCT o_orderdate)::BIGINT,
+        |         min(o_orderdate)::VARCHAR, max(o_orderdate)::VARCHAR FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*)::BIGINT,
+        |         (count(*) FILTER (WHERE o_orderpriority IS NULL))::BIGINT,
+        |         count(DISTINCT o_orderpriority)::BIGINT,
+        |         min(o_orderpriority), max(o_orderpriority) FROM o
+        |) ORDER BY col_name""".stripMargin)
 }

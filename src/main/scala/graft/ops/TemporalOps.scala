@@ -140,6 +140,22 @@ object TemporalOps extends Pack {
         .orderBy("o_orderkey")
     }),
 
+    "events_gaps" -> ((s, d) => {
+      // inter-arrival profile: histogram of per-user gaps between
+      // consecutive events in 10-minute buckets — the input statistic for
+      // choosing session timeouts and stream watermarks. One lag window on
+      // the user_id shuffle + one tiny hash agg on the bucket id.
+      val byU = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"))
+        .withColumn("gap", col("es") - lag(col("es"), 1).over(byU))
+        .filter(col("gap").isNotNull)
+        .groupBy(expr("gap div 600").as("bucket"))
+        .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap"),
+          max(col("gap")).as("max_gap"))
+        .orderBy("bucket")
+    }),
+
     "join_temporal" -> ((s, d) => {
       // point-in-time (dim-snapshot) join: each purchase picks up the
       // user's value-tier AS OF the purchase instant, against the SCD2-style
@@ -296,6 +312,15 @@ object TemporalOps extends Pack {
         |            WHEN version = 1 THEN 'updated'
         |            ELSE 'unchanged' END AS op
         |FROM latest ORDER BY o_orderkey""".stripMargin,
+
+    "events_gaps" ->
+      """WITH g AS (
+        |  SELECT es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS gap
+        |  FROM (SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS es FROM events))
+        |SELECT (gap // 600)::BIGINT AS bucket, count(*)::BIGINT AS n_gaps,
+        |       min(gap)::BIGINT AS min_gap, max(gap)::BIGINT AS max_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "join_temporal" ->
       """WITH ev AS (
