@@ -203,8 +203,9 @@ object TemporalOps extends Pack {
       val per = p.groupBy(col("user_id"))
         .agg(max(col("es")).as("last_es"), count(lit(1)).as("freq"),
           sum(col("cents")).as("monetary"))
-      val mx = p.agg(max(col("es")).as("gmax"))
-      per.crossJoin(broadcast(mx))
+      // corpus max rides the SAME single-partition window pass the ntiles
+      // already need (max of per-user maxes) — no scalar cross join
+      per.withColumn("gmax", max(col("last_es")).over(Window.partitionBy()))
         .withColumn("rec_days", expr("(gmax - last_es) div 86400"))
         .withColumn("r_tile",
           ntile(5).over(Window.orderBy(col("rec_days"), col("user_id"))))
