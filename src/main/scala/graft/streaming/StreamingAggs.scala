@@ -170,4 +170,46 @@ object StreamingAggs {
           }
       }
   }
+
+  case class DayCount(event_type: String, day: Long, cnt: Long)
+  case class TrailingDays(days: Seq[Long], cnts: Seq[Long])
+  case class AnomalyVerdict(event_type: String, day: Long, cnt: Long,
+                            s7: Long, q7: Long, is_spike: Boolean)
+
+  /** Streaming twin of the batch `events_anomaly` query: per event type,
+    * each arriving day-count is tested against the trailing 7 OBSERVED
+    * days with the identical exact integer z-test,
+    * (7c - S)² > 4(7Q - S²) — same verdicts as the batch form on the same
+    * series (proven in spec). Upstream is a watermarked tumbling-day
+    * aggregation (tumblingCounts' shape), so day-counts arrive closed and
+    * in order per key once the watermark passes.
+    *
+    * Scale design: state per key is EXACTLY the last 7 (day, count) pairs —
+    * bounded regardless of stream history; verdicts emit only for days with
+    * a full 7-day history, matching the batch query's n7 = 7 gate. Keys
+    * (event types) partition the state store; no driver accumulation.
+    */
+  def streamingAnomaly(dayCounts: Dataset[DayCount]): Dataset[AnomalyVerdict] = {
+    import dayCounts.sparkSession.implicits._
+    dayCounts.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrailingDays, AnomalyVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, it: Iterator[DayCount], state: GroupState[TrailingDays]) =>
+          var st = state.getOption.getOrElse(TrailingDays(Nil, Nil))
+          val out = Seq.newBuilder[AnomalyVerdict]
+          it.toSeq.sortBy(_.day).foreach { dc =>
+            if (st.days.size == 7) {
+              val s = st.cnts.sum
+              val q = st.cnts.map(c => c * c).sum
+              val d = 7 * dc.cnt - s
+              out += AnomalyVerdict(etype, dc.day, dc.cnt, s, q,
+                d > 0 && d * d > 4 * (7 * q - s * s))
+            }
+            st = TrailingDays((st.days :+ dc.day).takeRight(7),
+              (st.cnts :+ dc.cnt).takeRight(7))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -185,4 +185,38 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
       assert(latest(2L) == ((1L, 1.0)))
     } finally q.stop()
   }
+
+  test("streamingAnomaly matches the batch integer z-test across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // deterministic daily series with an obvious spike at day 10
+    val cnts = Seq[Long](100, 102, 98, 101, 99, 103, 100, 101, 99, 102, 250, 101, 100)
+    val series = cnts.zipWithIndex.map { case (c, i) =>
+      StreamingAggs.DayCount("click", i.toLong, c) }
+
+    // driver-side reference: the batch events_anomaly formula over the
+    // trailing 7 OBSERVED days
+    val want = (7 until series.size).map { i =>
+      val w = cnts.slice(i - 7, i)
+      val s = w.sum; val q = w.map(c => c * c).sum
+      val d = 7 * cnts(i) - s
+      (i.toLong, cnts(i), s, q, d > 0 && d * d > 4 * (7 * q - s * s))
+    }.toSet
+
+    val mem = MemoryStream[StreamingAggs.DayCount]
+    val q = StreamingAggs.streamingAnomaly(mem.toDS())
+      .writeStream.format("memory").queryName("anom").outputMode("update").start()
+    try {
+      mem.addData(series.take(9): _*)  // first batch: 9 days (2 verdicts)
+      q.processAllAvailable()
+      mem.addData(series.drop(9): _*)  // rest, incl. the spike: state carries
+      q.processAllAvailable()
+      val got = spark.table("anom").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      assert(got == want)
+      // the spike day (and only it) is flagged
+      assert(got.filter(_._5).map(_._1) == Set(10L))
+    } finally q.stop()
+  }
 }
