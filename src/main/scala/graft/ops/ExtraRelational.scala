@@ -390,6 +390,26 @@ object ExtraRelational extends Pack {
         .orderBy("o_orderpriority")
     }),
 
+    "basket_pairs" -> ((s, d) => {
+      // market-basket co-occurrence: part pairs bought together in >= 3
+      // orders (the support threshold of association mining). Baskets are
+      // collected per order — bounded by order size k, so the pair explode
+      // is O(k²) per basket, never |parts|²; the pair stream then hash-aggs
+      // on a 2-int key. Same posting-list-explode kernel as the n-gram
+      // inverted index. sort_array makes pa < pb canonical regardless of
+      // partition order.
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      items.groupBy(col("ok")).agg(sort_array(collect_list(col("pk"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (a, i) -> transform(slice(ps, i + 2, size(ps)), b -> struct(a AS pa, b AS pb))))"
+        )).as("p"))
+        .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+        .orderBy("part_a", "part_b")
+    }),
+
     "check_constraints" -> ((s, d) => {
       // dbt-test-style data-quality audit: PK uniqueness, FK orphans,
       // domain membership, range bounds — one (check, checked, violations)
@@ -676,6 +696,14 @@ object ExtraRelational extends Pack {
         |SELECT o_orderpriority, n,
         |       (2*s1 - (n+1)*s0)::DOUBLE / (n*s0)::DOUBLE AS gini
         |FROM m ORDER BY o_orderpriority""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b, count(*)::BIGINT AS support
+        |FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY part_a, part_b HAVING count(*) >= 3
+        |ORDER BY part_a, part_b""".stripMargin,
 
     "check_constraints" ->
       """SELECT chk, n_checked, n_violations FROM (

@@ -116,6 +116,29 @@ object VectorOps extends Pack {
         .limit(20)
     }),
 
+    "sim_radius" -> ((s, d) => {
+      // radius (threshold) search: every corpus vector within cosine >= 0.3
+      // of each of 4 probe vectors. The cosine test is INTEGER-EXACT — no
+      // sqrt, no division: cos >= t  <=>  dot > 0 and dot²·10⁴ >= t²·10⁴·
+      // |a|²·|b|² (t²·10⁴ = 900) — quantized 60-bit-safe products, same
+      // arithmetic on both engines. The 4-row probe side broadcasts (the
+      // allowlisted tiny-broadcast BNLJ of the sim_* family); dots run in
+      // the codegen'd graft_dot_i64 kernel.
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .withColumn("n2", call_function("graft_dot_i64", col("q"), col("q")))
+      val probes = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
+      emb.filter(col("vec_id") >= 4)
+        .crossJoin(broadcast(probes))
+        .withColumn("dot_q", call_function("graft_dot_i64", col("q"), col("pq")))
+        .filter(col("dot_q") > 0 &&
+          col("dot_q") * col("dot_q") * lit(10000L) >= lit(900L) * col("n2") * col("pn2"))
+        .select(col("probe_id"), col("vec_id"), col("dot_q"))
+        .orderBy("probe_id", "vec_id")
+    }),
+
     "dedup_embcos" -> ((s, d) => {
       // embedding-cosine near-dup via sign-LSH banding (B=4 bands × r=8
       // hyperplanes): candidate pairs are vectors agreeing on one band's
@@ -270,6 +293,21 @@ object VectorOps extends Pack {
   val oracles: Map[String, String] = Map(
     "sim_topk_native" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
+
+    "sim_radius" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe, list_sum(list_transform(qe, x -> x * x))::BIGINT AS n2 FROM q),
+        |p AS (SELECT vec_id AS probe_id, qe AS pq, n2 AS pn2 FROM n WHERE vec_id < 4),
+        |d AS (
+        |  SELECT probe_id, vec_id,
+        |         list_sum(list_transform(qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q,
+        |         n2, pn2
+        |  FROM n, p WHERE vec_id >= 4)
+        |SELECT probe_id, vec_id, dot_q FROM d
+        |WHERE dot_q > 0 AND dot_q * dot_q * 10000 >= 900 * n2 * pn2
+        |ORDER BY probe_id, vec_id""".stripMargin,
 
     "dedup_embcos" ->
       ((s"""WITH q AS (

@@ -12,7 +12,7 @@ import sys, re
 # single-row aggregates (exact count x sketch estimate) (see PLANS.md
 # "Known intentional non-equi plans")
 BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim_ann_ivf",
-                "agg_sketch_merge"}
+                "sim_radius", "agg_sketch_merge"}
 
 def main():
     text = open(sys.argv[1]).read()
