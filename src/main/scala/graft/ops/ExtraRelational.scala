@@ -390,6 +390,33 @@ object ExtraRelational extends Pack {
         .orderBy("o_orderpriority")
     }),
 
+    "agg_pareto" -> ((s, d) => {
+      // Pareto/concentration curve: customers ranked by revenue desc, cut
+      // into deciles, each reporting its cumulative revenue share (exact
+      // integer permille). The global windows run on the PER-CUSTOMER
+      // rollup (bounded rows — the events_rfm pattern); ranking ties are
+      // impossible (unique custkey tiebreak) and the share is one integer
+      // division per decile.
+      val per = t(s, d, "orders")
+        .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("tot"))
+      val wd = Window.orderBy(col("tot").desc, col("o_custkey"))
+      val all = Window.partitionBy()
+      per
+        .withColumn("i", row_number().over(wd).cast("long"))
+        .withColumn("cum", sum(col("tot")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("g", sum(col("tot")).over(all))
+        .withColumn("decile", expr("((i - 1) * 10) div n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          max(col("cum")).as("cum_end"), max(col("g")).as("g"))
+        .select(col("decile"), col("n_customers"),
+          expr("(cum_end * 1000) div g").as("cum_rev_permille"))
+        .orderBy("decile")
+    }),
+
     "basket_pairs" -> ((s, d) => {
       // market-basket co-occurrence: part pairs bought together in >= 3
       // orders (the support threshold of association mining). Baskets are
@@ -696,6 +723,23 @@ object ExtraRelational extends Pack {
         |SELECT o_orderpriority, n,
         |       (2*s1 - (n+1)*s0)::DOUBLE / (n*s0)::DOUBLE AS gini
         |FROM m ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_pareto" ->
+      """WITH per AS (
+        |  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS tot
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT o_custkey, tot,
+        |         row_number() OVER (ORDER BY tot DESC, o_custkey)::BIGINT AS i,
+        |         sum(tot) OVER (ORDER BY tot DESC, o_custkey
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         count(*) OVER () AS n, sum(tot) OVER () AS g
+        |  FROM per),
+        |d AS (
+        |  SELECT ((i - 1) * 10) // n AS decile, cum, g FROM r)
+        |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_customers,
+        |       ((max(cum) * 1000) // max(g))::BIGINT AS cum_rev_permille
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     "basket_pairs" ->
       """WITH it AS (

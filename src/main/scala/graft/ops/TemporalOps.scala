@@ -140,6 +140,30 @@ object TemporalOps extends Pack {
         .orderBy("o_orderkey")
     }),
 
+    "events_forecast" -> ((s, d) => {
+      // naive-baseline forecast audit: predict each day's count as the
+      // trailing-7-observed-day mean, report per-type absolute-error
+      // permille (the denominator every fancier model must beat). Rides
+      // the events_anomaly daily frame; all arithmetic is exact integers —
+      // the prediction is an integer division, the error a subtraction.
+      val daily = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("ed"), col("event_type"))
+        .groupBy(col("ed"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ed")).rowsBetween(-7, -1)
+      daily
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("s7", sum(col("cnt")).over(w))
+        .filter(col("n7") === 7)
+        .withColumn("pred", expr("s7 div 7"))
+        .withColumn("err", abs(col("cnt") - col("pred")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("err")).as("sum_abs_err"),
+          sum(col("cnt")).as("sum_cnt"))
+        .withColumn("mae_permille", expr("(sum_abs_err * 1000) div sum_cnt"))
+        .orderBy("event_type")
+    }),
+
     "events_gaps" -> ((s, d) => {
       // inter-arrival profile: histogram of per-user gaps between
       // consecutive events in 10-minute buckets — the input statistic for
@@ -313,6 +337,25 @@ object TemporalOps extends Pack {
         |            WHEN version = 1 THEN 'updated'
         |            ELSE 'unchanged' END AS op
         |FROM latest ORDER BY o_orderkey""".stripMargin,
+
+    "events_forecast" ->
+      """WITH daily AS (
+        |  SELECT floor(epoch(ts))::BIGINT // 86400 AS ed, event_type,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT ed, event_type, cnt,
+        |         count(*) OVER win AS n7, sum(cnt) OVER win AS s7
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ed
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |e AS (
+        |  SELECT event_type, cnt, abs(cnt - (s7 // 7)::BIGINT) AS err
+        |  FROM w WHERE n7 = 7)
+        |SELECT event_type, count(*)::BIGINT AS n_days,
+        |       sum(err)::BIGINT AS sum_abs_err, sum(cnt)::BIGINT AS sum_cnt,
+        |       ((sum(err) * 1000) // sum(cnt))::BIGINT AS mae_permille
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_gaps" ->
       """WITH g AS (
