@@ -1,0 +1,312 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Tables._
+
+/** Corpus/behavior mining pack — round-7 additions to the LLM-pipeline and
+  * analytics surface: span-level (C4-style) dedup, tf-idf term extraction,
+  * context-window chunking, word co-occurrence association mining, event
+  * path mining, exact-moment outlier detection, and period-over-period
+  * deltas.
+  *
+  * House rules carried over from the other packs:
+  *   - every hash the oracle must reproduce derives from md5 (h60);
+  *   - money/ratios are exact integers (cents / permille) or ONE IEEE
+  *     division of identical exact integers — never float accumulation;
+  *   - every query ends in a deterministic ORDER BY over a unique key.
+  */
+object MiningOps extends Pack {
+
+  /** 60-bit deterministic hash shared with the DuckDB oracle (TextOps twin). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private val tokSql = "string_split(text, ' ')"
+
+  val queries: Map[String, Q] = Map(
+    "dedup_spans" -> ((s, d) => {
+      // C4-style span-level dedup: documents are chopped into ALIGNED
+      // non-overlapping 8-token blocks (the "line" unit of a corpus whose
+      // docs are single-line); a block is a duplicate iff its exact text
+      // occurs in >= 2 distinct documents. Per-doc output: block count,
+      // cross-doc duplicated block count, exact permille. This is the
+      // passage-granularity dedup that exact-dedup (whole doc) and
+      // minhash (whole doc) both miss: boilerplate paragraphs inside
+      // otherwise-distinct pages.
+      //
+      // Scale shape: blocks shuffle as 8-byte h60 hashes, never text
+      // (the oracle keeps raw block strings — a collision would surface
+      // there as a count mismatch); the block-frequency table grows with
+      // the corpus so its join back is sort-merge at scale, map-side
+      // combined on both aggregates.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 8)
+      val blocks = base
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) div 8), i -> array_join(slice(ws, (i-1)*8 + 1, 8), ' '))"
+        )).as("blk"))
+        .select(col("doc_id"), h60(col("blk")).as("b"))
+        .persist() // feeds the block-frequency agg AND the per-doc rollup
+      val docFreq = blocks.distinct()
+        .groupBy(col("b")).agg(count(lit(1)).as("n_docs_with"))
+      blocks.join(docFreq, "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("n_docs_with") >= 2, 1)).as("n_dup_blocks"))
+        .withColumn("dup_permille", expr("(n_dup_blocks * 1000) div n_blocks"))
+        .orderBy("doc_id")
+    }),
+
+    "text_tfidf" -> ((s, d) => {
+      // top-3 characteristic terms per document by an integer tf-idf:
+      // score = (tf * 1e6) div df — tf weighted by inverse document
+      // frequency without logs, so the score is an exact integer and the
+      // per-doc ranking is engine-identical (log-idf would put a
+      // transcendental float in the sort key). Shape: two map-side
+      // combinable aggregates sharing the explode, a join back on the
+      // term (sort-merge at scale — the df table grows with the
+      // vocabulary, deliberately NOT broadcast), and WindowGroupLimit
+      // per-partition top-3 heaps before the doc_id shuffle.
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfw = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val wn = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w").asc)
+      tf.join(dfw, "w")
+        .withColumn("score", expr("(tf * 1000000) div df"))
+        .withColumn("rnk", row_number().over(wn))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("w").as("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    "text_chunk" -> ((s, d) => {
+      // context-window chunking: 32-token windows at stride 24 (8-token
+      // overlap) — the embedding/RAG prep step. Emits one row per chunk
+      // with its token count and content fingerprint; chunk text itself
+      // stays inside the row (Generate over a bounded in-row sequence,
+      // like multimodal_chunks — the doc is never materialized per chunk
+      // on the driver, and a doc's chunks land in one task).
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 1) // sequence(0, -1 div 24) would count DOWN
+      base
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(ws)-1) div 24), ix -> struct(ix AS chunk_ix, slice(ws, ix*24 + 1, 32) AS arr))"
+        )).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_ix").cast("long").as("chunk_ix"),
+          size(col("c.arr")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("c.arr"))).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_ix")
+    }),
+
+    "text_cooccur" -> ((s, d) => {
+      // word co-occurrence association mining: top-20 word pairs by
+      // co-document Jaccard (support / (df_a + df_b - support), exact
+      // permille) with a support floor. Pairs are generated IN-ROW from
+      // each doc's sorted distinct-word set (the dedup_ngram posting-list
+      // trick) — no self-join of the (doc, word) table, so the only
+      // shuffles are the two-word-key pair aggregate and the tiny df
+      // join-backs. Per-doc pair volume is (distinct words)^2/2; a
+      // production corpus first prunes the vocabulary to the top-V terms
+      // by df (same cap discipline as dedup_ngram's posting lists).
+      val ds = t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("array_sort(array_distinct(filter(split(text, ' '), w -> w <> '')))").as("vs"))
+        .persist() // feeds pair expansion AND the df aggregate
+      val pairs = ds
+        .select(explode(expr(
+          "flatten(transform(vs, (a, i) -> transform(slice(vs, i + 2, size(vs)), b -> struct(a AS wa, b AS wb))))"
+        )).as("p"))
+        .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+        .agg(count(lit(1)).as("support"))
+      val dfw = ds.select(explode(col("vs")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      pairs
+        .join(dfw.select(col("w").as("wa"), col("df").as("df_a")), "wa")
+        .join(dfw.select(col("w").as("wb"), col("df").as("df_b")), "wb")
+        .filter(col("support") >= 10)
+        .withColumn("jaccard_permille",
+          expr("(support * 1000) div (df_a + df_b - support)"))
+        .orderBy(col("jaccard_permille").desc, col("wa").asc, col("wb").asc)
+        .limit(20)
+        .select(col("wa"), col("wb"), col("support"), col("df_a"),
+          col("df_b"), col("jaccard_permille"))
+    }),
+
+    "events_paths" -> ((s, d) => {
+      // behavior-path mining: each user's first three event types (by
+      // event_id — the stable sequence key, same convention as
+      // events_transitions) joined into a path string; top-10 paths by
+      // user count. One user_id window shuffle; collect_list is made
+      // order-proof by sorting the (rn, type) structs in-row — collected
+      // order after a shuffle is NOT deterministic, the sort_array is
+      // what makes the path reproducible across retries and engines.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("rn"), col("event_type")))).as("steps"))
+        .filter(size(col("steps")) === 3)
+        .select(expr("array_join(transform(steps, p -> p.event_type), '>')").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path").asc)
+        .limit(10)
+    }),
+
+    "agg_outliers" -> ((s, d) => {
+      // 2-sigma price outliers per priority class WITHOUT float mean/
+      // stddev: (x - mu)^2 > 4*sigma^2  <=>  (n*x - S)^2 > 4*(n*Q - S^2)
+      // on exact integer moments (the events_anomaly z-test generalized
+      // to row-level scoring). The squares exceed Long range (~3e20 at
+      // sf0.1), so the comparison — and only the comparison — runs in
+      // DECIMAL(38,0); DuckDB runs the identical algebra in HUGEINT.
+      // Shape: one map-side-combined moments aggregate (5 rows), a
+      // broadcast join back, and one final rollup.
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority"), round(col("o_totalprice")).cast("long").as("usd"))
+      val stats = o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("usd")).as("s1"),
+          sum(col("usd") * col("usd")).as("s2"))
+      def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+      val lhs = dec(col("n") * col("usd") - col("s1"))
+      val rhs = lit(4) * (dec(col("n")) * dec(col("s2")) - dec(col("s1")) * dec(col("s1")))
+      o.join(broadcast(stats), "o_orderpriority")
+        .withColumn("is_outlier", lhs * lhs > rhs)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("is_outlier"), 1)).as("n_outliers"),
+          min(when(col("is_outlier"), col("usd"))).as("min_outlier_usd"),
+          max(when(col("is_outlier"), col("usd"))).as("max_outlier_usd"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "window_pct_change" -> ((s, d) => {
+      // period-over-period delta: monthly revenue per priority with
+      // month-over-month change in exact permille (lag window). Revenue
+      // sums in integer cents; the delta ratio is integer `div` — Spark's
+      // div and DuckDB's // both truncate toward zero, so negative deltas
+      // agree too (verified; floor-vs-trunc is the classic cross-engine
+      // trap here). First month per group is NULL in both engines.
+      val m = t(s, d, "orders")
+        .select(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("o_orderpriority"), col("month"))
+        .agg(sum(col("cents")).as("rev_c"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+      m.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+        .withColumn("mom_permille", expr("((rev_c - prev_c) * 1000) div prev_c"))
+        .orderBy("o_orderpriority", "month")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_spans" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $tokSql AS ws FROM documents WHERE len($tokSql) >= 8),
+         |blk AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) // 8),
+         |    i -> array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' '))) AS b FROM base),
+         |dfb AS (SELECT b, count(DISTINCT doc_id) AS n_docs_with FROM blk GROUP BY b)
+         |SELECT blk.doc_id, count(*)::BIGINT AS n_blocks,
+         |  (count(*) FILTER (WHERE dfb.n_docs_with >= 2))::BIGINT AS n_dup_blocks,
+         |  ((count(*) FILTER (WHERE dfb.n_docs_with >= 2)) * 1000 // count(*))::BIGINT AS dup_permille
+         |FROM blk JOIN dfb USING (b)
+         |GROUP BY blk.doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
+         |    SELECT doc_id, unnest($tokSql) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY doc_id, w),
+         |dfw AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+         |sc AS (
+         |  SELECT doc_id, w, tf, df, ((tf * 1000000) // df)::BIGINT AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY ((tf * 1000000) // df) DESC, w ASC) AS rnk
+         |  FROM tf JOIN dfw USING (w))
+         |SELECT doc_id, rnk::BIGINT AS rnk, w AS term, tf, df, score
+         |FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_chunk" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $tokSql AS ws FROM documents WHERE len($tokSql) >= 1),
+         |ch AS (
+         |  SELECT doc_id, unnest(generate_series(0, (len(ws)-1) // 24)) AS chunk_ix, ws
+         |  FROM base)
+         |SELECT doc_id, chunk_ix::BIGINT AS chunk_ix,
+         |  len(ws[chunk_ix*24+1:chunk_ix*24+32])::BIGINT AS n_chunk_tokens,
+         |  md5(array_to_string(ws[chunk_ix*24+1:chunk_ix*24+32], ' ')) AS chunk_fp
+         |FROM ch ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    "text_cooccur" ->
+      s"""WITH wt AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest($tokSql) AS w FROM documents)
+         |  WHERE w <> ''),
+         |dfw AS (SELECT w, count(*)::BIGINT AS df FROM wt GROUP BY w),
+         |pairs AS (
+         |  SELECT a.w AS wa, b.w AS wb, count(*)::BIGINT AS support
+         |  FROM wt a JOIN wt b ON a.doc_id = b.doc_id AND a.w < b.w
+         |  GROUP BY 1, 2)
+         |SELECT wa, wb, support, da.df AS df_a, db.df AS df_b,
+         |  ((support * 1000) // (da.df + db.df - support))::BIGINT AS jaccard_permille
+         |FROM pairs JOIN dfw da ON wa = da.w JOIN dfw db ON wb = db.w
+         |WHERE support >= 10
+         |ORDER BY jaccard_permille DESC, wa ASC, wb ASC LIMIT 20""".stripMargin,
+
+    "events_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |         count(*) AS k
+        |  FROM seq WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*)::BIGINT AS n_users FROM p WHERE k = 3
+        |GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 10""".stripMargin,
+
+    "agg_outliers" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, round(o_totalprice)::BIGINT AS usd FROM orders),
+        |st AS (
+        |  SELECT o_orderpriority, count(*)::BIGINT AS n, sum(usd)::BIGINT AS s1,
+        |         sum(usd * usd)::HUGEINT AS s2
+        |  FROM o GROUP BY o_orderpriority),
+        |j AS (
+        |  SELECT o.o_orderpriority, usd,
+        |    ((n*usd - s1)::HUGEINT * (n*usd - s1)::HUGEINT)
+        |      > 4 * (n::HUGEINT * s2 - s1::HUGEINT * s1::HUGEINT) AS is_outlier
+        |  FROM o JOIN st USING (o_orderpriority))
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  (count(*) FILTER (WHERE is_outlier))::BIGINT AS n_outliers,
+        |  min(usd) FILTER (WHERE is_outlier) AS min_outlier_usd,
+        |  max(usd) FILTER (WHERE is_outlier) AS max_outlier_usd
+        |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "window_pct_change" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, date_trunc('month', o_orderdate)::DATE AS month,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_c
+        |  FROM orders GROUP BY o_orderpriority, month)
+        |SELECT o_orderpriority, month, rev_c,
+        |  lag(rev_c, 1) OVER (PARTITION BY o_orderpriority ORDER BY month) AS prev_c,
+        |  ((rev_c - lag(rev_c, 1) OVER (PARTITION BY o_orderpriority ORDER BY month)) * 1000)
+        |    // lag(rev_c, 1) OVER (PARTITION BY o_orderpriority ORDER BY month) AS mom_permille
+        |FROM m ORDER BY o_orderpriority, month""".stripMargin
+  )
+}
