@@ -42,6 +42,54 @@ object GraphOps {
     * @param tol     stop once sum |pr' - pr| < tol
     * @return (node, pagerank) for every node appearing as src or dst
     */
+  /** Single-source BFS hop distances over an UNDIRECTED edge list — the
+    * third iterative-compute member next to [[DedupClusters]] (components)
+    * and [[pagerank]]. In a dedup pipeline this is the "blast radius" query:
+    * how far does a near-dup neighborhood extend from a given document, and
+    * at what transitive depth — chains of pairwise-similar docs are how
+    * template families evade pairwise thresholds.
+    *
+    * Scale shape: classic frontier expansion — each round is ONE equi-join
+    * of the current frontier against the (symmetrized) edge list plus an
+    * anti-join against the settled set; work per round is proportional to
+    * the frontier's edge neighborhood, never the whole graph. Rounds =
+    * eccentricity of the source (exact termination on an empty frontier —
+    * no convergence tolerance). Lineage is cut per round by
+    * [[IterativeCompute.CheckpointChain]]; zero storage blocks survive the
+    * call. Unlike min-label propagation this visits each node once, so BFS
+    * from a seed set is also the cheap way to extract one component.
+    *
+    * @param edges  (src: long, dst: long) undirected pairs (symmetrized here)
+    * @param source start node; if None, the smallest node id in the edge set
+    *               (deterministic without a caller-side action)
+    * @return (node, hop) for every node reachable from the source, hop 0 = source
+    */
+  def bfsHops(edges: DataFrame, source: Option[Long] = None, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val chain = new CheckpointChain(spark)
+    val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = chain.next(dir.union(dir.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val src0 = source.getOrElse(
+      e.agg(min(col("src"))).head().getLong(0)) // one tiny scalar job; edge list already materialized
+    val distChain = new CheckpointChain(spark)
+    val frontierChain = new CheckpointChain(spark)
+    var dist = distChain.next(Seq(src0).toDF("node").withColumn("hop", lit(0L)))
+    var frontier = frontierChain.next(dist.select(col("node")))
+    var hop = 0L
+    var frontierSize = 1L
+    while (frontierSize > 0 && hop < maxIter) {
+      hop += 1
+      val nbrs = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = frontierChain.next(nbrs.join(dist, Seq("node"), "left_anti"))
+      frontierSize = frontier.count()
+      if (frontierSize > 0)
+        dist = distChain.next(dist.union(frontier.withColumn("hop", lit(hop))))
+    }
+    IterativeCompute.handoff(dist, distChain, frontierChain, chain)
+  }
+
   def pagerank(edges: DataFrame, damping: Double = 0.85,
                maxIter: Int = 30, tol: Double = 1e-7): DataFrame = {
     val spark = edges.sparkSession

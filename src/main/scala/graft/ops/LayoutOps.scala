@@ -47,4 +47,51 @@ object LayoutOps {
       .option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(path)
   }
+
+  /** Outcome of a [[compactSmallFiles]] rewrite, for the caller's metrics
+    * sink (silent compaction is how a pipeline loses track of write
+    * amplification).
+    */
+  final case class CompactionStats(
+      filesBefore: Int, bytesBefore: Long, filesAfter: Int, rows: Long)
+
+  /** Rewrite a parquet directory of many small files into few near-target-
+    * size files — the standing maintenance job of every streaming/incremental
+    * sink (each micro-batch or incremental-state swap leaves one file per
+    * task; a year of 5-minute triggers is ~100k files whose open/footer
+    * overhead dominates scans and whose listing breaks planning long before
+    * the data itself is big).
+    *
+    * Scale shape: file count is computed from actual on-disk bytes
+    * (ceil(bytes / targetBytes)), and the rewrite uses `coalesce`, NOT
+    * `repartition` — coalesce merges input splits within tasks with ZERO
+    * shuffle, so compaction cost is one read + one write of the data.
+    * The trade: coalesce preserves input order but not any hash/range
+    * placement; when the table should also be clustered, use
+    * [[writeRangeClustered]] (which pays its one shuffle deliberately).
+    * Writes to `tmpPath` then swaps via rename, so a crash mid-compaction
+    * leaves the original directory intact (same stage-and-swap discipline
+    * as IvfIncremental's centroid commit).
+    */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactionStats = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hadoopPath).filter(_.getPath.getName.startsWith("part-"))
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    val nAfter = fs.listStatus(tmp).count(_.getPath.getName.startsWith("part-"))
+    // stage-and-swap: the original stays readable until the compacted copy
+    // is complete; a crash between the two renames leaves __compact_old for
+    // manual recovery rather than an empty table root
+    fs.rename(hadoopPath, old)
+    fs.rename(tmp, hadoopPath)
+    fs.delete(old, true)
+    CompactionStats(parts.length, bytes, nAfter, rows)
+  }
 }

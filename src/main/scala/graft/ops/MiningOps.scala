@@ -193,6 +193,19 @@ object MiningOps extends Pack {
         .orderBy("o_orderpriority")
     }),
 
+    "graph_bfs_hops" -> ((s, d) => {
+      // near-dup "blast radius": BFS hop distances from the smallest doc in
+      // the simhash hamming-1..3 pair graph — the transitive-depth view of
+      // a duplicate family (how long the chain is, not just that it is one
+      // component). Exact frontier BFS with per-round lineage cuts
+      // (GraphOps.bfsHops); the oracle walks the same graph with a
+      // hop-capped recursive CTE and takes min(hop) per node.
+      GraphOps.bfsHops(
+          TextOps.simhashNearPairs(s, d)
+            .select(col("rep_a").as("src"), col("rep_b").as("dst")))
+        .orderBy("node")
+    }),
+
     "window_pct_change" -> ((s, d) => {
       // period-over-period delta: monthly revenue per priority with
       // month-over-month change in exact permille (lag window). Revenue
@@ -297,6 +310,41 @@ object MiningOps extends Pack {
         |  min(usd) FILTER (WHERE is_outlier) AS min_outlier_usd,
         |  max(usd) FILTER (WHERE is_outlier) AS max_outlier_usd
         |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "graph_bfs_hops" ->
+      (s"""WITH tok AS (
+         |  SELECT doc_id, w, count(*) AS wt, ('0x'||substr(md5(w),1,15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY doc_id, w),
+         |bal AS (
+         |  SELECT doc_id, i, SUM(CASE WHEN (h >> i) % 2 = 1 THEN wt ELSE -wt END) AS bal
+         |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS i)
+         |  GROUP BY doc_id, i),
+         |sh AS (
+         |  SELECT doc_id, SUM(CASE WHEN bal > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+         |  FROM bal GROUP BY doc_id),
+         |reps AS (
+         |  SELECT simhash, min(doc_id) AS rep_doc FROM sh GROUP BY simhash),
+         |bands AS (
+         |  SELECT simhash, rep_doc, b, (simhash >> (b * 8)) & 255 AS bv
+         |  FROM reps, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT x.rep_doc AS rep_a, y.rep_doc AS rep_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.simhash < y.simhash
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) BETWEEN 1 AND 3),
+         |edges AS (
+         |  SELECT rep_a AS src, rep_b AS dst FROM pairs
+         |  UNION SELECT rep_b, rep_a FROM pairs),
+         |s0 AS (SELECT min(src) AS v FROM edges),
+         |walk AS (
+         |  WITH RECURSIVE r(node, hop) AS (
+         |    SELECT v, 0 FROM s0
+         |    UNION
+         |    SELECT e.dst, r.hop + 1 FROM r JOIN edges e ON r.node = e.src
+         |    WHERE r.hop < 100)
+         |  SELECT * FROM r)
+         |SELECT node, min(hop)::BIGINT AS hop FROM walk
+         |GROUP BY node ORDER BY node""").stripMargin,
 
     "window_pct_change" ->
       """WITH m AS (

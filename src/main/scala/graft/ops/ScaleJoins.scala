@@ -51,6 +51,24 @@ object ScaleJoins {
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Join a PARTITIONED fact table against a filtered dimension so Spark's
+    * dynamic partition pruning (DPP) skips fact partitions at runtime: the
+    * dim filter's surviving join keys become a subquery predicate on the
+    * fact scan's partition column, evaluated BEFORE files are listed into
+    * tasks. At 100 TB with a date- or tenant-partitioned fact this is the
+    * difference between touching every partition and touching the handful
+    * the dim actually selects — static pruning can't do it because the
+    * surviving keys are only known at runtime. The spec asserts the scan
+    * carries a `dynamicpruning` partition filter and reads fewer partitions
+    * than the table has.
+    *
+    * @param factPath  parquet root written with `partitionBy(partKey)`
+    * @param dim       already-filtered dimension carrying `partKey`
+    */
+  def dppJoin(spark: SparkSession, factPath: String, dim: DataFrame,
+      partKey: String): DataFrame =
+    spark.read.parquet(factPath).join(dim, partKey)
+
   /** Pre-filter the big side with a Bloom filter of the small side's join
     * keys BEFORE the join's shuffle. When the small side is selective (a
     * filtered dimension), most big-side rows can't match — at 100 TB the

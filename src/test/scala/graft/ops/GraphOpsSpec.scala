@@ -56,6 +56,28 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("bfsHops: exact hop distances on a chain; other components unreachable") {
+    // chain 1-2-3-4 (undirected, given in mixed direction) + separate pair 10-11
+    val got = GraphOps.bfsHops(edges((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: explicit source overrides the min-node default") {
+    val got = GraphOps.bfsHops(edges((1L, 2L), (2L, 3L)), source = Some(3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 0L, 2L -> 1L, 1L -> 2L))
+  }
+
+  test("no persistent RDD blocks survive a bfsHops call") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = GraphOps.bfsHops(edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(out.count() == 4)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked RDD blocks: ${(after -- before).mkString(",")}")
+  }
+
   test("no persistent RDD blocks survive a pagerank call") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = GraphOps.pagerank(edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))

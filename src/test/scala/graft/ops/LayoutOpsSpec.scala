@@ -58,4 +58,38 @@ class LayoutOpsSpec extends AnyFunSuite with SparkSpec {
       s"clustered layout should skip most row groups: read $prunedRows of $total")
     assert(prunedRows < fullRows / 3)
   }
+
+  test("compactSmallFiles: 64 micro-files become 1, rows and content preserved") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val path = s"$root/t"
+    val df = (1L to 5000L).toDF("id").withColumn("v", col("id") * 7)
+    df.repartition(64).write.parquet(path) // the streaming-sink debris shape
+    val before = df.collect().toSeq.sortBy(_.getLong(0))
+
+    val stats = LayoutOps.compactSmallFiles(spark, path, targetBytes = 1L << 30)
+    assert(stats.filesBefore == 64)
+    assert(stats.filesAfter == 1)
+    assert(stats.rows == 5000L)
+    val after = spark.read.parquet(path).collect().toSeq.sortBy(_.getLong(0))
+    assert(after == before)
+    // swap is complete: no staging or old dirs left behind
+    assert(!new java.io.File(path + "__compact_tmp").exists())
+    assert(!new java.io.File(path + "__compact_old").exists())
+  }
+
+  test("compactSmallFiles: targetBytes bounds output file count from actual bytes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val path = s"$root/t"
+    (1L to 20000L).toDF("id").withColumn("pad", md5(col("id").cast("string")))
+      .repartition(32).write.parquet(path)
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sum
+    val target = bytes / 4 + 1 // expect ~4-5 output files, never 1, never 32
+    val stats = LayoutOps.compactSmallFiles(spark, path, targetBytes = target)
+    assert(stats.filesAfter >= 2 && stats.filesAfter <= 8,
+      s"expected a handful of files, got ${stats.filesAfter}")
+    assert(stats.rows == 20000L)
+  }
 }

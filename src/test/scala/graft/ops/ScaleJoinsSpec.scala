@@ -65,4 +65,52 @@ class ScaleJoinsSpec extends AnyFunSuite with SparkSpec {
     assert(survivors < 3000, s"bloom should prune ~99% of 100k rows, kept $survivors")
     assert(survivors >= 500)
   }
+
+  test("dynamic partition pruning: filtered dim prunes fact partitions at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("dpp").toString
+    // fact: 10k rows over 10 partitions on k
+    (1L to 10000L).toDF("id").withColumn("k", col("id") % 10)
+      .write.partitionBy("k").parquet(s"$root/fact")
+    // dim: carries all 10 keys, but a runtime filter keeps only 3 —
+    // which partitions survive is unknowable until the dim is evaluated,
+    // exactly the case static pruning cannot cover. Two real-deployment
+    // gotchas pinned here: (1) the dim must be a RELATION scan — a filter
+    // over an in-memory LocalRelation constant-folds away and the pruning
+    // rule no longer sees a selective predicate; (2) the key is INT to
+    // match what partition-directory inference assigns the fact's k — a
+    // mismatched type wraps the join key in a cast and the rule no longer
+    // sees the partition attribute
+    (0 to 9).toDF("k").withColumn("grp", col("k") % 3)
+      .write.parquet(s"$root/dim")
+    val dim = spark.read.parquet(s"$root/dim").filter(col("grp") === 1) // keys 1, 4, 7
+    val joined = ScaleJoins.dppJoin(spark, s"$root/fact", dim, "k")
+    assert(joined.collect().length == 3000)
+    // AQE wraps the plan as a leaf AdaptiveSparkPlanExec and finalized
+    // stages hide behind QueryStageExec leaves — recurse through all of
+    // them (collect() above forced execution, so the final plan exists)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case _ => Nil
+    }
+    val all = scans(joined.queryExecution.executedPlan)
+    val scan = all.find(_.relation.location.rootPaths.exists(_.toString.contains("fact")))
+      .getOrElse(fail(s"no fact scan found; plan:\n${joined.queryExecution.executedPlan}"))
+    assert(scan.partitionFilters.mkString(",").contains("dynamicpruning"),
+      s"fact scan lacks a DPP filter: ${scan.partitionFilters}")
+    // the scan's own metric: only the 3 surviving partitions' files were read
+    val totalFiles = scan.relation.location.inputFiles.length
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < totalFiles,
+      s"DPP read all $totalFiles files")
+    assert(readFiles <= totalFiles * 3 / 10 + 1,
+      s"expected ~3/10 of partitions, read $readFiles of $totalFiles")
+  }
 }
