@@ -193,6 +193,50 @@ object MiningOps extends Pack {
         .orderBy("o_orderpriority")
     }),
 
+    "events_attribution" -> ((s, d) => {
+      // linear multi-touch attribution: each purchase's value (integer
+      // cents) splits equally across the user's clicks in the preceding
+      // hour. Candidates come from the user_id EQUI-join — the time window
+      // filters inside each user's group, so candidate volume is bounded
+      // by per-user activity, never |purchases| x |clicks| (the join_
+      // interval lesson applied to attribution). Timestamps compare at
+      // second granularity on both engines (Spark unix_timestamp
+      // truncates; the oracle uses floor(epoch()) — DuckDB's bare
+      // epoch()::BIGINT ROUNDS, the classic parity trap). Zero-touch
+      // purchases are excluded by the inner join — no integer division
+      // by zero on either engine.
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ps"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("cs"))
+      purchases.join(clicks, "user_id")
+        .filter(col("cs") < col("ps") && col("cs") >= col("ps") - 3600)
+        .groupBy(col("purchase_id"), col("user_id"), col("cents"))
+        .agg(count(lit(1)).as("n_touches"))
+        .withColumn("credit_c_each", expr("cents div n_touches"))
+        .select(col("purchase_id"), col("user_id"), col("cents"),
+          col("n_touches"), col("credit_c_each"))
+        .orderBy("purchase_id")
+    }),
+
+    "fn_editdist" -> ((s, d) => {
+      // string-distance scalar surface: Levenshtein distance (the fuzzy-
+      // match primitive of entity resolution) plus the thresholded form a
+      // blocking pipeline actually evaluates — Spark's 3-arg levenshtein
+      // short-circuits above the bound (cost k*n instead of m*n); DuckDB
+      // lacks the 3-arg form so the oracle reconstructs it with CASE.
+      // Pure codegen'd projection, scan-bound.
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).as("d_name_type"),
+          levenshtein(col("p_brand"), col("p_type")).as("d_brand_type"),
+          levenshtein(col("p_name"), col("p_type"), 5).as("d_capped"))
+        .orderBy("p_partkey")
+    }),
+
     "graph_bfs_hops" -> ((s, d) => {
       // near-dup "blast radius": BFS hop distances from the smallest doc in
       // the simhash hamming-1..3 pair graph — the transitive-depth view of
@@ -310,6 +354,29 @@ object MiningOps extends Pack {
         |  min(usd) FILTER (WHERE is_outlier) AS min_outlier_usd,
         |  max(usd) FILTER (WHERE is_outlier) AS max_outlier_usd
         |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "events_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, floor(epoch(ts))::BIGINT AS ps,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, floor(epoch(ts))::BIGINT AS cs
+        |  FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, user_id, cents, count(*)::BIGINT AS n_touches,
+        |       (cents // count(*))::BIGINT AS credit_c_each
+        |FROM p JOIN c USING (user_id)
+        |WHERE cs < ps AND cs >= ps - 3600
+        |GROUP BY purchase_id, user_id, cents
+        |ORDER BY purchase_id""".stripMargin,
+
+    "fn_editdist" ->
+      """SELECT p_partkey,
+        |  levenshtein(p_name, p_type) AS d_name_type,
+        |  levenshtein(p_brand, p_type) AS d_brand_type,
+        |  CASE WHEN levenshtein(p_name, p_type) <= 5
+        |       THEN levenshtein(p_name, p_type) ELSE -1 END AS d_capped
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "graph_bfs_hops" ->
       (s"""WITH tok AS (

@@ -112,6 +112,26 @@ class MiningOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq(None, Some(-666L), Some(1500L)))
   }
 
+  test("events_attribution: window edges and integer credit split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mining").toString
+    val G = 1000000000L
+    // purchase at t=5000s, value 1.00 -> 100 cents
+    Seq((10L, 5000L * G, 1L, "purchase", 1.0),
+        (1L, 1400L * G, 1L, "click", 0.0),  // 3600s before -> INCLUDED (>= ps-3600)
+        (2L, 1399L * G, 1L, "click", 0.0),  // 3601s before -> excluded
+        (3L, 5000L * G, 1L, "click", 0.0),  // same second as purchase -> excluded (cs < ps)
+        (4L, 4999L * G, 1L, "click", 0.0),  // 1s before -> included
+        (5L, 4000L * G, 2L, "click", 0.0),  // other user -> excluded
+        (11L, 9000L * G, 2L, "purchase", 5.0)) // zero-touch purchase -> absent
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = MiningOps.queries("events_attribution")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 2 touches share 100 cents -> 50 each
+    assert(got.toSeq == Seq((10L, 100L, 2L, 50L)))
+  }
+
   test("text_cooccur: jaccard permille and support floor") {
     // "p q" co-occur in 10 docs (support 10, df both 10 -> jaccard 1000);
     // "p r" co-occur in 9 docs only -> below the support floor, absent.
