@@ -1,0 +1,270 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Graph/ops pack rounding out the analytics surface: triangle counting on
+  * the near-dup graph, deterministic hash-based train/val/test splitting,
+  * hash-ordered uniform sampling, null-aware NOT IN anti joins, sliding
+  * distinct-count windows, and hopping (overlapping) time windows.
+  *
+  * House rules carried over from the other packs:
+  *   - every hash the oracle must reproduce derives from md5;
+  *   - money/ratios are exact integers (cents / permille) — never float
+  *     accumulation;
+  *   - every query ends in a deterministic ORDER BY over a unique key.
+  */
+object AnalyticsOps extends Pack {
+
+  private val tokSql = "string_split(text, ' ')"
+
+  /** The simhash hamming-1..3 near-dup pair graph shared with
+    * dedup_simhash_near / graph_bfs_hops, as one self-contained CTE prefix
+    * ending in `pairs(rep_a, rep_b)` (house style: each oracle is
+    * standalone SQL the driver can run verbatim).
+    */
+  private val pairCte: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, w, count(*) AS wt, ('0x'||substr(md5(w),1,15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY doc_id, w),
+       |bal AS (
+       |  SELECT doc_id, i, SUM(CASE WHEN (h >> i) % 2 = 1 THEN wt ELSE -wt END) AS bal
+       |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS i)
+       |  GROUP BY doc_id, i),
+       |sh AS (
+       |  SELECT doc_id, SUM(CASE WHEN bal > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+       |  FROM bal GROUP BY doc_id),
+       |reps AS (
+       |  SELECT simhash, min(doc_id) AS rep_doc FROM sh GROUP BY simhash),
+       |bands AS (
+       |  SELECT simhash, rep_doc, b, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM reps, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT x.rep_doc AS rep_a, y.rep_doc AS rep_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.simhash < y.simhash
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) BETWEEN 1 AND 3)""".stripMargin
+
+  /** Triangle census of an undirected graph given as (a, b) pairs in any
+    * orientation (duplicates collapsed here). Degree-ordered orientation:
+    * every edge points from its (degree, id)-smaller endpoint, so each
+    * triangle is counted exactly once at its lowest-degree corner and
+    * per-node wedge work is bounded by OUT-degree — on a power-law graph
+    * the hub that would make id-ordering quadratic gets mostly IN-edges
+    * instead. Wedges close via one equi-join against the oriented edge
+    * list (never an all-pairs product). The count is
+    * orientation-invariant, so an id-ordered a<b<c double join (the
+    * oracle, the spec's brute force) agrees while the distributed plan
+    * keeps the skew bound. Returns one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles, cc_permille) where
+    * cc_permille = 3000 * triangles / wedges, the global clustering
+    * coefficient in exact permille.
+    */
+  private[ops] def triangleStats(raw: DataFrame): DataFrame = {
+    val e0 = raw
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): struct comparison gives the total order directly
+    val ed = e0
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .withColumn("ku", struct(col("du").as("kd"), col("u").as("kn")))
+      .withColumn("kv", struct(col("dv").as("kd"), col("v").as("kn")))
+    val out = ed.select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
+      .withColumn("dst", col("kdst").getField("kn"))
+    val wedges = out.as("p").join(out.as("q"),
+        col("p.src") === col("q.src") && col("p.kdst") < col("q.kdst"))
+      .select(col("p.dst").as("wu"), col("q.dst").as("wv"))
+    val tri = wedges.join(out.select(col("src").as("wu"), col("dst").as("wv")),
+        Seq("wu", "wv"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    base.crossJoin(tri)
+      .withColumn("cc_permille", expr("(n_triangles * 3000) div n_wedges"))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    "graph_triangles" -> ((s, d) => {
+      // Triangle census of the near-dup pair graph — the density signal
+      // that separates a template FAMILY (clique-ish: many triangles) from
+      // a drift CHAIN (path-ish: none), which components/BFS alone can't
+      // see. Algorithm + scale shape: [[triangleStats]].
+      triangleStats(TextOps.simhashNearPairs(s, d)
+        .select(col("rep_a").as("a"), col("rep_b").as("b")))
+    }),
+
+    "prep_split" -> ((s, d) => {
+      // Deterministic train/val/test split by content-free key hash — the
+      // way a 100 TB corpus splits WITHOUT a global shuffle, a rand() seed
+      // to coordinate across executors, or any state: assignment is a
+      // narrow per-row map (md5 of the key), stable under reruns,
+      // backfills and repartitioning, and new documents land in the same
+      // split forever. Thresholds are lexicographic prefixes of the hex
+      // digest ('cc' = 204/256 ~ 79.7%, 'e6' = 230/256 ~ 89.8%) so both
+      // engines compare plain ASCII strings — no hex->int conversion in
+      // the hot path. The only shuffle is the 3-group audit aggregate.
+      t(s, d, "documents")
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("split",
+          when(col("h") < "cc", "train").when(col("h") < "e6", "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("split")
+    }),
+
+    "sample_hash" -> ((s, d) => {
+      // Deterministic uniform k-sample: order by md5(key) and take the
+      // first k — reproducible across runs/engines (unlike rand(seed),
+      // whose stream depends on partitioning), and it plans as
+      // TakeOrderedAndProject: per-partition top-k heaps, no global sort,
+      // no sample-fraction guess-and-retry. The hash order IS the uniform
+      // order; event_id tiebreak makes the sample total and exact.
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          md5(col("event_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    "subquery_not_in" -> ((s, d) => {
+      // NOT IN with a subquery — the null-aware anti join. Parquet keys
+      // are nullable as far as Catalyst can prove, so Spark must plan a
+      // null-aware BroadcastHashJoin (one NULL in the subquery would empty
+      // the result; a plain anti join can't express that). At scale the
+      // null-aware form REQUIRES a broadcastable right side — when the
+      // subquery is big, rewrite to NOT EXISTS (plain anti, shuffleable)
+      // after establishing non-nullness; AnalyticsOpsSpec pins that both
+      // forms agree here.
+      t(s, d, "customer").createOrReplaceTempView("naaj_customer")
+      t(s, d, "orders").createOrReplaceTempView("naaj_orders")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_cust, min(c_custkey) AS min_key
+          |FROM naaj_customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM naaj_orders WHERE o_orderstatus = 'F')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    "window_distinct" -> ((s, d) => {
+      // Sliding distinct-count: per event, how many DISTINCT event types
+      // its user produced in the trailing 7 days — the engagement-breadth
+      // signal. Spark has no count(DISTINCT) over a window, so the
+      // composition is size(collect_set(...)) over a RANGE frame on epoch
+      // seconds; state per frame is bounded by the type vocabulary (5
+      // here), not the event count, so executor memory is safe at any
+      // frame width. RANGE frames are peer-inclusive in both engines
+      // (same-second events share a frame), which is what makes the
+      // oracle's count(DISTINCT ...) OVER RANGE agree exactly. Rolled up
+      // to a (type, breadth) histogram: small, total, order-stable.
+      val cs = unix_timestamp(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(cs)
+        .rangeBetween(-604799, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("nd", size(collect_set(col("event_type")).over(w)).cast("long"))
+        .groupBy(col("event_type"), col("nd"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type", "nd")
+    }),
+
+    "events_sliding" -> ((s, d) => {
+      // Hopping (overlapping) windows: 6-hour windows sliding every 3
+      // hours — each event lands in exactly width/hop = 2 windows. Spark's
+      // window() generates both assignments IN-ROW (a 2-row Expand, no
+      // join against a window table) and the aggregate map-side-combines
+      // per (window, group), so the shuffle carries ~2x group cardinality,
+      // not 2x events. Epoch-aligned starts (1970-01-01 UTC) are emitted
+      // as epoch SECONDS — the cross-engine-stable form (stream_tumbling
+      // house rule). Revenue in exact cents.
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "6 hours", "3 hours"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(unix_timestamp(col("window.start")).as("w_start_s"),
+          unix_timestamp(col("window.end")).as("w_end_s"),
+          col("n"), col("cents"))
+        .orderBy("w_start_s")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "graph_triangles" ->
+      (pairCte +
+        s""",
+           |e AS (
+           |  SELECT DISTINCT least(rep_a, rep_b) AS u, greatest(rep_a, rep_b) AS v FROM pairs),
+           |degt AS (
+           |  SELECT node, count(*)::BIGINT AS deg FROM (
+           |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+           |tri AS (
+           |  SELECT count(*)::BIGINT AS n_triangles
+           |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |base AS (
+           |  SELECT count(*)::BIGINT AS n_nodes, (sum(deg) // 2)::BIGINT AS n_edges,
+           |         (sum(deg * (deg - 1)) // 2)::BIGINT AS n_wedges
+           |  FROM degt)
+           |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           |       (n_triangles * 3000 // n_wedges)::BIGINT AS cc_permille
+           |FROM base, tri""".stripMargin),
+
+    "prep_split" ->
+      """SELECT CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'
+        |            WHEN md5(doc_id::VARCHAR) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  count(DISTINCT source)::BIGINT AS n_sources,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type
+        |  FROM events ORDER BY md5(event_id::VARCHAR), event_id LIMIT 100)
+        |ORDER BY event_id""".stripMargin,
+
+    "subquery_not_in" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_cust, min(c_custkey) AS min_key
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "window_distinct" ->
+      """WITH pe AS (
+        |  SELECT event_type, floor(epoch(ts))::BIGINT AS cs, user_id FROM events),
+        |nd AS (
+        |  SELECT event_type,
+        |    count(DISTINCT event_type) OVER (
+        |      PARTITION BY user_id ORDER BY cs
+        |      RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)::BIGINT AS nd
+        |  FROM pe)
+        |SELECT event_type, nd, count(*)::BIGINT AS n_events
+        |FROM nd GROUP BY event_type, nd ORDER BY event_type, nd""".stripMargin,
+
+    "events_sliding" ->
+      """WITH p AS (
+        |  SELECT (floor(epoch(ts))::BIGINT // 10800) * 10800 AS b,
+        |         round(value * 100)::BIGINT AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT unnest([b, b - 10800]) AS w_start_s, c FROM p)
+        |SELECT w_start_s, w_start_s + 21600 AS w_end_s,
+        |       count(*)::BIGINT AS n, sum(c)::BIGINT AS cents
+        |FROM w GROUP BY w_start_s ORDER BY w_start_s""".stripMargin
+  )
+}
