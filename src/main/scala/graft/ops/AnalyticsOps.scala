@@ -182,6 +182,45 @@ object AnalyticsOps extends Pack {
         .orderBy("event_type", "nd")
     }),
 
+    "window_median" -> ((s, d) => {
+      // Trailing discrete median (robust running baseline — the outlier-
+      // resistant twin of a moving average) over each customer's last 4
+      // orders. Spark has no percentile over a window, so the composition
+      // is element_at(array_sort(collect_list), ceil(n/2)) — per-frame
+      // state is the 4-row frame, never the partition. The (date, key)
+      // window order is TOTAL (dates tie at sf scale); the oracle's
+      // quantile_disc(0.5) picks the same lower-middle element (pinned by
+      // a probe: n=4 frames agree on the 2nd sorted value).
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("lst", array_sort(collect_list(col("price_c")).over(w)))
+        .withColumn("med_c", element_at(col("lst"), expr("(size(lst) + 1) div 2").cast("int")))
+        .select(col("o_orderkey"), col("o_custkey"), col("price_c"), col("med_c"))
+        .orderBy("o_orderkey")
+    }),
+
+    "fn_hof" -> ((s, d) => {
+      // Higher-order array functions — transform/filter/exists/zip_with/
+      // aggregate, the in-row compute surface a feature pipeline uses on
+      // array columns (embeddings, token lists) WITHOUT exploding: all
+      // five run inside whole-stage codegen on a bounded in-row sequence,
+      // so the plan is a pure scan-project with zero row inflation — the
+      // anti-pattern it replaces is explode + groupBy, which shuffles the
+      // array's full volume to recompute what a lambda folds in place.
+      t(s, d, "part")
+        .withColumn("seq", expr("sequence(1L, 1L + pmod(p_partkey, 7))"))
+        .select(col("p_partkey"),
+          expr("aggregate(transform(seq, x -> x * x), 0L, (a, x) -> a + x)").as("sq_sum"),
+          expr("size(filter(seq, x -> x % 2 = 0))").cast("long").as("n_even"),
+          expr("exists(seq, x -> x % 5 = 0)").as("has_div5"),
+          expr("aggregate(zip_with(seq, reverse(seq), (x, y) -> x * y), 0L, (a, x) -> a + x)")
+            .as("zip_sum"))
+        .orderBy("p_partkey")
+    }),
+
     "events_sliding" -> ((s, d) => {
       // Hopping (overlapping) windows: 6-hour windows sliding every 3
       // hours — each event lands in exactly width/hop = 2 windows. Spark's
@@ -256,6 +295,26 @@ object AnalyticsOps extends Pack {
         |  FROM pe)
         |SELECT event_type, nd, count(*)::BIGINT AS n_events
         |FROM nd GROUP BY event_type, nd ORDER BY event_type, nd""".stripMargin,
+
+    "window_median" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice * 100)::BIGINT AS price_c,
+        |  quantile_disc(round(o_totalprice * 100)::BIGINT, 0.5) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS med_c
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_hof" ->
+      """SELECT p_partkey,
+        |  list_aggregate(list_transform(generate_series(1, 1 + p_partkey % 7), x -> x * x),
+        |    'sum')::BIGINT AS sq_sum,
+        |  len(list_filter(generate_series(1, 1 + p_partkey % 7), x -> x % 2 = 0))::BIGINT AS n_even,
+        |  len(list_filter(generate_series(1, 1 + p_partkey % 7), x -> x % 5 = 0)) > 0 AS has_div5,
+        |  list_aggregate(list_transform(
+        |    list_zip(generate_series(1, 1 + p_partkey % 7),
+        |             list_reverse(generate_series(1, 1 + p_partkey % 7))),
+        |    p -> p[1] * p[2]), 'sum')::BIGINT AS zip_sum
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "events_sliding" ->
       """WITH p AS (

@@ -94,4 +94,74 @@ object MultimodalOps {
       }
     }
   }
+
+  case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      src_w: Int,
+      src_h: Int,
+      out_w: Int,
+      out_h: Int,
+      out_fp: String)       // fingerprint of the (stubbed) re-encoded payload
+
+  /** Bounded-resolution resize (the image-normalization step of a training
+    * pipeline): scale every image so its longer side is at most `maxDim`,
+    * preserving aspect ratio in integer arithmetic; never upscale. The
+    * pixel resample is STUBBED (fingerprint chaining stands in for the
+    * re-encoded payload) but the Spark shape is the real one: a NARROW
+    * mapPartitions consuming the iterator in fixed-size batches — the same
+    * batch discipline `mapInPandas` imposes via Arrow record batches, so a
+    * real codec drops in per-batch (amortized codec init, bounded memory)
+    * without replanning. No shuffle, no driver materialization.
+    */
+  def resizeImages(envelopes: Dataset[MediaEnvelope], maxDim: Int,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import envelopes.sparkSession.implicits._
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    envelopes.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch block: a real implementation initializes the codec
+        // here, once per batch, not once per record
+        batch.iterator.map { e =>
+          val (w, h, _) = stubDecode(e.payload)
+          val long = math.max(w, h)
+          val (ow, oh) =
+            if (long <= maxDim) (w, h)
+            else (math.max(1, w * maxDim / long), math.max(1, h * maxDim / long))
+          ResizedMedia(e.media_id, e.kind, w, h, ow, oh,
+            hex(e.payload ++ s"#resize:${ow}x$oh".getBytes("UTF-8")))
+        }
+      }
+    }
+  }
+
+  case class SampledFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_fp: String)
+
+  /** Video frame sampling: every `stride`-th frame of each video envelope
+    * (frame 0 always included) as one row per kept frame. The frame decode
+    * is STUBBED (fingerprint of payload digest + index), but the shape is
+    * the production one: frames are generated IN-ROW by a flatMap bounded
+    * by the envelope's frame count — a video's frames stay in its task,
+    * row inflation is n_frames/stride per video, and nothing is collected.
+    * Downstream (dedup by frame_fp, embedding per frame) sees plain rows.
+    */
+  def sampleFrames(envelopes: Dataset[MediaEnvelope], stride: Int,
+      batchSize: Int = 64): Dataset[SampledFrame] = {
+    import envelopes.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive, got $stride")
+    envelopes.filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { e =>
+          val (_, _, nFrames) = stubDecode(e.payload)
+          val base = hex(e.payload)
+          (0 until nFrames by stride).iterator.map { idx =>
+            SampledFrame(e.media_id, idx, hex(s"$base#frame:$idx".getBytes("UTF-8")))
+          }
+        }
+      }
+    }
+  }
 }
