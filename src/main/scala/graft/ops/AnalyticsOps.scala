@@ -63,12 +63,20 @@ object AnalyticsOps extends Pack {
     * coefficient in exact permille.
     */
   private[ops] def triangleStats(raw: DataFrame): DataFrame = {
+    // e0/deg/out are each consumed 2-3 times downstream (wedge self-join +
+    // closing semi-join + degree stats) — without persist the WHOLE
+    // upstream pipeline (for graph_triangles: the simhash fingerprint
+    // build) re-evaluates once per reference (~9x, measured 16 s -> 2 s at
+    // sf0.1). The bench/verify harness sweeps cached blocks after each
+    // query.
     val e0 = raw
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .persist()
     val deg = e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist()
     // orient by (deg, id): struct comparison gives the total order directly
     val ed = e0
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
@@ -79,6 +87,7 @@ object AnalyticsOps extends Pack {
         when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
         when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
       .withColumn("dst", col("kdst").getField("kn"))
+      .persist()
     val wedges = out.as("p").join(out.as("q"),
         col("p.src") === col("q.src") && col("p.kdst") < col("q.kdst"))
       .select(col("p.dst").as("wu"), col("q.dst").as("wv"))
