@@ -230,6 +230,34 @@ object AnalyticsOps extends Pack {
         .orderBy("p_partkey")
     }),
 
+    "window_ewma" -> ((s, d) => {
+      // Exponentially weighted moving average of each customer's order
+      // values — the recency-weighted spend signal. EWMA is inherently
+      // recursive (no window frame expresses it), so the composition is a
+      // per-group in-row FOLD: collect the history once, order-proof it
+      // with an in-row sort of (date, key, cents) structs (the events_
+      // paths trick — collect_list order is nondeterministic under
+      // parallel merge), then aggregate() folds in whole-stage codegen.
+      // alpha = 0.3 as the exact integer recurrence (7a + 3x) div 10 —
+      // truncation agrees with DuckDB's // on the positive domain, and
+      // list_reduce's seed (first element) is replicated by folding
+      // slice(2..) from element 1. State is one customer's history,
+      // bounded by group size; the unbounded-stream form of this signal
+      // is the incremental-state family (MinHashIncremental etc.).
+      t(s, d, "orders")
+        .select(col("o_custkey"),
+          struct(col("o_orderdate"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c")).as("r"))
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .withColumn("cs", expr("transform(rs, r -> r.price_c)"))
+        .select(col("o_custkey"),
+          size(col("cs")).cast("long").as("n_orders"),
+          expr("aggregate(slice(cs, 2, size(cs) - 1), element_at(cs, 1)," +
+            " (a, x) -> (7 * a + 3 * x) div 10)").as("ewma_c"))
+        .orderBy("o_custkey")
+    }),
+
     "events_sliding" -> ((s, d) => {
       // Hopping (overlapping) windows: 6-hour windows sliding every 3
       // hours — each event lands in exactly width/hop = 2 windows. Spark's
@@ -324,6 +352,15 @@ object AnalyticsOps extends Pack {
         |             list_reverse(generate_series(1, 1 + p_partkey % 7))),
         |    p -> p[1] * p[2]), 'sum')::BIGINT AS zip_sum
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "window_ewma" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    list(round(o_totalprice * 100)::BIGINT ORDER BY o_orderdate, o_orderkey) AS cs
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, len(cs)::BIGINT AS n_orders,
+        |  list_reduce(cs, (a, x) -> (7 * a + 3 * x) // 10)::BIGINT AS ewma_c
+        |FROM g ORDER BY o_custkey""".stripMargin,
 
     "events_sliding" ->
       """WITH p AS (

@@ -113,4 +113,46 @@ class ScaleJoinsSpec extends AnyFunSuite with SparkSpec {
     assert(readFiles <= totalFiles * 3 / 10 + 1,
       s"expected ~3/10 of partitions, read $readFiles of $totalFiles")
   }
+
+  test("AQE splits a skewed join partition at runtime (the no-salt path)") {
+    import spark.implicits._
+    // saltedJoin is the explicit tool for the extreme keys you KNOW about;
+    // AQE's skew-join handling is the runtime net for the ones you don't.
+    // This pins the config surface that makes it fire and the plan
+    // evidence that it did — a sort-merge join whose skewed partition was
+    // split (skew=true) WITHOUT any query rewrite.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // production defaults (factor 5, 256 MB threshold, 64 MB advisory)
+    // scaled down to test volume: a partition is skewed if > 2x median AND
+    // > 32 KB; split targets of 16 KB
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+    try {
+      // hot key 0: 100k rows with an INCOMPRESSIBLE payload (AQE sizes
+      // partitions by compressed shuffle bytes — a constant payload
+      // deflates below any threshold); tail keys 1..40: 100 each
+      val big = ((1 to 100000).map(_ => 0L) ++ (1L to 40L).flatMap(k => Seq.fill(100)(k)))
+        .toDF("k").withColumn("pay", md5(concat(col("k"), monotonically_increasing_id())))
+      val dim = (0L to 40L).toDF("k").withColumn("name", concat(lit("n"), col("k")))
+      val joined = big.join(dim, "k")
+      // collect() (not count()) so the assertion reads THIS DataFrame's
+      // executed adaptive plan — count() plans a separate query execution
+      assert(joined.collect().length == 100000 + 40 * 100)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
