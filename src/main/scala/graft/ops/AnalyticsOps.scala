@@ -25,7 +25,7 @@ object AnalyticsOps extends Pack {
     * ending in `pairs(rep_a, rep_b)` (house style: each oracle is
     * standalone SQL the driver can run verbatim).
     */
-  private val pairCte: String =
+  private[ops] val pairCte: String =
     s"""WITH tok AS (
        |  SELECT doc_id, w, count(*) AS wt, ('0x'||substr(md5(w),1,15))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)

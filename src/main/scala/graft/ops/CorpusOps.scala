@@ -1,0 +1,392 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Round-10 pack: corpus hygiene and exact-sketch analytics — URL
+  * canonicalization dedup, bloom-prefiltered decontamination, a bigram
+  * language model, word-rarity scoring, link prediction on the near-dup
+  * graph, mergeable-bitmap exact distinct counts, forward as-of joins,
+  * robust dispersion (MAD), and calendar profiling.
+  *
+  * House rules carried over from the other packs:
+  *   - every hash the oracle must reproduce derives from md5;
+  *   - money/ratios are exact integers (cents / permille) — never float
+  *     accumulation;
+  *   - every query ends in a deterministic ORDER BY over a unique key.
+  */
+object CorpusOps extends Pack {
+
+  /** 60-bit deterministic hash shared with the DuckDB oracle (TextOps
+    * convention — 15 hex chars of md5 so the value fits a signed long).
+    */
+  private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** URL canonicalization chain (all codegen'd string ops, no UDF):
+    * lowercase -> strip fragment -> strip utm_* query -> strip :443
+    * default port -> strip trailing slash. Idempotent: canonical URLs are
+    * fixed points (spec-pinned), so re-running a partially-cleaned corpus
+    * through the pipeline is a no-op rather than a corruption.
+    */
+  private[ops] def canonicalizeUrl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(c), "#[a-z0-9]*$", ""), "\\?utm_[a-z_]+=[a-z]*$", ""),
+      ":443/", "/"), "/$", "")
+
+  /** Top-k non-adjacent pairs by common-neighbor count over an undirected
+    * edge list (any orientation, duplicates collapsed). Candidate pairs
+    * are generated IN-ROW from each node's sorted neighbor list — the
+    * center-node self-join never exists. Returns (node_a, node_b, cn)
+    * ordered by (node_a, node_b) after the (cn desc, a, b) top-k.
+    */
+  private[ops] def commonNeighbors(raw: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val e = raw
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist() // consumed by the adjacency build AND the anti join
+    val sym = e.union(e.select(col("v"), col("u")))
+    val cand = sym.groupBy(col("u"))
+      .agg(sort_array(collect_set(col("v"))).as("ns"))
+      .select(explode(expr(
+        "flatten(transform(ns, (a, i) -> transform(slice(ns, i + 2, size(ns)), b -> struct(a AS na, b AS nb))))"
+      )).as("p"))
+      .groupBy(col("p.na").as("node_a"), col("p.nb").as("node_b"))
+      .agg(count(lit(1)).as("cn"))
+    cand.join(e, cand("node_a") === e("u") && cand("node_b") === e("v"), "left_anti")
+      .orderBy(col("cn").desc, col("node_a"), col("node_b"))
+      .limit(k)
+      .orderBy("node_a", "node_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    "agg_bitmap" -> ((s, d) => {
+      // Exact distinct users per event type via MERGEABLE 64-bit bitmap
+      // chunks: chunk = user_id div 64, mask = bit_or of (1 << user_id%64),
+      // count = sum of popcounts. Both aggregates are map-side combinable,
+      // so the shuffle carries (type, chunk, 8-byte mask) — bounded by the
+      // id-domain/64, never by event volume — where count(DISTINCT) plans
+      // an Expand whose shuffle grows with every distinct (type, user)
+      // observation. Bitmap states also union across days/partitions for
+      // free, which is why this is the warehouse-standard layout for
+      // incremental exact uniques (segment overlap, retention matrices).
+      // Chunk/bit derive from shiftright/& (floor semantics), NOT div/%
+      // (truncate-toward-zero): with div, ids -1 and 63 both land on
+      // (chunk 0, bit 63) and negatives silently undercount (spec-pinned).
+      // The oracle runs count(DISTINCT) directly — two different
+      // algorithms, same exact answer.
+      t(s, d, "events")
+        .groupBy(col("event_type"), expr("shiftright(user_id, 6)").as("chunk"))
+        .agg(expr("bit_or(shiftleft(1L, int(user_id & 63)))").as("mask"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(mask)")).cast("long").as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    "dedup_url" -> ((s, d) => {
+      // URL-canonicalization dedup — the web-corpus step BEFORE content
+      // dedup: the same page crawled as http://Host:443/p/1/?utm_source=…#x
+      // and https://host/p/1 must collapse without ever comparing text.
+      // The corpus has no URL column, so deterministic messy URLs are
+      // synthesized per doc (case noise, default port, tracking params,
+      // trailing slash, fragments), then canonicalized by a regexp chain
+      // that both engines run verbatim: lowercase -> strip fragment ->
+      // strip utm_* query -> strip :443 default port -> strip trailing /.
+      // Scale shape: canonicalization is a narrow per-row map (no UDF, all
+      // codegen'd string ops); the only shuffle is the final groupBy on the
+      // canonical key, and keep-lowest-doc_id is a plain min() — no window,
+      // no self-join. 20 messy variants per canonical URL at sf0.01.
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(5)) === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.com"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), pmod(col("doc_id"), lit(25)),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("?utm_source=feed")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit("#sec2")).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), canonicalizeUrl(url).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_dups"))
+        .orderBy("canon_url")
+    }),
+
+    "text_bigrams" -> ((s, d) => {
+      // Bigram next-word model: for every word, its most frequent follower
+      // (the 2-gram LM a corpus profiler ships for autocomplete seeds and
+      // boilerplate detection). Pairs are generated IN-ROW from each doc's
+      // token array (transform over indices — no posexplode self-join on
+      // (doc, pos+1), which would shuffle the token stream twice); the
+      // count is one two-word-key hash aggregate with map-side combine,
+      // and top-1-per-word plans as WindowGroupLimit: per-partition top-1
+      // heaps run BEFORE the word shuffle, so at most one candidate row
+      // per word per input partition moves.
+      val pairs = t(s, d, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w, element_at(ws,i+1) AS nw))"
+        )).as("p"))
+        .select(col("p.w").as("w"), col("p.nw").as("nw"))
+        .filter(col("w") =!= "" && col("nw") =!= "")
+      val rk = Window.partitionBy(col("w")).orderBy(col("n").desc, col("nw"))
+      pairs.groupBy(col("w"), col("nw")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") === 1 && col("n") >= 5)
+        .select(col("w"), col("nw"), col("n"))
+        .orderBy("w")
+    }),
+
+    "text_rarity" -> ((s, d) => {
+      // Word-rarity scoring: each doc's median document-frequency over its
+      // distinct words — the cheap "is this doc made of common or rare
+      // vocabulary" quality signal (low median df = jargon/noise, high =
+      // boilerplate). array_distinct collapses repeats IN-ROW before the
+      // explode, the df table joins back on the word key (broadcast at
+      // this SF; sort-merge at scale — df grows with the vocabulary, so it
+      // is deliberately not assumed broadcastable), and the median folds
+      // in-row from a group-bounded sorted list (discrete lower-middle,
+      // the window_median convention). Rolled up per source so the output
+      // is small and total.
+      val docs = t(s, d, "documents")
+      val dw = docs
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "")
+      val dfT = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val med = dw.join(dfT, "w")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("df"))).as("dfs"))
+        .select(col("doc_id"),
+          expr("element_at(dfs, int((size(dfs) + 1) div 2))").as("med_df"))
+      med.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("med_df")).as("sum_med_df"),
+          min(col("med_df")).as("min_med_df"), max(col("med_df")).as("max_med_df"))
+        .orderBy("source")
+    }),
+
+    "graph_common_neighbors" -> ((s, d) => {
+      // Link prediction on the simhash near-dup graph: top-20 NON-adjacent
+      // node pairs by common-neighbor count — "these two template families
+      // are about to merge" (the same signal link-prediction literature
+      // scores as CN/Adamic-Adar). Candidate pairs are generated IN-ROW
+      // from each node's sorted neighbor list (the dedup_ngram posting-
+      // list trick — the (w,a)⋈(w,b) self-join on the center node, whose
+      // two shuffle sides are the full adjacency volume, never exists);
+      // per-node pair volume is deg², so a production graph caps or
+      // samples hub neighborhoods first (the df-cap discipline). Existing
+      // edges drop via one anti join; top-20 plans as
+      // TakeOrderedAndProject with a total (cn desc, a, b) order.
+      // Algorithm + scale shape: [[commonNeighbors]].
+      commonNeighbors(TextOps.simhashNearPairs(s, d)
+        .select(col("rep_a").as("a"), col("rep_b").as("b")), 20)
+    }),
+
+    "join_asof_fwd" -> ((s, d) => {
+      // FORWARD as-of join: each click picks the first purchase AT or
+      // AFTER it by the same user — time-to-convert attribution, the
+      // mirror of join_asof's backward lookup. Same single-window shape:
+      // one shuffle on user_id, first(ignoreNulls) over the FOLLOWING
+      // frame, instead of the quadratic-per-user range self-join. Order is
+      // second-resolution ts with event_id tiebreak so both engines sort
+      // identically (a same-second purchase with a smaller event_id sorts
+      // before the click and is NOT matched — pinned semantics).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("p_eid", when(col("event_type") === "purchase", col("event_id")))
+        .withColumn("next_purchase", first(col("p_eid"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("next_purchase"))
+        .orderBy("event_id")
+    }),
+
+    "window_mad" -> ((s, d) => {
+      // Median absolute deviation of each customer's order values — the
+      // robust dispersion twin of stddev (one whale order doesn't move
+      // it). Exact integer cents end-to-end: ONE hash aggregate collects
+      // the group-bounded history, then median and MAD both fold IN-ROW
+      // (sorted array + lower-middle element, the window_median
+      // convention) — no second shuffle, no self-join back, per-group
+      // state bounded by order count. The oracle computes the same two
+      // medians via quantile_disc with a join between the passes — two
+      // formulations, same exact integers.
+      t(s, d, "orders")
+        .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("pc"))).as("cs"))
+        .withColumn("n_orders", size(col("cs")).cast("long"))
+        .withColumn("med_c", expr("element_at(cs, int((size(cs) + 1) div 2))"))
+        .withColumn("ads", expr("array_sort(transform(cs, x -> abs(x - med_c)))"))
+        .withColumn("mad_c", expr("element_at(ads, int((size(ads) + 1) div 2))"))
+        .select(col("o_custkey"), col("n_orders"), col("med_c"), col("mad_c"))
+        .orderBy("o_custkey")
+    }),
+
+    "events_dow_profile" -> ((s, d) => {
+      // Day-of-week × hour activity heatmap: events, exact distinct users,
+      // purchase revenue per calendar cell — the seasonality profile
+      // capacity planning reads. Day-of-week derives from pure epoch
+      // integer arithmetic ((epoch_day + 3) % 7, Monday = 0) so neither
+      // engine's locale/week-start conventions are in play. One map-side-
+      // combinable aggregate over 168 cells; the distinct-user count is
+      // exact here and swaps for the mergeable bitmap (agg_bitmap) or HLL
+      // sketch (agg_sketch_merge) at larger id domains.
+      t(s, d, "events")
+        .select(unix_timestamp(col("ts")).as("es"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("dow", expr("(es div 86400 + 3) % 7"))
+        .withColumn("hr", expr("(es % 86400) div 3600"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("purchase_cents"))
+        .orderBy("dow", "hr")
+    }),
+
+    "text_decontaminate_bloom" -> ((s, d) => {
+      // Bloom-prefiltered decontamination — the 100 TB form of
+      // text_decontaminate. The benchmark gram set is tiny (5 docs here;
+      // MBs for a real eval suite), so a bloom filter over it travels to
+      // every corpus task and discards ~99% of corpus grams BEFORE the
+      // semi-join shuffle; the exact join then removes the bloom's false
+      // positives, so the result is IDENTICAL to the exact query (same
+      // oracle SQL — two physical strategies, one answer). The filter is
+      // built with one driver-side aggregation over the benchmark side
+      // (bounded control plane, like a broadcast build) and rides a Scala
+      // UDF: non-codegen, but ~100 ns/gram against the shuffle volume it
+      // deletes — the same trade Spark's own runtime bloom-filter join
+      // rule makes (ScaleJoinsSpec demonstrates the built-in form).
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 4)
+      val grams = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-3), i -> array_join(slice(ws, i, 4), ' '))")).as("gram"))
+        .select(col("doc_id"), h60(col("gram")).as("g"))
+        .distinct()
+        .persist() // consumed by the benchmark side and the corpus side
+      val bench = grams.filter(col("doc_id") < 5).select(col("g")).distinct()
+      val bf = bench.stat.bloomFilter("g", 100000L, 0.01)
+      val might = udf((g: Long) => bf.mightContain(g))
+      grams.filter(col("doc_id") >= 5)
+        .filter(might(col("g")))
+        .join(bench, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_contaminated_grams"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** The simhash near-dup pair graph CTE shared with AnalyticsOps'
+    * graph_triangles oracle (house style: each oracle is standalone SQL).
+    */
+  private def pairCte: String = AnalyticsOps.pairCte
+
+  val oracles: Map[String, String] = Map(
+
+    "agg_bitmap" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END || '.example.com' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+        |    '/p/' || (doc_id % 25) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url), '#[a-z0-9]*$', ''), '\?utm_[a-z_]+=[a-z]*$', ''),
+        |      ':443/', '/'), '/$', '') AS canon_url
+        |  FROM u)
+        |SELECT canon_url, min(doc_id) AS keep_doc, count(*)::BIGINT AS n_dups
+        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    "text_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |ix AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t),
+        |p AS (SELECT ws[i] AS w, ws[i + 1] AS nw FROM ix
+        |      WHERE ws[i] <> '' AND ws[i + 1] <> ''),
+        |g AS (SELECT w, nw, count(*)::BIGINT AS n FROM p GROUP BY w, nw)
+        |SELECT w, nw, n FROM (
+        |  SELECT w, nw, n, row_number() OVER (PARTITION BY w ORDER BY n DESC, nw) AS rk FROM g)
+        |WHERE rk = 1 AND n >= 5 ORDER BY w""".stripMargin,
+
+    "text_rarity" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |dft AS (SELECT w, count(*)::BIGINT AS df FROM dw GROUP BY w),
+        |med AS (
+        |  SELECT doc_id, quantile_disc(df, 0.5) AS med_df
+        |  FROM dw JOIN dft USING (w) GROUP BY doc_id)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(med_df)::BIGINT AS sum_med_df,
+        |       min(med_df) AS min_med_df, max(med_df) AS max_med_df
+        |FROM med JOIN documents USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "graph_common_neighbors" ->
+      (pairCte +
+        """,
+          |e AS (
+          |  SELECT DISTINCT least(rep_a, rep_b) AS u, greatest(rep_a, rep_b) AS v FROM pairs),
+          |sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+          |cand AS (
+          |  SELECT s1.x AS node_a, s2.x AS node_b, count(*)::BIGINT AS cn
+          |  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.x < s2.x
+          |  GROUP BY s1.x, s2.x),
+          |nc AS (
+          |  SELECT node_a, node_b, cn FROM cand
+          |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.node_a AND e.v = cand.node_b)
+          |  ORDER BY cn DESC, node_a, node_b LIMIT 20)
+          |SELECT node_a, node_b, cn FROM nc ORDER BY node_a, node_b""".stripMargin),
+
+    "join_asof_fwd" ->
+      """SELECT event_id, user_id, next_purchase FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "window_mad" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, round(o_totalprice * 100)::BIGINT AS pc FROM orders),
+        |m AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |         quantile_disc(pc, 0.5) AS med_c
+        |  FROM pc GROUP BY o_custkey)
+        |SELECT m.o_custkey, min(m.n_orders) AS n_orders, min(m.med_c) AS med_c,
+        |       quantile_disc(abs(pc.pc - m.med_c), 0.5) AS mad_c
+        |FROM pc JOIN m USING (o_custkey)
+        |GROUP BY m.o_custkey ORDER BY m.o_custkey""".stripMargin,
+
+    "events_dow_profile" ->
+      """WITH e AS (
+        |  SELECT floor(epoch(ts))::BIGINT AS es, user_id, event_type, value FROM events)
+        |SELECT (es // 86400 + 3) % 7 AS dow, (es % 86400) // 3600 AS hr,
+        |  count(*)::BIGINT AS n_events, count(DISTINCT user_id)::BIGINT AS n_users,
+        |  sum(CASE WHEN event_type = 'purchase' THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
+        |    AS purchase_cents
+        |FROM e GROUP BY dow, hr ORDER BY dow, hr""".stripMargin,
+
+    "text_decontaminate_bloom" -> TextOps.oracles("text_decontaminate")
+  )
+}
