@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   * behavior of padding with null which the downstream `x * y` would turn
   * into null anyway — an explicit error is strictly more debuggable.
   */
-case class DotProductI64(left: Expression, right: Expression)
+case class DotProductI64(left: Expression, right: Expression,
+    failOnError: Boolean = false)
     extends BinaryExpression {
 
   // AbstractDataType (ExpectsInputTypes.inputTypes) is private[sql] in
@@ -37,6 +38,10 @@ case class DotProductI64(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_dot_i64"
 
+  // failOnError = ANSI arithmetic (Math.*Exact, throws on long overflow —
+  // what DotProductRewrite substitutes for an ANSI-mode HOF fold);
+  // default = wrap-on-overflow, the hash-kernel contract the registered
+  // SQL function has always had (sign-LSH/simhash math relies on wrapping)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,7 +50,12 @@ case class DotProductI64(left: Expression, right: Expression)
       s"graft_dot_i64: length mismatch ($n vs ${y.numElements()})")
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    if (failOnError)
+      while (i < n) {
+        acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i))); i += 1
+      }
+    else
+      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
     acc
   }
 
@@ -54,6 +64,11 @@ case class DotProductI64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val step =
+        if (failOnError)
+          s"$acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
          |final int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -62,7 +77,7 @@ case class DotProductI64(left: Expression, right: Expression)
          |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |  $step
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -232,8 +247,16 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the native functions plus the
+  * [[DotProductRewrite]] optimizer rule (declarative HOF dot products
+  * compile down to the codegen'd kernel). Note the Bench/Verify mains do
+  * NOT install the extension — their sim_topk vs sim_topk_native pair
+  * deliberately measures the interpreted-HOF/native contrast, which this
+  * rule would erase.
+  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }

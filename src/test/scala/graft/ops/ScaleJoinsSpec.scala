@@ -66,6 +66,46 @@ class ScaleJoinsSpec extends AnyFunSuite with SparkSpec {
     assert(survivors >= 500)
   }
 
+  test("built-in runtime bloom filter injects might_contain on the shuffle side") {
+    import spark.implicits._
+    // the automatic twin of bloomPrefilteredJoin: when a shuffle join's
+    // creation side is small and selectively filtered, InjectRuntimeFilter
+    // plants bloom_filter_agg on it and might_contain over the application
+    // side, pruning fact rows BEFORE the join shuffle. The config surface
+    // that makes it fire (and that a 100 TB deployment must check):
+    // application-side scan must exceed applicationSideScanSizeThreshold
+    // (default 10GB — the reason small jobs never see the rule), the join
+    // must not be broadcast (broadcast already prunes), and both sides
+    // must be real scans (a LocalRelation constant-folds away, the DPP
+    // gotcha again).
+    val dir = java.nio.file.Files.createTempDirectory("graft-rtbf").toString
+    (1L to 200000L).map(k => (k, k % 1000)).toDF("k", "payload")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (1L to 5000L).map(k => (k, k % 50)).toDF("fk", "cat")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val restore = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("cat") === 7)
+      val q = fact.join(dim, col("k") === col("fk"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      assert(q.count() === 100) // dim keys with cat=7: 5000/50, each matching one fact row
+    } finally {
+      restore.foreach { case (k, v) => spark.conf.set(k, v) }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("dynamic partition pruning: filtered dim prunes fact partitions at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec
