@@ -250,6 +250,56 @@ object CorpusOps extends Pack {
         .orderBy("dow", "hr")
     }),
 
+    "dedup_cluster_pick" -> ((s, d) => {
+      // Canonical-representative selection per transitive near-dup
+      // cluster: the step AFTER dedup_simhash_clusters. A real pipeline
+      // keeps the BEST member of each cluster (here: most content, i.e.
+      // max n_chars, doc_id tiebreak), not an arbitrary min-id — template
+      // families usually contain one full document and many truncations.
+      // One hash aggregate over the (member, component) table: count +
+      // max_by on a (n_chars, -doc_id) struct, both map-side combinable —
+      // no window, no join-back. The oracle picks with a row_number
+      // window over the same recursive-CTE closure: two different
+      // algorithms on both the closure AND the pick, one answer.
+      val comps = DedupClusters.components(
+        TextOps.simhashNearPairs(s, d)
+          .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
+      comps
+        .join(t(s, d, "documents").select(col("doc_id").as("m_doc"), col("n_chars")),
+          comps("doc_id") === col("m_doc"))
+        .groupBy(col("component"))
+        .agg(
+          max_by(struct(col("m_doc").as("keep_doc"), col("n_chars").as("keep_chars")),
+            struct(col("n_chars"), (-col("m_doc")).as("tie"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), col("best.keep_doc").as("keep_doc"),
+          col("best.keep_chars").as("keep_chars"), col("n_members"))
+        .orderBy("component")
+    }),
+
+    "fn_ip" -> ((s, d) => {
+      // IPv4 scalar suite over synthesized addresses (Knuth-hash of the
+      // order key onto the 32-bit space — the corpus has no IP column):
+      // dotted-quad rendering, /16 aggregation bucket, RFC-1918 private-
+      // range classification. All pure integer div/% arithmetic — no inet
+      // type, no UDF, identical in both engines — the shape a clickstream
+      // pipeline uses to coarsen addresses before a groupBy. Positive
+      // domain throughout, so div/% truncation conventions never diverge.
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey") * 2654435761L, lit(4294967296L)).as("ip"))
+        .select(col("o_orderkey"), col("ip"),
+          concat_ws(".",
+            expr("ip div 16777216"), expr("(ip div 65536) % 256"),
+            expr("(ip div 256) % 256"), expr("ip % 256")).as("dotted"),
+          expr("ip div 65536").as("slash16"),
+          (expr("ip div 16777216") === 10
+            || (expr("ip div 16777216") === 172 && expr("(ip div 65536) % 256").between(16, 31))
+            || (expr("ip div 16777216") === 192 && expr("(ip div 65536) % 256") === 168))
+            .as("is_private"))
+        .orderBy("o_orderkey")
+    }),
+
     "text_decontaminate_bloom" -> ((s, d) => {
       // Bloom-prefiltered decontamination — the 100 TB form of
       // text_decontaminate. The benchmark gram set is tiny (5 docs here;
@@ -386,6 +436,41 @@ object CorpusOps extends Pack {
         |  sum(CASE WHEN event_type = 'purchase' THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
         |    AS purchase_cents
         |FROM e GROUP BY dow, hr ORDER BY dow, hr""".stripMargin,
+
+    "dedup_cluster_pick" ->
+      (pairCte +
+        """,
+          |edges AS (
+          |  SELECT rep_a AS src, rep_b AS dst FROM pairs
+          |  UNION SELECT rep_b, rep_a FROM pairs),
+          |reach AS (
+          |  WITH RECURSIVE r(src, dst) AS (
+          |    SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          |    UNION
+          |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+          |  SELECT * FROM r),
+          |comp AS (SELECT src AS m_doc, min(dst)::BIGINT AS component FROM reach GROUP BY src),
+          |scored AS (
+          |  SELECT component, m_doc, n_chars FROM comp JOIN documents ON m_doc = doc_id),
+          |pick AS (
+          |  SELECT component, m_doc, n_chars,
+          |    row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, m_doc) AS rk,
+          |    count(*) OVER (PARTITION BY component) AS nm
+          |  FROM scored)
+          |SELECT component, m_doc AS keep_doc, n_chars AS keep_chars, nm::BIGINT AS n_members
+          |FROM pick WHERE rk = 1 ORDER BY component""".stripMargin),
+
+    "fn_ip" ->
+      """WITH ipt AS (
+        |  SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS ip FROM orders)
+        |SELECT o_orderkey, ip,
+        |  (ip // 16777216)::VARCHAR || '.' || ((ip // 65536) % 256)::VARCHAR || '.' ||
+        |  ((ip // 256) % 256)::VARCHAR || '.' || (ip % 256)::VARCHAR AS dotted,
+        |  (ip // 65536)::BIGINT AS slash16,
+        |  (ip // 16777216 = 10
+        |   OR (ip // 16777216 = 172 AND (ip // 65536) % 256 BETWEEN 16 AND 31)
+        |   OR (ip // 16777216 = 192 AND (ip // 65536) % 256 = 168)) AS is_private
+        |FROM ipt ORDER BY o_orderkey""".stripMargin,
 
     "text_decontaminate_bloom" -> TextOps.oracles("text_decontaminate")
   )
