@@ -240,7 +240,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => CosineSimF32(cs(0), cs(1))),
     (FunctionIdentifier("graft_agree_i64"),
       info("graft_agree_i64", "graft_agree_i64(a, b) - count of equal slots between two array<bigint>"),
-      (cs: Seq[Expression]) => ArrayAgreeI64(cs(0), cs(1))))
+      (cs: Seq[Expression]) => ArrayAgreeI64(cs(0), cs(1))),
+    (FunctionIdentifier("graft_bitmap_distinct"),
+      info("graft_bitmap_distinct", "graft_bitmap_distinct(id) - exact distinct count of bigint ids via a mergeable bitmap aggregate"),
+      (cs: Seq[Expression]) => BitmapDistinct(cs(0)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, inf, builder)

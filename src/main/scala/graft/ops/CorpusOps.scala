@@ -86,6 +86,21 @@ object CorpusOps extends Pack {
         .orderBy("event_type")
     }),
 
+    "agg_bitmap_native" -> ((s, d) => {
+      // The same exact-bitmap distinct as agg_bitmap, as ONE native
+      // Catalyst aggregate ([[graft.expressions.BitmapDistinct]], a
+      // TypedImperativeAggregate): the (chunk -> mask) bitmap IS the
+      // partial aggregation state, so the plan is a single two-phase hash
+      // aggregate — agg_bitmap's first (type, chunk) exchange disappears,
+      // and partial bitmaps merge map-side by bit_or. Same oracle:
+      // count(DISTINCT) in DuckDB, a third algorithm agreeing.
+      graft.expressions.GraftFunctions.register(s)
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(call_function("graft_bitmap_distinct", col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     "dedup_url" -> ((s, d) => {
       // URL-canonicalization dedup — the web-corpus step BEFORE content
       // dedup: the same page crawled as http://Host:443/p/1/?utm_source=…#x
@@ -342,6 +357,10 @@ object CorpusOps extends Pack {
   val oracles: Map[String, String] = Map(
 
     "agg_bitmap" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_bitmap_native" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -40,6 +40,34 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === ids.distinct.size.toLong)
   }
 
+  test("native bitmap aggregate matches count(DISTINCT) and plans as one aggregate, one exchange") {
+    import org.apache.spark.sql.functions.{call_function, countDistinct}
+    graft.expressions.GraftFunctions.register(spark)
+    // parity on real data
+    val q = CorpusOps.queries("agg_bitmap_native")(spark, SF)
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.t(spark, SF, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+    // adversarial ids: negatives, chunk edges, duplicates, nulls ignored
+    import spark.implicits._
+    val ids = Seq[java.lang.Long](0L, 63L, -1L, -64L, Long.MaxValue, Long.MinValue, 42L, 42L, null)
+    val n = ids.map(Option(_)).toDF("id")
+      .agg(call_function("graft_bitmap_distinct", col("id"))).head().getLong(0)
+    assert(n === 7L)
+    // plan shape: a single two-phase ObjectHashAggregate — no Expand, and
+    // only the final-aggregate exchange (agg_bitmap's extra chunk-keyed
+    // shuffle is gone)
+    // AQE's toString repeats the plan under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Expand"), s"native bitmap agg must not plan an Expand:\n$plan")
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected agg + sort exchanges only:\n$plan") // final agg + orderBy range
+  }
+
   test("bloom-prefiltered decontamination returns exactly the exact query's rows") {
     val exact = TextOps.queries("text_decontaminate")(spark, SF).collect().toSeq
     val bloom = CorpusOps.queries("text_decontaminate_bloom")(spark, SF).collect().toSeq
