@@ -265,6 +265,56 @@ object CorpusOps extends Pack {
         .orderBy("dow", "hr")
     }),
 
+    "audit_checksum" -> ((s, d) => {
+      // Order-insensitive table reconciliation signatures — how a 100 TB
+      // source-vs-sink diff runs WITHOUT sorting or shipping either side
+      // (the companion to Sink.appendBatched's at-least-once contract:
+      // compare signatures after a crash-replay window instead of rows).
+      // Per table: row count, bit_xor of 60-bit row hashes (commutative —
+      // partition/insertion order free; a single changed row flips it,
+      // but a row duplicated an EVEN number of times cancels), and a
+      // modular SUM of 40-bit hashes (also commutative, and dup-sensitive
+      // where xor is blind — together they separate "rows differ" from
+      // "rows replayed"). Row rendering is pinned cross-engine: integers
+      // raw, money in cents, timestamps as floor-epoch seconds, '|'
+      // separators. One aggregate pass per table, map-side combinable.
+      val orders = t(s, d, "orders").select(h60(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long"),
+          unix_timestamp(col("o_orderdate")), col("o_orderpriority"))).as("h"),
+        col("o_orderkey").as("k"))
+      val customer = t(s, d, "customer").select(h60(concat_ws("|",
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment"))).as("h"),
+        col("c_custkey").as("k"))
+      def sig(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_sig"),
+          sum(expr("h & 1099511627775")).as("sum_sig"), // h mod 2^40: overflow-free under ANSI
+          sum(col("k")).as("key_sum"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("xor_sig"), col("sum_sig"), col("key_sum"))
+      sig(orders, "orders").unionByName(sig(customer, "customer")).orderBy("tbl")
+    }),
+
+    "text_feature_hash" -> ((s, d) => {
+      // Hashing-trick featurization: each doc's term frequencies folded
+      // into 16 hash buckets — the fixed-width, vocabulary-free input a
+      // downstream classifier/regressor trains on (no dictionary to
+      // build, ship, or version). ONE hash aggregate: 16 conditional sums
+      // keyed by pmod(h60(word), 16) — no per-bucket Expand, no pivot
+      // pre-pass, map-side combinable; the feature row never exceeds 16
+      // longs regardless of vocabulary.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("b", pmod(h60(col("w")), lit(16)))
+      base.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (0 until 16).map(b =>
+            sum(when(col("b") === b, 1L).otherwise(0L)).as(f"f$b%02d")): _*)
+        .orderBy("doc_id")
+    }),
+
     "dedup_cluster_pick" -> ((s, d) => {
       // Canonical-representative selection per transitive near-dup
       // cluster: the step AFTER dedup_simhash_clusters. A real pipeline
@@ -455,6 +505,38 @@ object CorpusOps extends Pack {
         |  sum(CASE WHEN event_type = 'purchase' THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
         |    AS purchase_cents
         |FROM e GROUP BY dow, hr ORDER BY dow, hr""".stripMargin,
+
+    "audit_checksum" ->
+      """WITH o AS (
+        |  SELECT ('0x'||substr(md5(
+        |    o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|' ||
+        |    round(o_totalprice * 100)::BIGINT::VARCHAR || '|' ||
+        |    floor(epoch(o_orderdate))::BIGINT::VARCHAR || '|' || o_orderpriority
+        |  ),1,15))::BIGINT AS h, o_orderkey AS k FROM orders),
+        |c AS (
+        |  SELECT ('0x'||substr(md5(
+        |    c_custkey::VARCHAR || '|' || c_name || '|' || c_nationkey::VARCHAR || '|' ||
+        |    round(c_acctbal * 100)::BIGINT::VARCHAR || '|' || c_mktsegment
+        |  ),1,15))::BIGINT AS h, c_custkey AS k FROM customer)
+        |SELECT 'customer' AS tbl, count(*)::BIGINT AS n_rows, bit_xor(h) AS xor_sig,
+        |       sum(h & 1099511627775)::BIGINT AS sum_sig, sum(k)::BIGINT AS key_sum FROM c
+        |UNION ALL
+        |SELECT 'orders', count(*)::BIGINT, bit_xor(h),
+        |       sum(h & 1099511627775)::BIGINT, sum(k)::BIGINT FROM o
+        |ORDER BY tbl""".stripMargin,
+
+    "text_feature_hash" ->
+      ("""WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |b AS (
+        |  SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT % 16 AS b
+        |  FROM w WHERE w <> '')
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |""".stripMargin
+        + (0 until 16).map(b =>
+            s"  sum(CASE WHEN b = $b THEN 1 ELSE 0 END)::BIGINT AS f${"%02d".format(b)}")
+          .mkString(",\n")
+        + "\nFROM b GROUP BY doc_id ORDER BY doc_id"),
 
     "dedup_cluster_pick" ->
       (pairCte +
