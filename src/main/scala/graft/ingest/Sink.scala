@@ -138,6 +138,20 @@ object Sink {
     }
   }
 
+  /** Idempotent micro-batch writer for `foreachBatch` sinks: the
+    * streaming engine's batchId keys a partition directory, and a
+    * REPLAYED batch (crash between sink write and checkpoint commit — the
+    * at-least-once window every appendBatched-style sink has) OVERWRITES
+    * its own directory instead of appending a second copy. This is the
+    * standard exactly-once-into-a-batch-sink recipe for sinks without
+    * transactions: Structured Streaming guarantees a given batchId always
+    * carries the same data, so overwrite-by-batchId is a safe upsert.
+    * Readers see `batch` as a partition column under `sinkDir`; the
+    * directory-granular overwrite never touches other batches' files.
+    */
+  def writeBatchIdempotent(df: DataFrame, sinkDir: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+
   /** C3: append `clean` to `path` in batches of at most `batchSize` rows.
     *
     * @param writeBatch pluggable batch writer (tests inject failures to

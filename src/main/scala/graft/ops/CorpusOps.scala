@@ -265,6 +265,28 @@ object CorpusOps extends Pack {
         .orderBy("dow", "hr")
     }),
 
+    "sql_recursive" -> ((s, d) => {
+      // Recursive CTE surface (new in Spark 4): walk each part key up the
+      // implicit binary-tree hierarchy k -> k div 2 -> ... -> 1 and roll
+      // up depth / node count / path sum — the bounded-depth hierarchy
+      // walk (org charts, category trees, BOM explosions) that SQL users
+      // reach for first. Execution is an iterative driver-coordinated
+      // union-of-generations, so it suits SHALLOW recursions; unbounded
+      // graph closure belongs to the DataFrame iterative family
+      // (DedupClusters / bfsHops — see the cluster_pick anchor, where the
+      // closure-as-CTE formulation is 15x slower in DuckDB). The oracle
+      // runs the identical recursion.
+      t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey")).createOrReplaceTempView("rec_part")
+      s.sql(
+        """WITH RECURSIVE walk(p_partkey, node, depth) AS (
+          |  SELECT p_partkey, p_partkey, 0L FROM rec_part
+          |  UNION ALL
+          |  SELECT p_partkey, node div 2, depth + 1L FROM walk WHERE node > 1)
+          |SELECT p_partkey, max(depth) AS depth, count(*) AS n_nodes, sum(node) AS path_sum
+          |FROM walk GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)
+    }),
+
     "audit_checksum" -> ((s, d) => {
       // Order-insensitive table reconciliation signatures — how a 100 TB
       // source-vs-sink diff runs WITHOUT sorting or shipping either side
@@ -505,6 +527,15 @@ object CorpusOps extends Pack {
         |  sum(CASE WHEN event_type = 'purchase' THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
         |    AS purchase_cents
         |FROM e GROUP BY dow, hr ORDER BY dow, hr""".stripMargin,
+
+    "sql_recursive" ->
+      """WITH RECURSIVE walk(p_partkey, node, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0::BIGINT FROM part WHERE p_partkey <= 200
+        |  UNION ALL
+        |  SELECT p_partkey, node // 2, depth + 1 FROM walk WHERE node > 1)
+        |SELECT p_partkey, max(depth) AS depth, count(*)::BIGINT AS n_nodes,
+        |       sum(node)::BIGINT AS path_sum
+        |FROM walk GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
 
     "audit_checksum" ->
       """WITH o AS (

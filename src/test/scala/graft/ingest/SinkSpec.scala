@@ -120,6 +120,23 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(path + "_compact_bak").exists())
   }
 
+  test("idempotent batch writer: a replayed micro-batch overwrites itself, not appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmp("idem")
+    Sink.writeBatchIdempotent(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, batchId = 0)
+    Sink.writeBatchIdempotent(Seq((3L, "c")).toDF("k", "v"), dir, batchId = 1)
+    // crash-replay window: batch 1 runs again (same batchId, same data —
+    // the Structured Streaming replay contract)
+    Sink.writeBatchIdempotent(Seq((3L, "c")).toDF("k", "v"), dir, batchId = 1)
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() === 3, "replay must not duplicate rows")
+    assert(rows.filter(col("batch") === 1).count() === 1)
+    // and per-batch reads prune to the batch directory (partition column)
+    assert(rows.filter(col("batch") === 0).select("k").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+  }
+
   test("appendBatched rejects batchSize < 1 with a clear error") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException](
