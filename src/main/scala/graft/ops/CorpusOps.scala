@@ -221,6 +221,28 @@ object CorpusOps extends Pack {
         .orderBy("event_id")
     }),
 
+    "join_fuzzy" -> ((s, d) => {
+      // Entity-resolution fuzzy join in the standard three-step shape:
+      // exact-dedupe the names first (DISTINCT — never fuzzy-match what
+      // exact matching already collapses), BLOCK on a semantic key (the
+      // trailing product-type token), verify with Levenshtein <= 4 only
+      // WITHIN blocks. Candidates are sum(block size^2), never
+      // |names|^2 — blocking-key entropy governs the bound, and a
+      // production matcher runs several complementary blocking passes
+      // with per-block caps (the df-cap discipline) rather than one
+      // perfect key. The verify filter rides the block equi-join; no
+      // cartesian anywhere.
+      val names = t(s, d, "part")
+        .select(lower(col("p_name")).as("nm")).distinct()
+        .withColumn("blk", element_at(split(col("nm"), " "), -1))
+      names.as("x").join(names.as("y"),
+          col("x.blk") === col("y.blk") && col("x.nm") < col("y.nm"))
+        .withColumn("dist", levenshtein(col("x.nm"), col("y.nm")).cast("long"))
+        .filter(col("dist") <= 4)
+        .select(col("x.nm").as("name_a"), col("y.nm").as("name_b"), col("dist"))
+        .orderBy("name_a", "name_b")
+    }),
+
     "window_mad" -> ((s, d) => {
       // Median absolute deviation of each customer's order values — the
       // robust dispersion twin of stddev (one whale order doesn't move
@@ -241,6 +263,48 @@ object CorpusOps extends Pack {
         .withColumn("mad_c", expr("element_at(ads, int((size(ads) + 1) div 2))"))
         .select(col("o_custkey"), col("n_orders"), col("med_c"), col("mad_c"))
         .orderBy("o_custkey")
+    }),
+
+    "events_concurrency" -> ((s, d) => {
+      // Peak concurrent sessions per day — the capacity-planning number —
+      // via the classic sweep-line: sessions (30-min-gap sessionization)
+      // emit +1 at start and -1 past end, the running sum's maximum is
+      // the peak. The sweep is made PARALLEL by splitting each session at
+      // day boundaries first (sequence over its day span, clipped), so
+      // the running-sum window partitions BY DAY — no global single-
+      // partition sort, and each day's sweep is exact including sessions
+      // carried across midnight. Tie rule pinned in both engines: at the
+      // same second, ends (-1) sort before starts (+1). Day-max is
+      // permutation-proof under equal keys (monotone within a tie
+      // group), so nondeterministic peer order inside the running sum
+      // never reaches the output.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("cs"), col("event_id"))
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("cs"))
+        .withColumn("prev", lag(col("cs"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("cs") - col("prev") > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("cs")).as("s"), max(col("cs")).as("e"))
+      val segs = sess
+        .select(explode(expr("sequence(s div 86400, e div 86400)")).as("day"),
+          col("s"), col("e"))
+        .select(col("day"),
+          greatest(col("s"), col("day") * 86400).as("b"),
+          least(col("e"), (col("day") + 1) * 86400 - 1).as("f"))
+      val pts = segs.select(col("day"), explode(array(
+          struct(col("b").as("t"), lit(1L).as("delta")),
+          struct((col("f") + 1).as("t"), lit(-1L).as("delta")))).as("p"))
+        .select(col("day"), col("p.t").as("t"), col("p.delta").as("delta"))
+      val sweep = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("conc", sum(col("delta")).over(sweep))
+        .groupBy(col("day"))
+        .agg(max(col("conc")).as("peak_concurrency"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_segments"))
+        .orderBy("day")
     }),
 
     "events_dow_profile" -> ((s, d) => {
@@ -507,6 +571,15 @@ object CorpusOps extends Pack {
         |  FROM events WHERE event_type IN ('click', 'purchase'))
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
+    "join_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
+        |b AS (SELECT nm, string_split(nm, ' ')[-1] AS blk FROM n)
+        |SELECT x.nm AS name_a, y.nm AS name_b,
+        |       levenshtein(x.nm, y.nm)::BIGINT AS dist
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.nm < y.nm
+        |WHERE levenshtein(x.nm, y.nm) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
+
     "window_mad" ->
       """WITH pc AS (
         |  SELECT o_custkey, round(o_totalprice * 100)::BIGINT AS pc FROM orders),
@@ -518,6 +591,38 @@ object CorpusOps extends Pack {
         |       quantile_disc(abs(pc.pc - m.med_c), 0.5) AS mad_c
         |FROM pc JOIN m USING (o_custkey)
         |GROUP BY m.o_custkey ORDER BY m.o_custkey""".stripMargin,
+
+    "events_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS cs FROM events),
+        |m AS (
+        |  SELECT user_id, cs, event_id,
+        |    CASE WHEN lag(cs) OVER (PARTITION BY user_id ORDER BY cs, event_id) IS NULL
+        |           OR cs - lag(cs) OVER (PARTITION BY user_id ORDER BY cs, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sm AS (
+        |  SELECT user_id, cs,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY cs, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |sess AS (SELECT user_id, sid, min(cs) AS s, max(cs) AS e FROM sm GROUP BY user_id, sid),
+        |segs AS (
+        |  SELECT unnest(generate_series(s // 86400, e // 86400)) AS day, s, e FROM sess),
+        |clip AS (
+        |  SELECT day, greatest(s, day * 86400) AS b, least(e, (day + 1) * 86400 - 1) AS f
+        |  FROM segs),
+        |pts AS (
+        |  SELECT day, b AS t, 1 AS delta FROM clip
+        |  UNION ALL SELECT day, f + 1, -1 FROM clip),
+        |run AS (
+        |  SELECT day, delta,
+        |    sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM pts)
+        |SELECT day, max(conc)::BIGINT AS peak_concurrency,
+        |       sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_segments
+        |FROM run GROUP BY day ORDER BY day""".stripMargin,
 
     "events_dow_profile" ->
       """WITH e AS (
