@@ -307,6 +307,41 @@ object CorpusOps extends Pack {
         .orderBy("day")
     }),
 
+    "events_stickiness" -> ((s, d) => {
+      // DAU / trailing-28-day MAU stickiness ratio (permille) — the
+      // engagement metric product teams watch daily. Same explode shape
+      // as events_active_users (a (user, day) row contributes to the 28
+      // window-days it serves — equi-shuffles only, growth bounded by
+      // calendar x users, never event volume); ratio is ONE integer
+      // division of two exact counts.
+      val du = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("ed"), col("user_id"))
+        .distinct()
+      val days = du.select(col("ed")).distinct()
+      val dau = du.groupBy(col("ed")).agg(countDistinct(col("user_id")).as("dau"))
+      val mau = du.select(explode(expr("sequence(ed, ed + 27)")).as("ed"), col("user_id"))
+        .join(days, "ed")
+        .groupBy(col("ed"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, "ed")
+        .withColumn("stickiness_permille", expr("(dau * 1000) div mau"))
+        .orderBy("ed")
+    }),
+
+    "dedup_cluster_sizes" -> ((s, d) => {
+      // Near-dup cluster-size histogram — the dedup-health report: a
+      // long tail of pairs (size 2) is normal, a giant component means
+      // the banding threshold collapsed the corpus. One count aggregate
+      // over the components table, then a count-of-counts — both
+      // map-side combinable; output is O(distinct sizes).
+      DedupClusters.components(
+          TextOps.simhashNearPairs(s, d)
+            .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     "events_dow_profile" -> ((s, d) => {
       // Day-of-week × hour activity heatmap: events, exact distinct users,
       // purchase revenue per calendar cell — the seasonality profile
@@ -623,6 +658,37 @@ object CorpusOps extends Pack {
         |SELECT day, max(conc)::BIGINT AS peak_concurrency,
         |       sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_segments
         |FROM run GROUP BY day ORDER BY day""".stripMargin,
+
+    "events_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT floor(epoch(ts))::BIGINT // 86400 AS ed, user_id FROM events),
+        |days AS (SELECT DISTINCT ed FROM du),
+        |dau AS (SELECT ed, count(DISTINCT user_id)::BIGINT AS dau FROM du GROUP BY ed),
+        |contrib AS (
+        |  SELECT unnest(generate_series(ed, ed + 27)) AS ed, user_id FROM du),
+        |mau AS (
+        |  SELECT c.ed, count(DISTINCT c.user_id)::BIGINT AS mau
+        |  FROM contrib c JOIN days USING (ed)
+        |  GROUP BY c.ed)
+        |SELECT ed, dau, mau, (dau * 1000 // mau)::BIGINT AS stickiness_permille
+        |FROM dau JOIN mau USING (ed) ORDER BY ed""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      (pairCte +
+        """,
+          |edges AS (
+          |  SELECT rep_a AS src, rep_b AS dst FROM pairs
+          |  UNION SELECT rep_b, rep_a FROM pairs),
+          |reach AS (
+          |  WITH RECURSIVE r(src, dst) AS (
+          |    SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          |    UNION
+          |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+          |  SELECT * FROM r),
+          |comp AS (SELECT src AS m_doc, min(dst)::BIGINT AS component FROM reach GROUP BY src),
+          |cs AS (SELECT component, count(*)::BIGINT AS cluster_size FROM comp GROUP BY component)
+          |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+          |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
 
     "events_dow_profile" ->
       """WITH e AS (
