@@ -364,6 +364,28 @@ object CorpusOps extends Pack {
         .orderBy("dow", "hr")
     }),
 
+    "set_bag_ops" -> ((s, d) => {
+      // BAG-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+      // MULTIPLICITY (min / truncated-difference of per-value counts),
+      // which the DISTINCT variants (set_intersect/set_except) erase:
+      // the inventory-reconciliation semantics ("how many copies remain")
+      // rather than membership. Both plan as one aggregate per side + a
+      // join on the value — no row-by-row matching; the rolled-up
+      // (value, count-per-op) output keeps the result total and ordered.
+      val a = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+      val b = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val inter = a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      val diff = a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      inter.unionByName(diff)
+        .filter(col("k") <= 200)
+        .select(col("op"), col("k"), col("n"))
+        .orderBy("op", "k")
+    }),
+
     "sql_recursive" -> ((s, d) => {
       // Recursive CTE surface (new in Spark 4): walk each part key up the
       // implicit binary-tree hierarchy k -> k div 2 -> ... -> 1 and roll
@@ -698,6 +720,16 @@ object CorpusOps extends Pack {
         |  sum(CASE WHEN event_type = 'purchase' THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
         |    AS purchase_cents
         |FROM e GROUP BY dow, hr ORDER BY dow, hr""".stripMargin,
+
+    "set_bag_ops" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |i AS (SELECT 'intersect_all' AS op, k, count(*)::BIGINT AS n
+        |      FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k),
+        |e AS (SELECT 'except_all' AS op, k, count(*)::BIGINT AS n
+        |      FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k)
+        |SELECT op, k, n FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+        |WHERE k <= 200 ORDER BY op, k""".stripMargin,
 
     "sql_recursive" ->
       """WITH RECURSIVE walk(p_partkey, node, depth) AS (
