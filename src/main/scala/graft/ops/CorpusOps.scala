@@ -342,6 +342,64 @@ object CorpusOps extends Pack {
         .orderBy("cluster_size")
     }),
 
+    "window_minmax_scale" -> ((s, d) => {
+      // Per-group min-max feature scaling to exact permille — the
+      // normalization step a feature pipeline runs before training, kept
+      // in integers so it is reproducible across engines/retries
+      // ((x-min)*1000 div (max-min); float scalers drift). Two window
+      // aggregates share ONE o_custkey partitioning (no self-join back);
+      // single-order groups pin scaled = 0 via the max>min guard rather
+      // than divide-by-zero.
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("pc"))
+        .withColumn("mn", min(col("pc")).over(w))
+        .withColumn("mx", max(col("pc")).over(w))
+        .withColumn("scaled_permille",
+          when(col("mx") > col("mn"),
+            expr("((pc - mn) * 1000) div (mx - mn)")).otherwise(0L))
+        .select(col("o_orderkey"), col("o_custkey"), col("pc"), col("scaled_permille"))
+        .orderBy("o_orderkey")
+    }),
+
+    "events_grid" -> ((s, d) => {
+      // Zero-filled reporting grid: every (day x event_type) cell, 0 for
+      // silent combinations — the completeness step dashboards need (a
+      // missing row reads as "no data", a 0 reads as "nothing happened").
+      // The scaffold is a bounded CROSS join of two tiny distinct sets
+      // (days x types — the ONLY place a cartesian is correct: both
+      // sides are group-bounded, never row-bounded); observed counts
+      // LEFT-join onto it and coalesce to 0.
+      val ev = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("ed"), col("event_type"))
+      val days = ev.select(col("ed")).distinct()
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy(col("ed"), col("event_type")).agg(count(lit(1)).as("n"))
+      days.crossJoin(types)
+        .join(counts, Seq("ed", "event_type"), "left")
+        .select(col("ed"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("ed", "event_type")
+    }),
+
+    "events_new_returning" -> ((s, d) => {
+      // Growth accounting: per day, users active for the FIRST time ever
+      // vs returning — the acquisition/retention split. Per-user first
+      // day is one min() aggregate; the day classification rides the
+      // (user, day) distinct frame via an equi-join on user_id — both
+      // shuffles share the user_id key, and the output is one row per
+      // calendar day.
+      val du = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("ed"), col("user_id"))
+        .distinct()
+      val first = du.groupBy(col("user_id")).agg(min(col("ed")).as("fd"))
+      du.join(first, "user_id")
+        .groupBy(col("ed"))
+        .agg(sum(when(col("ed") === col("fd"), 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("ed") =!= col("fd"), 1L).otherwise(0L)).as("returning_users"))
+        .orderBy("ed")
+    }),
+
     "events_dow_profile" -> ((s, d) => {
       // Day-of-week × hour activity heatmap: events, exact distinct users,
       // purchase revenue per calendar cell — the seasonality profile
@@ -680,6 +738,39 @@ object CorpusOps extends Pack {
         |SELECT day, max(conc)::BIGINT AS peak_concurrency,
         |       sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_segments
         |FROM run GROUP BY day ORDER BY day""".stripMargin,
+
+    "window_minmax_scale" ->
+      """WITH pc AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice * 100)::BIGINT AS pc FROM orders),
+        |w AS (
+        |  SELECT o_orderkey, o_custkey, pc,
+        |    min(pc) OVER (PARTITION BY o_custkey) AS mn,
+        |    max(pc) OVER (PARTITION BY o_custkey) AS mx
+        |  FROM pc)
+        |SELECT o_orderkey, o_custkey, pc,
+        |  CASE WHEN mx > mn THEN ((pc - mn) * 1000) // (mx - mn) ELSE 0 END AS scaled_permille
+        |FROM w ORDER BY o_orderkey""".stripMargin,
+
+    "events_grid" ->
+      """WITH ev AS (
+        |  SELECT floor(epoch(ts))::BIGINT // 86400 AS ed, event_type FROM events),
+        |days AS (SELECT DISTINCT ed FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |counts AS (SELECT ed, event_type, count(*)::BIGINT AS n FROM ev GROUP BY ed, event_type)
+        |SELECT d.ed, t.event_type, coalesce(c.n, 0)::BIGINT AS n
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN counts c ON c.ed = d.ed AND c.event_type = t.event_type
+        |ORDER BY d.ed, t.event_type""".stripMargin,
+
+    "events_new_returning" ->
+      """WITH du AS (
+        |  SELECT DISTINCT floor(epoch(ts))::BIGINT // 86400 AS ed, user_id FROM events),
+        |f AS (SELECT user_id, min(ed) AS fd FROM du GROUP BY user_id)
+        |SELECT ed,
+        |  sum(CASE WHEN ed = fd THEN 1 ELSE 0 END)::BIGINT AS new_users,
+        |  sum(CASE WHEN ed <> fd THEN 1 ELSE 0 END)::BIGINT AS returning_users
+        |FROM du JOIN f USING (user_id)
+        |GROUP BY ed ORDER BY ed""".stripMargin,
 
     "events_stickiness" ->
       """WITH du AS (
