@@ -516,6 +516,30 @@ object CorpusOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "dedup_minhash_curve" -> ((s, d) => {
+      // MinHash operating curve: candidate-pair counts per signature-
+      // agreement level from ONE band/signature pass — the calibration
+      // report that justifies dedup_minhash's >= 14/16 production
+      // threshold (run the curve on a corpus sample, pick the knee,
+      // THEN run dedup at scale; re-running dedup per candidate
+      // threshold would re-shuffle the corpus once per point). Same
+      // kernel, same codegen'd agreement, no verify filter — the
+      // histogram is one tiny aggregate on top.
+      graft.expressions.GraftFunctions.register(s)
+      val bands = TextOps.minhashBands(
+        t(s, d, "documents").select(col("doc_id"), col("text"))).persist()
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          call_function("graft_agree_i64", col("x.sig"), col("y.sig")).as("n_agree"))
+        .distinct() // a pair matching in both bands appears twice
+        .filter(col("n_agree") >= 10)
+        .groupBy(col("n_agree"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("n_agree")
+    }),
+
     "dedup_cluster_pick" -> ((s, d) => {
       // Canonical-representative selection per transitive near-dup
       // cluster: the step AFTER dedup_simhash_clusters. A real pipeline
@@ -862,6 +886,33 @@ object CorpusOps extends Pack {
             s"  sum(CASE WHEN b = $b THEN 1 ELSE 0 END)::BIGINT AS f${"%02d".format(b)}")
           .mkString(",\n")
         + "\nFROM b GROUP BY doc_id ORDER BY doc_id"),
+
+    "dedup_minhash_curve" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT % 2147483647 AS hp
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |sig AS (
+        |  SELECT doc_id, j, min(((97 + 13*j) * hp + (31 + 7*j)) % 2147483647) AS mh
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS j)
+        |  GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT doc_id, j // 8 AS band,
+        |         SUM(((97 + 13*(j % 8)) * mh + (j % 8)) % 2147483647)::BIGINT AS band_hash
+        |  FROM sig GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash
+        |   AND x.doc_id < y.doc_id),
+        |pn AS (
+        |  SELECT doc_a, doc_b,
+        |         SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::BIGINT AS n_agree
+        |  FROM cand
+        |  JOIN sig sa ON doc_a = sa.doc_id
+        |  JOIN sig sb ON doc_b = sb.doc_id AND sa.j = sb.j
+        |  GROUP BY doc_a, doc_b)
+        |SELECT n_agree, count(*)::BIGINT AS n_pairs FROM pn
+        |WHERE n_agree >= 10 GROUP BY n_agree ORDER BY n_agree""".stripMargin,
 
     "dedup_cluster_pick" ->
       (pairCte +
