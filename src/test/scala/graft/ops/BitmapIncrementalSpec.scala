@@ -60,6 +60,26 @@ class BitmapIncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(inc === batch)
   }
 
+  test("any batch split of a random id stream converges to the full-recompute counts") {
+    import spark.implicits._
+    // property-style: random (key, id) stream, random batch boundaries,
+    // random REPLAYS — state must equal the one-shot recompute regardless
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(400)((s"k${rnd.nextInt(4)}", (rnd.nextInt(4000) - 2000).toLong))
+    val nBatches = 5
+    val batches = rows.grouped((rows.size + nBatches - 1) / nBatches).toSeq
+    val state = tmpDir()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      BitmapIncremental.addBatch(spark, b.toDF("key", "id"), state)
+      if (i % 2 == 1) // replay every other batch (at-least-once delivery)
+        BitmapIncremental.addBatch(spark, b.toDF("key", "id"), state)
+    }
+    val inc = BitmapIncremental.counts(spark, state).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brute = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct.size.toLong }
+    assert(inc === brute)
+  }
+
   test("no storage blocks survive addBatch") {
     import spark.implicits._
     val state = tmpDir()
