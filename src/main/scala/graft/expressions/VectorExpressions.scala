@@ -243,7 +243,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => ArrayAgreeI64(cs(0), cs(1))),
     (FunctionIdentifier("graft_bitmap_distinct"),
       info("graft_bitmap_distinct", "graft_bitmap_distinct(id) - exact distinct count of bigint ids via a mergeable bitmap aggregate"),
-      (cs: Seq[Expression]) => BitmapDistinct(cs(0)).toAggregateExpression()))
+      (cs: Seq[Expression]) => BitmapDistinct(cs(0)).toAggregateExpression()),
+    (FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters", "graft_heavy_hitters(item, m) - SpaceSaving top items by count with at most m bounded-error counters"),
+      (cs: Seq[Expression]) => HeavyHitters(cs(0), cs(1)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, inf, builder)

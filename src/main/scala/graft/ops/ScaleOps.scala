@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Bounded-state & locality pack — sketch-style heavy hitters, weighted
+  * sampling, grid-bucketed spatial joins, z-order locality math, and
+  * corpus character/diversity profiling. The unifying theme: every query
+  * replaces an unbounded-state or all-pairs formulation with a
+  * fixed-budget one (m counters, k sampled rows, 9 candidate cells, one
+  * interleaved key) that survives a 100 TB input unchanged.
+  *
+  * House rules carried over from the other packs:
+  *   - every hash the oracle must reproduce derives from md5 (h60);
+  *   - ratios are exact integers (permille) — never float accumulation;
+  *   - every query ends in a deterministic ORDER BY over a unique key.
+  */
+object ScaleOps extends Pack {
+
+  /** 60-bit deterministic hash shared with the DuckDB oracle (TextOps twin). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private val h60Sql = "('0x'||substr(md5(%s),1,15))::BIGINT"
+
+  // morton bit-spreading masks (16-bit coord -> even bits of 32-bit word),
+  // written as decimal so the identical literals appear in both engines
+  private val M8 = 16711935L // 0x00FF00FF
+  private val M4 = 252645135L // 0x0F0F0F0F
+  private val M2 = 858993459L // 0x33333333
+  private val M1 = 1431655765L // 0x55555555
+
+  /** even-bit spread of a 16-bit value, as a SQL expression string over
+    * `v` — the same shift/mask chain renders into Spark expr and DuckDB.
+    */
+  private def spreadSql(v: String): String = {
+    val a = s"(($v | ($v << 8)) & $M8)"
+    val b = s"(($a | ($a << 4)) & $M4)"
+    val c = s"(($b | ($b << 2)) & $M2)"
+    s"(($c | ($c << 1)) & $M1)"
+  }
+
+  /** inverse of [[spreadSql]]: collapse even bits back to a 16-bit value */
+  private def unspreadSql(v: String): String = {
+    val a = s"($v & $M1)"
+    val b = s"(($a | ($a >> 1)) & $M2)"
+    val c = s"(($b | ($b >> 2)) & $M4)"
+    val e = s"(($c | ($c >> 4)) & $M8)"
+    s"(($e | ($e >> 8)) & 65535)"
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    "agg_heavy_hitters" -> ((s, d) => {
+      // top-10 corpus words from the native SpaceSaving aggregate
+      // (graft.expressions.HeavyHitters): ONE two-phase hash aggregate
+      // whose partial state is m=64 bounded-error counters — exact top-k
+      // by count needs a (word) keyed shuffle that grows with the
+      // vocabulary; this shuffles m counters per partition regardless.
+      // On this corpus the vocabulary (31) fits the budget, so every
+      // count is exact and every err is 0 — the oracle emits literal 0
+      // errs and the hash gate verifies the sketch never evicted. The
+      // constrained regime (m < distinct: overestimates bounded by N/m,
+      // heavy hitters guaranteed present) is property-tested in
+      // HeavyHittersSpec.
+      graft.expressions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(call_function("graft_heavy_hitters", col("w"), lit(64)).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("word"), col("e.cnt").as("cnt"), col("e.err").as("err"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(10)
+    }),
+
+    "sample_weighted" -> ((s, d) => {
+      // size-weighted sample of 25 documents: priority = h60(salted id)
+      // div weight, keep the k smallest. One narrow map + one
+      // TakeOrderedAndProject — no global shuffle, no rand() seed to
+      // coordinate across executors, reproducible across runs/retries/
+      // engines (the sample_hash discipline, weighted). Integer priority
+      // keeps the order bit-identical cross-engine; it biases inclusion
+      // toward heavy docs monotonically in weight (u/w priority), which
+      // is the deterministic stand-in for exact A-ES (u^(1/w) needs
+      // transcendental floats whose last-ulp disagreement could flip
+      // near-tied priorities between engines).
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          h60(concat(lit("wsamp#"), col("doc_id").cast("string"))).as("h"))
+        // integer div, not `/`: the 60-bit hash exceeds 2^53, so double
+        // division would corrupt low bits before truncation
+        .withColumn("priority", expr("h div greatest(n_chars, 1L)"))
+        .select("doc_id", "n_chars", "priority")
+        .orderBy(col("priority").asc, col("doc_id").asc)
+        .limit(25)
+    }),
+
+    "join_spatial_grid" -> ((s, d) => {
+      // radius self-join on synthetic points: the 20 closest customer
+      // pairs within r=5000 in a 1e6 x 1e6 integer plane (coords derived
+      // from md5 so both engines place every point identically).
+      //
+      // Scale shape: cell = coord div r, so any pair within r spans
+      // adjacent cells; the probe side generates its 3x3 cell
+      // neighborhood IN-ROW (9 rows per point, a constant) and candidates
+      // come from an equi-join on the packed cell key — never the n²
+      // cross product. Each qualifying pair is found exactly once: the
+      // build side sits in its own cell (appearing once among the probe's
+      // 9 distinct neighbor keys) and the a<b filter keeps one
+      // orientation. Distance test is exact integer d². At 100 TB the
+      // cell key is the shuffle key — density skew (a hot cell) salts or
+      // AQE-splits like any hot join key.
+      val pts = t(s, d, "customer")
+        .select(col("c_custkey").as("id"),
+          (h60(concat(lit("gx#"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
+          (h60(concat(lit("gy#"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
+        .withColumn("cx", expr("x div 5000"))
+        .withColumn("cy", expr("y div 5000"))
+      val probe = pts
+        .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+          explode(expr("flatten(transform(sequence(-1L, 1L), dx -> " +
+            "transform(sequence(-1L, 1L), dy -> (cx + dx) * 1000 + (cy + dy))))")).as("ck"))
+      val base = pts
+        .select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
+          (col("cx") * 1000 + col("cy")).as("ck"))
+      probe.join(base, "ck")
+        .filter(col("a") < col("b"))
+        .withColumn("d2", expr("(ax-bx)*(ax-bx) + (ay-by)*(ay-by)"))
+        .filter(col("d2") <= 25000000L)
+        .select(col("a"), col("b"), col("d2"))
+        .orderBy(col("d2").asc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
+    "fn_morton" -> ((s, d) => {
+      // z-order (morton) locality math as a pure scalar suite: interleave
+      // two 16-bit grid coords into one key whose sort order is the
+      // space-filling curve — the layout trick that makes ONE sorted
+      // write serve range predicates on BOTH dimensions (row-group
+      // min/max stats stay tight on x and y simultaneously; a
+      // single-column sort leaves the other column's stats spanning the
+      // whole domain). Spread/collapse is the classic shift-mask chain —
+      // identical decimal literals render into both engines — and the
+      // inverse columns prove the roundtrip in the oracle hash itself.
+      val df = t(s, d, "part")
+        .select(col("p_partkey"),
+          (col("p_partkey") % 65536L).as("gx"),
+          (h60(concat(lit("mz#"), col("p_partkey").cast("string"))) % 65536L).as("gy"))
+      df.withColumn("zval",
+          expr(s"${spreadSql("gx")} | (${spreadSql("gy")} << 1)"))
+        .withColumn("rx", expr(unspreadSql("zval")))
+        .withColumn("ry", expr(unspreadSql("(zval >> 1)")))
+        .select(col("p_partkey"), col("gx"), col("gy"), col("zval"), col("rx"), col("ry"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "text_charstats" -> ((s, d) => {
+      // per-document character-class profile — the cheap corpus-quality
+      // signal computed without tokenizing: alpha/space/other counts via
+      // regex-strip length deltas (one narrow map, no explode, no
+      // shuffle), alpha share in exact permille, longest token length
+      // from an in-row fold. On a 100 TB corpus this is the first-pass
+      // filter that runs at scan speed and gates everything downstream.
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", ""))).as("n_alpha"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_space"),
+          array_max(transform(split(col("text"), " "), w => length(w))).as("max_word_len"))
+        .withColumn("n_other", col("n") - col("n_alpha") - col("n_space"))
+        .withColumn("alpha_permille", expr("(n_alpha * 1000) div greatest(n, 1)"))
+        // length() yields int in Spark but BIGINT in the oracle
+        .select(col("doc_id"), col("n").cast("long").as("n"),
+          col("n_alpha").cast("long").as("n_alpha"),
+          col("n_space").cast("long").as("n_space"),
+          col("n_other").cast("long").as("n_other"),
+          col("alpha_permille"),
+          col("max_word_len").cast("long").as("max_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    "agg_diversity" -> ((s, d) => {
+      // per-source language diversity: Simpson index 1 - sum(p_i^2) in
+      // EXACT permille from integer counts (1000 - (1000*sum(c^2)) div
+      // n^2) — the concentration signal (is a source one language or a
+      // mix?) without entropy's transcendental logs, so both engines
+      // agree bit-for-bit. Two map-side-combinable aggregates, the first
+      // keyed on the (source, lang) pair, the second on source.
+      t(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_langs"),
+          sum(col("c")).as("n_docs"),
+          sum(col("c") * col("c")).as("ss"))
+        .withColumn("simpson_permille",
+          expr("1000 - (1000 * ss) div (n_docs * n_docs)"))
+        .select("source", "n_docs", "n_langs", "simpson_permille")
+        .orderBy("source")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "agg_heavy_hitters" ->
+      """SELECT w AS word, count(*) AS cnt, 0::BIGINT AS err
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> ''
+        |GROUP BY w ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+
+    "sample_weighted" ->
+      (s"""SELECT doc_id, n_chars,
+        |  ${h60Sql.format("'wsamp#'||doc_id::VARCHAR")} // greatest(n_chars, 1) AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id LIMIT 25""").stripMargin,
+
+    "join_spatial_grid" ->
+      (s"""WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    ${h60Sql.format("'gx#'||c_custkey::VARCHAR")} % 1000000 AS x,
+        |    ${h60Sql.format("'gy#'||c_custkey::VARCHAR")} % 1000000 AS y
+        |  FROM customer),
+        |cells AS (SELECT *, x // 5000 AS cx, y // 5000 AS cy FROM pts)
+        |SELECT l.id AS a, r.id AS b,
+        |  (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS d2
+        |FROM cells l
+        |JOIN cells r ON abs(l.cx - r.cx) <= 1 AND abs(l.cy - r.cy) <= 1 AND l.id < r.id
+        |WHERE (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 25000000
+        |ORDER BY d2, a, b LIMIT 20""").stripMargin,
+
+    "fn_morton" -> {
+      val sx = spreadSql("gx")
+      val sy = spreadSql("gy")
+      s"""WITH g AS (
+        |  SELECT p_partkey, p_partkey % 65536 AS gx,
+        |    ${h60Sql.format("'mz#'||p_partkey::VARCHAR")} % 65536 AS gy
+        |  FROM part),
+        |z AS (SELECT p_partkey, gx, gy, ($sx | ($sy << 1)) AS zval FROM g)
+        |SELECT p_partkey, gx, gy, zval,
+        |  ${unspreadSql("zval")} AS rx,
+        |  ${unspreadSql("(zval >> 1)")} AS ry
+        |FROM z ORDER BY p_partkey""".stripMargin
+    },
+
+    "text_charstats" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space,
+        |    list_max(list_transform(string_split(text, ' '), w -> length(w))) AS max_word_len
+        |  FROM documents)
+        |SELECT doc_id, n, n_alpha, n_space, n - n_alpha - n_space AS n_other,
+        |  (n_alpha * 1000) // greatest(n, 1) AS alpha_permille, max_word_len
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "agg_diversity" ->
+      """WITH cl AS (
+        |  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+        |agg AS (
+        |  SELECT source, count(*) AS n_langs, sum(c)::BIGINT AS n_docs,
+        |    sum(c * c)::BIGINT AS ss
+        |  FROM cl GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  (1000 - (1000 * ss) // (n_docs * n_docs))::BIGINT AS simpson_permille
+        |FROM agg ORDER BY source""".stripMargin
+  )
+}

@@ -116,6 +116,39 @@ object VectorOps extends Pack {
         .limit(20)
     }),
 
+    "sim_sq8" -> ((s, d) => {
+      // int8 scalar-quantized ANN with exact rerank — the memory-bound
+      // production layout: each vector stores a per-vector scale m =
+      // max|q_i| and 64 bytes b_i = floor(q_i * 127 / m) (16x smaller than
+      // the long-quantized form, 4x smaller than f32). Stage 1 ranks the
+      // whole corpus by the cheap int8x int8 dot (codegen'd kernel, byte
+      // range so no overflow) and keeps 100 candidates via
+      // TakeOrderedAndProject — per-partition heaps, no corpus shuffle;
+      // stage 2 reranks ONLY those 100 rows with the exact quantized dot.
+      // All arithmetic after quantization is integer; the quantization
+      // itself is one IEEE-exact double op (x*127.0/m of exactly
+      // representable small ints, floored) so both engines build
+      // bit-identical codes. At 100 TB stage 1 reads 65 B/vector instead
+      // of 512 B — the scan, not the math, is what SQ8 buys down.
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .withColumn("m", greatest(array_max(transform(col("q"), abs(_))), lit(1L)))
+        .withColumn("b", expr("transform(q, x -> bigint(floor(x * 127.0D / m)))"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("q").as("pq"), col("b").as("pb"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("q"), col("pq"),
+          call_function("graft_dot_i64", col("b"), col("pb")).as("approx"))
+        .orderBy(col("approx").desc, col("vec_id").asc)
+        .limit(100)
+      cand.select(col("vec_id"), col("approx"),
+          call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))
+        .orderBy(col("dot_q").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     "sim_radius" -> ((s, d) => {
       // radius (threshold) search: every corpus vector within cosine >= 0.3
       // of each of 4 probe vectors. The cosine test is INTEGER-EXACT — no
@@ -293,6 +326,28 @@ object VectorOps extends Pack {
   val oracles: Map[String, String] = Map(
     "sim_topk_native" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
+
+    "sim_sq8" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |sq AS (
+        |  SELECT vec_id, qe,
+        |    greatest(list_max(list_transform(qe, x -> abs(x))), 1) AS m
+        |  FROM q),
+        |bq AS (
+        |  SELECT vec_id, qe,
+        |    list_transform(qe, x -> floor(x * 127.0 / m)::BIGINT) AS b
+        |  FROM sq),
+        |probe AS (SELECT qe AS pq, b AS pb FROM bq WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, qe, pq,
+        |    list_sum(list_transform(b, (x, i) -> x * pb[i]))::BIGINT AS approx
+        |  FROM bq, probe WHERE vec_id <> 0
+        |  ORDER BY approx DESC, vec_id LIMIT 100)
+        |SELECT vec_id, approx,
+        |  list_sum(list_transform(qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
+        |FROM cand ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_radius" ->
       """WITH q AS (

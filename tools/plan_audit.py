@@ -15,7 +15,7 @@ import sys, re
 # — the one place a cross product is the intended semantics) (see
 # PLANS.md "Known intentional non-equi plans")
 BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim_ann_ivf",
-                "sim_radius", "agg_sketch_merge", "graph_triangles", "events_grid"}
+                "sim_radius", "sim_sq8", "agg_sketch_merge", "graph_triangles", "events_grid"}
 
 def main():
     text = open(sys.argv[1]).read()
