@@ -61,7 +61,55 @@ object CorpusOps extends Pack {
       .orderBy("node_a", "node_b")
   }
 
+  /** Top-k node pairs by neighbor-set Jaccard similarity, in exact
+    * permille: jacc = |N(a) ∩ N(b)| / (deg(a) + deg(b) - |N(a) ∩ N(b)|).
+    * Same in-row candidate generation as [[commonNeighbors]] (pairs that
+    * share at least one neighbor, built from each node's sorted adjacency
+    * list — no center-node self-join), then two joins against the
+    * node-sized degree table (broadcast at this SF, sort-merge at scale)
+    * and one integer division. Unlike common-neighbor COUNT, Jaccard is
+    * hub-corrected: two nodes tied to the same mega-hub score low unless
+    * their whole neighborhoods agree — the structural-equivalence signal
+    * (interchangeable template variants) rather than the mere-contact one.
+    */
+  private[ops] def jaccardNeighbors(raw: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val e = raw
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist() // adjacency + degree both read it
+    val sym = e.union(e.select(col("v"), col("u")))
+    val adj = sym.groupBy(col("u"))
+      .agg(sort_array(collect_set(col("v"))).as("ns"))
+      .persist() // candidate pairs AND degrees derive from it
+    val deg = adj.select(col("u").as("node"), size(col("ns")).cast("long").as("deg"))
+    val cand = adj
+      .select(explode(expr(
+        "flatten(transform(ns, (a, i) -> transform(slice(ns, i + 2, size(ns)), b -> struct(a AS na, b AS nb))))"
+      )).as("p"))
+      .groupBy(col("p.na").as("node_a"), col("p.nb").as("node_b"))
+      .agg(count(lit(1)).as("cn"))
+    cand
+      .join(deg.select(col("node").as("node_a"), col("deg").as("da")), "node_a")
+      .join(deg.select(col("node").as("node_b"), col("deg").as("db")), "node_b")
+      .withColumn("jacc_permille", expr("(1000 * cn) div (da + db - cn)"))
+      .select(col("node_a"), col("node_b"), col("cn"), col("jacc_permille"))
+      .orderBy(col("jacc_permille").desc, col("node_a"), col("node_b"))
+      .limit(k)
+      .orderBy("node_a", "node_b")
+  }
+
   val queries: Map[String, Q] = Map(
+
+    "graph_jaccard" -> ((s, d) => {
+      // Structural-equivalence ranking on the simhash near-dup graph:
+      // top-20 node pairs by neighbor-set Jaccard (exact permille) —
+      // "these two template families touch the same things" even when
+      // they never touch each other. Algorithm + scale shape:
+      // [[jaccardNeighbors]].
+      jaccardNeighbors(TextOps.simhashNearPairs(s, d)
+        .select(col("rep_a").as("a"), col("rep_b").as("b")), 20)
+    }),
 
     "agg_bitmap" -> ((s, d) => {
       // Exact distinct users per event type via MERGEABLE 64-bit bitmap
@@ -684,6 +732,29 @@ object CorpusOps extends Pack {
         |       min(med_df) AS min_med_df, max(med_df) AS max_med_df
         |FROM med JOIN documents USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "graph_jaccard" ->
+      (pairCte +
+        """,
+          |e AS (
+          |  SELECT DISTINCT least(rep_a, rep_b) AS u, greatest(rep_a, rep_b) AS v FROM pairs),
+          |sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+          |deg AS (SELECT w, count(*)::BIGINT AS deg FROM sym GROUP BY w),
+          |cand AS (
+          |  SELECT s1.x AS node_a, s2.x AS node_b, count(*)::BIGINT AS cn
+          |  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.x < s2.x
+          |  GROUP BY s1.x, s2.x),
+          |j AS (
+          |  SELECT node_a, node_b, cn,
+          |    ((1000 * cn) // (da.deg + db.deg - cn))::BIGINT AS jacc_permille
+          |  FROM cand
+          |  JOIN deg da ON da.w = cand.node_a
+          |  JOIN deg db ON db.w = cand.node_b),
+          |top AS (
+          |  SELECT node_a, node_b, cn, jacc_permille FROM j
+          |  ORDER BY jacc_permille DESC, node_a, node_b LIMIT 20)
+          |SELECT node_a, node_b, cn, jacc_permille FROM top
+          |ORDER BY node_a, node_b""".stripMargin),
 
     "graph_common_neighbors" ->
       (pairCte +

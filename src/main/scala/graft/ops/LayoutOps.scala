@@ -48,6 +48,47 @@ object LayoutOps {
       .parquet(path)
   }
 
+  // morton bit-spreading constants (16-bit value -> even bits of a 32-bit
+  // word) — the same decimal literals as ScaleOps' oracle-paired fn_morton
+  private val Masks = Seq(16711935L -> 8, 252645135L -> 4, 858993459L -> 2, 1431655765L -> 1)
+
+  private def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Masks.foldLeft(c) { case (v, (m, s)) => v.bitwiseOR(shiftleft(v, s)).bitwiseAND(lit(m)) }
+
+  /** Interleaved z-order key of two 16-bit grid coordinates. Callers map
+    * raw columns onto 0..65535 first (at scale: quantile-bucket via
+    * ntile(65536) so skew cannot crowd the curve).
+    */
+  def zOrderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Range-cluster `df` along the z-order (morton) curve of two columns
+    * and write parquet. A single-column sort leaves the OTHER column's
+    * row-group min/max stats spanning the whole domain — predicates on it
+    * prune nothing; the space-filling curve keeps every row group inside
+    * a small (x, y) rectangle, so stats stay selective for predicates on
+    * EITHER dimension (or both) from ONE write order. This is the layout
+    * for the two-sided access pattern (time x tenant, user x day) that
+    * partitioning can only serve one side of. Pruning evidence:
+    * LayoutOpsSpec.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, xCol: String, yCol: String,
+      targetRowsPerFile: Long = 1000000L,
+      numPartitions: Option[Int] = None): Unit = {
+    val keyed = df.withColumn("__z", zOrderKey(col(xCol), col(yCol)))
+    val ranged = numPartitions match {
+      case Some(n) => keyed.repartitionByRange(n, col("__z"))
+      case None    => keyed.repartitionByRange(col("__z"))
+    }
+    ranged
+      .sortWithinPartitions(col("__z"))
+      .drop("__z") // projection only — within-partition order survives
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+  }
+
   /** Outcome of a [[compactSmallFiles]] rewrite, for the caller's metrics
     * sink (silent compaction is how a pipeline loses track of write
     * amplification).

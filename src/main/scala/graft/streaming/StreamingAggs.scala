@@ -90,6 +90,33 @@ object StreamingAggs {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Watermarked per-window heavy hitters via the native SpaceSaving
+    * aggregate ([[graft.expressions.HeavyHitters]]): top words per
+    * 1-minute window with at most `m` bounded-error counters of state per
+    * window — the streaming top-k that a (window, word) keyed aggregation
+    * cannot provide at 100 TB/day (its state grows with the live
+    * vocabulary; this grows with m). The sketch's partial buffer
+    * round-trips through the state store between micro-batches (its
+    * serialize/deserialize is the state format), merges on arrival of
+    * each batch's partials, and the window's FINAL counters emit once
+    * when the watermark passes — exact whenever the window's distinct
+    * words fit m, N/m-bounded otherwise (HeavyHittersSpec).
+    */
+  def windowedHeavyHitters(
+      docs: DataFrame, m: Int = 64, watermark: String = "2 minutes"): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("ts"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(call_function("graft_heavy_hitters", col("w"), lit(m)).as("hh"))
+      .select(unix_timestamp(col("window.start")).as("bucket_s"),
+        explode(col("hh")).as("e"))
+      .select(col("bucket_s"), col("e.item").as("word"),
+        col("e.cnt").as("cnt"), col("e.err").as("err"))
+  }
+
   /** Stream-stream INTERVAL join: each click pairs with the view it
     * followed within `horizonSec` for the same user — the canonical
     * attribution join. BOTH sides are watermarked and the join condition

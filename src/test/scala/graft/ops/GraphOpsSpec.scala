@@ -78,6 +78,25 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
       s"leaked RDD blocks: ${(after -- before).mkString(",")}")
   }
 
+  test("jaccardNeighbors matches a brute-force set computation") {
+    // two triangle-ish families sharing a bridge + a pendant:
+    // 1-2, 1-3, 2-3, 3-4, 4-5, 4-6, 5-6, 2-6
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (2L, 6L))
+    val got = CorpusOps.jaccardNeighbors(
+        edges(es: _*).toDF("a", "b"), 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // brute force over all node pairs with a shared neighbor
+    val nbrs = (es ++ es.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = nbrs.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      a = nodes(i); b = nodes(j)
+      cn = (nbrs(a) intersect nbrs(b)).size.toLong if cn > 0
+      un = nbrs(a).size + nbrs(b).size - cn
+    } yield (a, b) -> ((cn, 1000L * cn / un))).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("no persistent RDD blocks survive a pagerank call") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = GraphOps.pagerank(edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))

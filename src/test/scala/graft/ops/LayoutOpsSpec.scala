@@ -59,6 +59,61 @@ class LayoutOpsSpec extends AnyFunSuite with SparkSpec {
     assert(prunedRows < fullRows / 3)
   }
 
+  test("z-order layout prunes on BOTH dimensions from one write order") {
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    // synthetic 2-d table: both coords uniform on the 16-bit grid
+    import spark.implicits._
+    val src = (0L until 40000L).toDF("id")
+      .withColumn("x", conv(substring(md5(concat(lit("zx#"), col("id"))), 1, 15), 16, 10)
+        .cast("long") % 65536L)
+      .withColumn("y", conv(substring(md5(concat(lit("zy#"), col("id"))), 1, 15), 16, 10)
+        .cast("long") % 65536L)
+    val total = src.count()
+
+    LayoutOps.writeZOrdered(src, s"$root/zorder", "x", "y",
+      targetRowsPerFile = 2500, numPartitions = Some(4))
+    // control: clustered on x alone, same file granularity
+    LayoutOps.writeRangeClustered(src, s"$root/xsort", Seq("x"),
+      targetRowsPerFile = 2500, numPartitions = Some(4))
+
+    val onX = col("x") < 4096L         // 1/16 of the x domain
+    val onY = col("y") < 4096L         // 1/16 of the y domain
+    def read(dir: String, pred: org.apache.spark.sql.Column): Long =
+      scannedRows(spark.read.parquet(s"$root/$dir").filter(pred))
+
+    // same results from both layouts (box query on both dims)
+    val za = spark.read.parquet(s"$root/zorder").filter(onX && onY)
+      .orderBy("id").collect().toSeq
+    val xa = spark.read.parquet(s"$root/xsort").filter(onX && onY)
+      .orderBy("id").collect().toSeq
+    assert(za == xa && za.nonEmpty)
+
+    // the x-sorted control serves x-predicates but reads ~everything for a
+    // pure y-predicate (its row groups span the whole y domain)
+    assert(read("xsort", onY) > (total * 0.9).toLong)
+    // the z-ordered table prunes for the SAME y-predicate: each row group
+    // covers a small y-slice of the curve
+    val zy = read("zorder", onY)
+    assert(zy < total / 2, s"z-order should prune a y-only predicate: $zy of $total")
+    // and still prunes x-predicates too (never pays full scan on either dim)
+    val zx = read("zorder", onX)
+    assert(zx < total / 2, s"z-order should prune an x-only predicate: $zx of $total")
+  }
+
+  test("zOrderKey interleaving is order-embedding on both coordinates") {
+    import spark.implicits._
+    // fixing one coordinate, the z key is strictly monotone in the other
+    val df = (0L until 256L).toDF("v")
+      .select(col("v"),
+        LayoutOps.zOrderKey(col("v"), lit(77L)).as("zx"),
+        LayoutOps.zOrderKey(lit(77L), col("v")).as("zy"))
+      .orderBy("v").collect()
+    val zxs = df.map(_.getLong(1)).toSeq
+    val zys = df.map(_.getLong(2)).toSeq
+    assert(zxs == zxs.sorted && zxs.distinct.size == zxs.size)
+    assert(zys == zys.sorted && zys.distinct.size == zys.size)
+  }
+
   test("compactSmallFiles: 64 micro-files become 1, rows and content preserved") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact").toString

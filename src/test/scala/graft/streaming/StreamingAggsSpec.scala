@@ -36,6 +36,31 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters merge sketch state across micro-batches and finalize exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = mem.toDF.toDF("ts", "text")
+    val q = StreamingAggs.windowedHeavyHitters(docs, m = 8, watermark = "1 minute")
+      .writeStream.format("memory").queryName("hhwin").outputMode("append").start()
+    try {
+      // window [0,60): "a" x3 + "b" x1 split ACROSS two micro-batches — the
+      // sketch buffer must survive a state-store round trip in between
+      mem.addData((ts(5), "a a"), (ts(10), "b"))
+      q.processAllAvailable()
+      mem.addData((ts(20), "a"))
+      q.processAllAvailable()
+      mem.addData((ts(180), "c")) // watermark -> 120: finalizes [0,60)
+      q.processAllAvailable()
+
+      val rows = spark.table("hhwin").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((0L, "a", 3L, 0L)), s"got $rows")
+      assert(rows.contains((0L, "b", 1L, 0L)))
+      assert(!rows.exists(_._2 == "c")) // [180,240) not finalized yet
+    } finally q.stop()
+  }
+
   test("sliding windows emit one finalized row per overlapping window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
