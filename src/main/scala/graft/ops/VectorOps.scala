@@ -116,6 +116,53 @@ object VectorOps extends Pack {
         .limit(20)
     }),
 
+    "ml_kmeans" -> ((s, d) => {
+      // Distributed k-means (k=8) with EXACT integer arithmetic end to
+      // end — one full Lloyd round (seed -> assign -> centroid update ->
+      // re-assign) whose every comparison is engine-identical. Vectors
+      // live in a shifted non-negative quantized space (round(x*1000) +
+      // 1000 ∈ [0, 2000] — distances are shift-invariant) so the centroid
+      // mean's integer division has no negative-truncation ambiguity;
+      // quantized centroids (element-wise sum div count) keep the
+      // assignment metric in pure int64: d² = |v|² - 2·v·c + |c|², all
+      // three terms via the codegen'd graft_dot_i64 kernel.
+      //
+      // Scale shape, per Lloyd round: assignment is ONE narrow pass with
+      // the k-row centroid table broadcast (min_by over k candidates,
+      // argmin tiebroken on cell id — no shuffle of the corpus); the
+      // centroid update is ONE hash aggregate of 64 sum() columns keyed
+      // on cell (map-side combined, zero row inflation — the minhash-
+      // signature discipline, NOT a 64x posexplode). Cost per round at
+      // 100 TB: one corpus scan + a k×64-cell exchange.
+      graft.expressions.GraftFunctions.register(s)
+      val vecs = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> bigint(round(double(x) * 1000)) + 1000L)").as("v"))
+        .withColumn("n2v", call_function("graft_dot_i64", col("v"), col("v")))
+        .persist() // two assignment passes + the seed scan read it
+      val dim = 64
+      def assign(cents: org.apache.spark.sql.DataFrame) =
+        vecs.crossJoin(broadcast(
+            cents.withColumn("n2c", call_function("graft_dot_i64", col("cv"), col("cv")))))
+          .withColumn("d2",
+            col("n2v") - lit(2L) * call_function("graft_dot_i64", col("v"), col("cv")) + col("n2c"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("cell"), col("d2")), struct(col("d2"), col("cell"))).as("best"),
+            first(col("v")).as("v"))
+          .select(col("vec_id"), col("v"), col("best.cell").as("cell"), col("best.d2").as("d2"))
+      val c0 = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      val a1 = assign(c0)
+      val sumCols = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      val c1 = a1.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .select(col("cell"), array((0 until dim).map(i => expr(s"s$i div n")): _*).as("cv"))
+      assign(c1)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+        .orderBy("cell")
+    }),
+
     "sim_sq8" -> ((s, d) => {
       // int8 scalar-quantized ANN with exact rerank — the memory-bound
       // production layout: each vector stores a per-vector scale m =
@@ -326,6 +373,36 @@ object VectorOps extends Pack {
   val oracles: Map[String, String] = Map(
     "sim_topk_native" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
+
+    "ml_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT + 1000) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT q.vec_id, c0.cell,
+        |    list_sum(list_transform(q.v, (x, i) -> (x - c0.cv[i]) * (x - c0.cv[i])))::BIGINT AS d2
+        |  FROM q, c0),
+        |a1 AS (
+        |  SELECT vec_id, cell, d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a1.cell, ii.i, sum(q.v[ii.i])::BIGINT AS s, count(*)::BIGINT AS n
+        |  FROM a1 JOIN q USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY a1.cell, ii.i),
+        |c1 AS (SELECT cell, list(s // n ORDER BY i) AS cv FROM s1 GROUP BY cell),
+        |d2t AS (
+        |  SELECT q.vec_id, c1.cell,
+        |    list_sum(list_transform(q.v, (x, i) -> (x - c1.cv[i]) * (x - c1.cv[i])))::BIGINT AS d2
+        |  FROM q, c1),
+        |a2 AS (
+        |  SELECT vec_id, cell, d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d2t)
+        |  WHERE rn = 1)
+        |SELECT cell, count(*)::BIGINT AS n_vecs, sum(d2)::BIGINT AS inertia
+        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
 
     "sim_sq8" ->
       """WITH q AS (

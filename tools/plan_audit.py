@@ -8,14 +8,16 @@ Usage: python3 tools/plan_audit.py /tmp/explain_out.txt
 import sys, re
 
 # the only queries allowed a BroadcastNestedLoopJoin: a bounded band-range
-# join, the one-row-probe broadcasts, the 1x1 combines of two
-# single-row aggregates (agg_sketch_merge: exact count x sketch estimate;
-# graph_triangles: degree stats x triangle count), and the days x types
-# dimension scaffold (events_grid: both sides group-bounded distinct sets
-# — the one place a cross product is the intended semantics) (see
-# PLANS.md "Known intentional non-equi plans")
+# join, the one-row-probe broadcasts, the k-row centroid broadcast
+# (ml_kmeans: every vector scores against all k=8 centroids by design),
+# the 1x1 combines of two single-row aggregates (agg_sketch_merge: exact
+# count x sketch estimate; graph_triangles: degree stats x triangle
+# count), and the days x types dimension scaffold (events_grid: both
+# sides group-bounded distinct sets — the one place a cross product is
+# the intended semantics) (see PLANS.md "Known intentional non-equi plans")
 BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim_ann_ivf",
-                "sim_radius", "sim_sq8", "agg_sketch_merge", "graph_triangles", "events_grid"}
+                "sim_radius", "sim_sq8", "ml_kmeans", "agg_sketch_merge", "graph_triangles",
+                "events_grid"}
 
 def main():
     text = open(sys.argv[1]).read()
