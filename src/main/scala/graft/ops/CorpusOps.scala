@@ -269,6 +269,38 @@ object CorpusOps extends Pack {
         .orderBy("event_id")
     }),
 
+    "events_conversion_lag" -> ((s, d) => {
+      // Conversion-latency profile: for every click that converts (first
+      // purchase at-or-after it, the join_asof_fwd rule), the per-day
+      // count / median / min / max of the click->purchase delay — the
+      // funnel-health statistic behind "checkout got slower on Tuesday".
+      // Same single-window shape as join_asof_fwd (ONE user_id shuffle,
+      // first(ignoreNulls) over the FOLLOWING frame, second-resolution ts
+      // with event_id tiebreak); the median folds IN-ROW from the
+      // day-bounded collected delays (lower-middle element — the
+      // window_median / quantile_disc-pinned convention), so the day
+      // rollup is one hash aggregate, no second shuffle. Day ids are pure
+      // epoch arithmetic (s div 86400) — no calendar/locale conventions.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("s", unix_timestamp(col("ts")))
+        .withColumn("p_s", when(col("event_type") === "purchase", col("s")))
+        .withColumn("next_p_s", first(col("p_s"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click" && col("next_p_s").isNotNull)
+        .select(expr("s div 86400").as("day_d"), (col("next_p_s") - col("s")).as("delay_s"))
+        .groupBy(col("day_d"))
+        .agg(count(lit(1)).as("n_conv"),
+          sort_array(collect_list(col("delay_s"))).as("ds"),
+          min(col("delay_s")).as("min_delay_s"),
+          max(col("delay_s")).as("max_delay_s"))
+        .withColumn("med_delay_s", expr("element_at(ds, int((size(ds) + 1) div 2))"))
+        .select("day_d", "n_conv", "med_delay_s", "min_delay_s", "max_delay_s")
+        .orderBy("day_d")
+    }),
+
     "join_fuzzy" -> ((s, d) => {
       // Entity-resolution fuzzy join in the standard three-step shape:
       // exact-dedupe the names first (DISTINCT — never fuzzy-match what
@@ -780,6 +812,24 @@ object CorpusOps extends Pack {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
         |  FROM events WHERE event_type IN ('click', 'purchase'))
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "events_conversion_lag" ->
+      """WITH cp AS (
+        |  SELECT event_id, user_id, event_type, floor(epoch(ts))::BIGINT AS s
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |nx AS (
+        |  SELECT *, FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN s END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY s, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ps
+        |  FROM cp),
+        |cl AS (
+        |  SELECT s // 86400 AS day_d, ps - s AS delay_s
+        |  FROM nx WHERE event_type = 'click' AND ps IS NOT NULL)
+        |SELECT day_d, count(*)::BIGINT AS n_conv,
+        |  quantile_disc(delay_s, 0.5)::BIGINT AS med_delay_s,
+        |  min(delay_s)::BIGINT AS min_delay_s,
+        |  max(delay_s)::BIGINT AS max_delay_s
+        |FROM cl GROUP BY day_d ORDER BY day_d""".stripMargin,
 
     "join_fuzzy" ->
       """WITH n AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
