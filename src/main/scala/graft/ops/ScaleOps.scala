@@ -180,6 +180,37 @@ object ScaleOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "prep_dataset_card" -> ((s, d) => {
+      // Per-source dataset datasheet — the one-page corpus summary every
+      // training-data release ships: volume (docs, tokens, chars),
+      // language breadth, and exact-duplicate contamination, all from TWO
+      // map-side-combinable aggregates over one scan projection (the
+      // dup rate needs its own (source, fingerprint) pre-aggregate; the
+      // fingerprint is md5 so the shuffle carries 16 bytes, never text).
+      // Means/rates are exact integer div/permille — a datasheet that
+      // hashes identically on every engine and every rerun.
+      val base = t(s, d, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), "\\s+")).cast("long").as("toks"),
+          md5(col("text")).as("fp"))
+      val dup = base.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_docs"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("toks")).as("tokens_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+        .join(dup, "source")
+        .withColumn("tokens_mean", expr("tokens_sum div n_docs"))
+        .withColumn("chars_mean", expr("chars_sum div n_docs"))
+        .withColumn("dup_permille", expr("(1000 * dup_docs) div n_docs"))
+        .select("source", "n_docs", "n_langs", "tokens_sum", "tokens_mean",
+          "chars_mean", "dup_docs", "dup_permille")
+        .orderBy("source")
+    }),
+
     "agg_diversity" -> ((s, d) => {
       // per-source language diversity: Simpson index 1 - sum(p_i^2) in
       // EXACT permille from integer counts (1000 - (1000*sum(c^2)) div
@@ -253,6 +284,27 @@ object ScaleOps extends Pack {
         |SELECT doc_id, n, n_alpha, n_space, n - n_alpha - n_space AS n_other,
         |  (n_alpha * 1000) // greatest(n, 1) AS alpha_permille, max_word_len
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "prep_dataset_card" ->
+      """WITH b AS (
+        |  SELECT source, lang, n_chars,
+        |    len(regexp_split_to_array(text, '\s+'))::BIGINT AS toks,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |g AS (SELECT source, fp, count(*) AS c FROM b GROUP BY source, fp),
+        |dd AS (
+        |  SELECT source, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dup_docs
+        |  FROM g GROUP BY source),
+        |a AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    count(DISTINCT lang)::BIGINT AS n_langs,
+        |    sum(toks)::BIGINT AS tokens_sum, sum(n_chars)::BIGINT AS chars_sum
+        |  FROM b GROUP BY source)
+        |SELECT a.source, n_docs, n_langs, tokens_sum,
+        |  tokens_sum // n_docs AS tokens_mean,
+        |  chars_sum // n_docs AS chars_mean,
+        |  dup_docs, (1000 * dup_docs) // n_docs AS dup_permille
+        |FROM a JOIN dd USING (source) ORDER BY source""".stripMargin,
 
     "agg_diversity" ->
       """WITH cl AS (
