@@ -180,6 +180,34 @@ object ScaleOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "text_novelty" -> ((s, d) => {
+      // Per-document novelty: the share (exact permille) of the doc's
+      // DISTINCT bigrams that occur in no other document — the inverse of
+      // boilerplate. Templated docs score near 0, original prose near
+      // 1000; complements dedup (which finds the copies) by scoring HOW
+      // derivative the non-copies are. Bigrams generate IN-ROW from the
+      // token array (no posexplode self-join), dedupe in-row
+      // (array_distinct) before the explode, and shuffle as 8-byte h60
+      // hashes — text never leaves the scan. The bigram-df table grows
+      // with the corpus: its join back is sort-merge at scale,
+      // deliberately not broadcast.
+      val bg = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(ws) - 1), i -> " +
+            "concat(element_at(ws, int(i)), ' ', element_at(ws, int(i) + 1))))")).as("b"))
+        .select(col("doc_id"), h60(col("b")).as("g"))
+        .persist() // feeds the df aggregate AND the per-doc rollup
+      val dft = bg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      bg.join(dft, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty_permille", expr("(1000 * n_unique) div n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     "prep_dataset_card" -> ((s, d) => {
       // Per-source dataset datasheet — the one-page corpus summary every
       // training-data release ships: volume (docs, tokens, chars),
@@ -284,6 +312,22 @@ object ScaleOps extends Pack {
         |SELECT doc_id, n, n_alpha, n_space, n - n_alpha - n_space AS n_other,
         |  (n_alpha * 1000) // greatest(n, 1) AS alpha_permille, max_word_len
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_novelty" ->
+      (s"""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg0 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS b
+        |  FROM tk),
+        |bg AS (SELECT DISTINCT doc_id, ${h60Sql.format("b")} AS g FROM bg0),
+        |dft AS (SELECT g, count(*) AS df FROM bg GROUP BY g)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+        |  ((1000 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)) // count(*))::BIGINT
+        |    AS novelty_permille
+        |FROM bg JOIN dft USING (g) GROUP BY doc_id ORDER BY doc_id""").stripMargin,
 
     "prep_dataset_card" ->
       """WITH b AS (
