@@ -49,6 +49,41 @@ object ScaleOps extends Pack {
     s"(($e | ($e >> 8)) & 65535)"
   }
 
+  /** All pairs of points within distance r, as (a, b, d2) with a < b —
+    * WITHOUT the n² cross product. cell = coord div r, so any within-r
+    * pair spans adjacent cells; the probe side generates its 3x3 cell
+    * neighborhood IN-ROW (9 rows per point, a constant) and candidates
+    * come from an equi-join on the packed cell key. Each qualifying pair
+    * is found exactly once: the build side sits in its own cell
+    * (appearing once among the probe's 9 DISTINCT neighbor keys — the
+    * packing is injective for in-domain cells, and border probes produce
+    * only dead negative keys) and the a < b filter keeps one orientation.
+    * The distance test is exact integer d². At 100 TB the cell key is
+    * the shuffle key — density skew (a hot cell) salts or AQE-splits
+    * like any hot join key. Expects (id, x, y) with 0 <= x, y and
+    * y div r < 999 (the packed key's row width; widen the 1000 factor —
+    * or pack into a struct key — for a finer grid). Pair uniqueness and
+    * boundary semantics (d² = r² inclusive, adjacent-cell reach) are
+    * brute-force-pinned in ScaleOpsSpec.
+    */
+  private[ops] def gridRadiusPairs(pts: org.apache.spark.sql.DataFrame, r: Long): org.apache.spark.sql.DataFrame = {
+    val cells = pts
+      .withColumn("cx", expr(s"x div $r"))
+      .withColumn("cy", expr(s"y div $r"))
+    val probe = cells
+      .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+        explode(expr("flatten(transform(sequence(-1L, 1L), dx -> " +
+          "transform(sequence(-1L, 1L), dy -> (cx + dx) * 1000 + (cy + dy))))")).as("ck"))
+    val base = cells
+      .select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
+        (col("cx") * 1000 + col("cy")).as("ck"))
+    probe.join(base, "ck")
+      .filter(col("a") < col("b"))
+      .withColumn("d2", expr("(ax-bx)*(ax-bx) + (ay-by)*(ay-by)"))
+      .filter(col("d2") <= lit(r * r))
+      .select(col("a"), col("b"), col("d2"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     "agg_heavy_hitters" -> ((s, d) => {
@@ -100,35 +135,12 @@ object ScaleOps extends Pack {
       // radius self-join on synthetic points: the 20 closest customer
       // pairs within r=5000 in a 1e6 x 1e6 integer plane (coords derived
       // from md5 so both engines place every point identically).
-      //
-      // Scale shape: cell = coord div r, so any pair within r spans
-      // adjacent cells; the probe side generates its 3x3 cell
-      // neighborhood IN-ROW (9 rows per point, a constant) and candidates
-      // come from an equi-join on the packed cell key — never the n²
-      // cross product. Each qualifying pair is found exactly once: the
-      // build side sits in its own cell (appearing once among the probe's
-      // 9 distinct neighbor keys) and the a<b filter keeps one
-      // orientation. Distance test is exact integer d². At 100 TB the
-      // cell key is the shuffle key — density skew (a hot cell) salts or
-      // AQE-splits like any hot join key.
+      // Algorithm + scale shape: [[gridRadiusPairs]].
       val pts = t(s, d, "customer")
         .select(col("c_custkey").as("id"),
           (h60(concat(lit("gx#"), col("c_custkey").cast("string"))) % 1000000L).as("x"),
           (h60(concat(lit("gy#"), col("c_custkey").cast("string"))) % 1000000L).as("y"))
-        .withColumn("cx", expr("x div 5000"))
-        .withColumn("cy", expr("y div 5000"))
-      val probe = pts
-        .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
-          explode(expr("flatten(transform(sequence(-1L, 1L), dx -> " +
-            "transform(sequence(-1L, 1L), dy -> (cx + dx) * 1000 + (cy + dy))))")).as("ck"))
-      val base = pts
-        .select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
-          (col("cx") * 1000 + col("cy")).as("ck"))
-      probe.join(base, "ck")
-        .filter(col("a") < col("b"))
-        .withColumn("d2", expr("(ax-bx)*(ax-bx) + (ay-by)*(ay-by)"))
-        .filter(col("d2") <= 25000000L)
-        .select(col("a"), col("b"), col("d2"))
+      gridRadiusPairs(pts, 5000L)
         .orderBy(col("d2").asc, col("a").asc, col("b").asc)
         .limit(20)
     }),

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force pins for the round-12 kernels: the grid radius join's
+  * exactly-once pair semantics (incl. cell-boundary and degenerate-density
+  * cases) and the morton key's locality contract.
+  */
+class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def pairsOf(pts: Seq[(Long, Long, Long)], r: Long): Set[(Long, Long, Long)] =
+    ScaleOps.gridRadiusPairs(pts.toDF("id", "x", "y"), r)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+
+  private def brute(pts: Seq[(Long, Long, Long)], r: Long): Set[(Long, Long, Long)] =
+    (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts
+      if a < b
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      if d2 <= r * r
+    } yield (a, b, d2)).toSet
+
+  test("grid radius join equals brute force on pseudo-random points") {
+    var seed = 1234567L
+    def nxt(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
+    val pts = (1L to 300L).map(i => (i, nxt() % 100000L, nxt() % 100000L))
+    assert(pairsOf(pts, 5000L) == brute(pts, 5000L))
+  }
+
+  test("boundary semantics: d2 = r2 is IN, one past is OUT, adjacent-cell pairs reach") {
+    // (1,2): same row, distance exactly r across a cell boundary (x 4999->5004, r=5)
+    // (3,4): distance r+1 -> excluded
+    // (5,6): diagonal cell neighbors within r
+    val pts = Seq(
+      (1L, 4999L, 10L), (2L, 5004L, 10L),
+      (3L, 100L, 50L), (4L, 106L, 50L),
+      (5L, 4999L, 4999L), (6L, 5001L, 5001L))
+    val got = pairsOf(pts, 5L)
+    assert(got == brute(pts, 5L))
+    assert(got.contains((1L, 2L, 25L)))
+    assert(!got.exists(p => p._1 == 3L && p._2 == 4L))
+    assert(got.contains((5L, 6L, 8L)))
+  }
+
+  test("degenerate density: every point in ONE cell still yields each pair exactly once") {
+    val pts = (1L to 40L).map(i => (i, 10L + i, 20L)) // all in cell (0,0) for r=1000
+    val df = ScaleOps.gridRadiusPairs(pts.toDF("id", "x", "y"), 1000L)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size == rows.distinct.size, "no duplicate pairs under a hot cell")
+    assert(rows.size == 40 * 39 / 2) // all pairs within r here
+  }
+
+  test("morton interleave/unspread roundtrips and z-orders both dimensions") {
+    // roundtrip: the declared query's rx/ry must equal gx/gy on every row
+    val out = ScaleOps.queries("fn_morton")(spark, "/root/testdata/sf0.001")
+    assert(out.filter(col("rx") =!= col("gx") || col("ry") =!= col("gy")).count() == 0L)
+    // locality: zval's high bits interleave both coords — for rows sharing
+    // a gx, zval is strictly monotone in gy (and vice versa via LayoutOps'
+    // order-embedding spec, which shares the same mask chain)
+    val rows = out.select("gx", "gy", "zval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).values.filter(_.length >= 2).foreach { grp =>
+      val sorted = grp.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+  }
+}
