@@ -89,6 +89,46 @@ object LayoutOps {
       .parquet(path)
   }
 
+  /** Per-file min/max stats manifest over `cols` for a parquet directory —
+    * the hand-rolled core of what Delta/Iceberg keep in their manifests.
+    * Parquet row-group stats prune at SCAN time (every file still gets a
+    * footer read and a task); a stats table prunes at PLANNING time: the
+    * driver decides which files exist for the query before any task
+    * launches. At 100 TB the difference is listing+footer I/O on ~10⁶
+    * files per query vs one small-table lookup. One distributed pass
+    * builds it (groupBy input_file_name — the shuffle is one row per
+    * FILE); refresh incrementally by collecting stats for new files only
+    * and unioning.
+    */
+  def collectFileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .select((col(cols.head) +: cols.tail.map(col)) :+ input_file_name().as("file"): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read only the files whose stats interval can satisfy
+    * `lo <= c <= hi`, then apply the exact predicate. The file list is a
+    * driver-side collect BOUNDED by file count (control-plane, like the
+    * repo's header/batch-id collects); files with a NULL min/max (all-null
+    * column) are kept — stats may only ever prune files that provably
+    * cannot match. Equivalence and the pruning win are spec-pinned.
+    */
+  def statsPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      stats: DataFrame, c: String, lo: Long, hi: Long): DataFrame = {
+    val keep = stats.filter(
+        col(s"${c}_max").isNull || col(s"${c}_min").isNull ||
+          (col(s"${c}_max") >= lo && col(s"${c}_min") <= hi))
+      .select("file").collect().map(_.getString(0))
+    val pred = col(c).between(lo, hi)
+    if (keep.isEmpty)
+      spark.read.parquet(path).filter(pred).limit(0) // schema-stable empty
+    else
+      spark.read.parquet(keep.toIndexedSeq: _*).filter(pred)
+  }
+
   /** Outcome of a [[compactSmallFiles]] rewrite, for the caller's metrics
     * sink (silent compaction is how a pipeline loses track of write
     * amplification).

@@ -114,6 +114,34 @@ class LayoutOpsSpec extends AnyFunSuite with SparkSpec {
     assert(zys == zys.sorted && zys.distinct.size == zys.size)
   }
 
+  test("file-stats manifest prunes at planning time and preserves results") {
+    val root = java.nio.file.Files.createTempDirectory("fstats").toString
+    val src = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    LayoutOps.writeRangeClustered(src, s"$root/t", Seq("l_orderkey"),
+      targetRowsPerFile = 4000, numPartitions = Some(4))
+    val stats = LayoutOps.collectFileStats(spark, s"$root/t", Seq("l_orderkey")).persist()
+    val allFiles = spark.read.parquet(s"$root/t").inputFiles.length
+    assert(stats.count() == allFiles.toLong, "one manifest row per file")
+
+    val pruned = LayoutOps.statsPrunedRead(spark, s"$root/t", stats, "l_orderkey", 100L, 1500L)
+    // planning-time pruning: the frame's file list is already smaller
+    assert(pruned.inputFiles.length < allFiles / 2,
+      s"expected file-level prune: ${pruned.inputFiles.length} of $allFiles")
+    // identical results to the unpruned filter
+    val want = spark.read.parquet(s"$root/t")
+      .filter(col("l_orderkey").between(100, 1500))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey").collect().toSeq
+    val got = pruned.orderBy("l_orderkey", "l_linenumber", "l_partkey").collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    // a range no file can satisfy reads nothing but keeps the schema
+    val none = LayoutOps.statsPrunedRead(spark, s"$root/t", stats, "l_orderkey",
+      -500L, -1L)
+    assert(none.count() == 0L)
+    assert(none.schema == pruned.schema)
+    stats.unpersist(false): Unit
+  }
+
   test("compactSmallFiles: 64 micro-files become 1, rows and content preserved") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact").toString
