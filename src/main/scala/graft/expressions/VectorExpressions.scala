@@ -255,14 +255,17 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point: the native functions plus the
   * [[DotProductRewrite]] optimizer rule (declarative HOF dot products
-  * compile down to the codegen'd kernel). Note the Bench/Verify mains do
-  * NOT install the extension — their sim_topk vs sim_topk_native pair
-  * deliberately measures the interpreted-HOF/native contrast, which this
-  * rule would erase.
+  * compile down to the codegen'd kernel) and the conf-gated
+  * [[BitmapDistinctRewrite]] (COUNT(DISTINCT bigint) -> mergeable-bitmap
+  * aggregate, spark.graft.rewriteDistinctCount=true to opt in). Note the
+  * Bench/Verify mains do NOT install the extension — their sim_topk vs
+  * sim_topk_native and agg_bitmap vs agg_bitmap_native pairs deliberately
+  * measure the built-in/native contrast, which these rules would erase.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(_ => BitmapDistinctRewrite)
   }
 }
