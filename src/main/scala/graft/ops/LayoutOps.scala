@@ -89,6 +89,27 @@ object LayoutOps {
       .parquet(path)
   }
 
+  /** Write parquet with a column BLOOM FILTER on each of `bloomCols` —
+    * the third pruning mechanism next to min/max stats and partition
+    * pruning, and the only one that serves EQUALITY lookups on columns
+    * the layout is NOT ordered by: range-clustering keeps min/max tight
+    * on the cluster key, but a point lookup on any other high-cardinality
+    * column spans every row group's [min, max]; its bloom filter answers
+    * "this row group provably lacks the value" in one bitset probe at
+    * footer-read time. Costs a few bits/value of file size; pays off when
+    * the workload has needle-in-haystack lookups (id joins, debugging).
+    * Pruning evidence: LayoutOpsSpec.
+    */
+  def writeWithBloomFilter(df: DataFrame, path: String, bloomCols: Seq[String],
+      expectedNdv: Long = 100000L, targetRowsPerFile: Long = 1000000L): Unit = {
+    val w0 = df.write.mode("overwrite").option("maxRecordsPerFile", targetRowsPerFile)
+    val w = bloomCols.foldLeft(w0) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** Per-file min/max stats manifest over `cols` for a parquet directory —
     * the hand-rolled core of what Delta/Iceberg keep in their manifests.
     * Parquet row-group stats prune at SCAN time (every file still gets a

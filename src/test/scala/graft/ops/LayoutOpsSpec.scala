@@ -114,6 +114,33 @@ class LayoutOpsSpec extends AnyFunSuite with SparkSpec {
     assert(zys == zys.sorted && zys.distinct.size == zys.size)
   }
 
+  test("column bloom filters prune equality lookups that min/max stats cannot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bloom").toString
+    // high-cardinality scrambled key: every file's [min, max] spans the
+    // whole domain, so stats prune nothing for a point lookup
+    val src = (1L to 40000L).toDF("id")
+      .withColumn("k", conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
+    src.repartition(8).write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000).parquet(s"$root/plain")
+    LayoutOps.writeWithBloomFilter(src.repartition(8), s"$root/bloom", Seq("k"),
+      expectedNdv = 50000L, targetRowsPerFile = 5000)
+
+    val needle = spark.read.parquet(s"$root/plain")
+      .filter(col("id") === 12345L).select("k").head.getLong(0)
+    def read(dir: String): Long =
+      scannedRows(spark.read.parquet(s"$root/$dir").filter(col("k") === needle))
+
+    val total = 40000L
+    // plain layout: every row group's stats admit the needle -> ~full decode
+    assert(read("plain") > total / 2, s"control unexpectedly pruned: ${read("plain")}")
+    // bloom layout: row groups provably lacking the value are skipped
+    val bloomRows = read("bloom")
+    assert(bloomRows < total / 4, s"bloom should skip most row groups: $bloomRows of $total")
+    // and the lookup still finds its row
+    assert(spark.read.parquet(s"$root/bloom").filter(col("k") === needle).count() >= 1L)
+  }
+
   test("file-stats manifest prunes at planning time and preserves results") {
     val root = java.nio.file.Files.createTempDirectory("fstats").toString
     val src = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
