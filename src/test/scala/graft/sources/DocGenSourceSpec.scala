@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 connector contract, behavior-pinned: deterministic content,
+  * planning-time range pruning from pushed doc_id bounds, column pruning,
+  * partition parallelism, and parity with a driver-side reference.
+  */
+class DocGenSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: Long, parts: Int = 4): DataFrame =
+    spark.read.format(classOf[DocGenSource].getName)
+      .option("rows", rows.toString).option("partitions", parts.toString).load()
+
+  test("deterministic: content is a pure function of doc_id, stable across reads") {
+    val a = docs(200).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val b = docs(200, parts = 7).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 200)
+    a.take(20).foreach { case (id, text, lang) =>
+      assert(text == DocGen.textOf(id))
+      assert(lang == DocGen.langOf(id))
+    }
+  }
+
+  test("doc_id bounds push down and prune the generation interval at planning time") {
+    val df = docs(1000000, parts = 8).filter(col("doc_id") < 100L)
+    // planning-time prune: the scan generates [0, 100), so even a full
+    // count touches 100 rows, not 1e6 — and the partition count collapses
+    assert(df.count() == 100L)
+    assert(df.rdd.getNumPartitions <= 8)
+    val pruned = docs(1000000, parts = 8)
+      .filter(col("doc_id") >= 999990L && col("doc_id") <= 999994L)
+    assert(pruned.count() == 5L)
+    assert(pruned.rdd.getNumPartitions <= 5, "interval of 5 ids cannot need more than 5 partitions")
+    // the pushdown is visible in the scan description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("docgen[0, 100)"), s"plan should show the narrowed interval:\n$plan")
+  }
+
+  test("empty interval plans zero partitions") {
+    val none = docs(1000).filter(col("doc_id") === 5000L)
+    assert(none.count() == 0L)
+    assert(none.rdd.getNumPartitions <= 1)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = docs(500).select("doc_id", "lang")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=doc_id,lang"), s"reader should see only pruned columns:\n$plan")
+    assert(df.collect().length == 500)
+  }
+
+  test("generation parallelizes across the configured partitions") {
+    val df = docs(100000, parts = 16)
+    assert(df.rdd.getNumPartitions == 16)
+    assert(df.count() == 100000L)
+    // n_chars is consistent with text even when text is not selected
+    val bad = docs(5000).filter(length(col("text")).cast("long") =!= col("n_chars")).count()
+    assert(bad == 0L)
+  }
+}
