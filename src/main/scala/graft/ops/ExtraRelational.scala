@@ -437,6 +437,39 @@ object ExtraRelational extends Pack {
         .orderBy("part_a", "part_b")
     }),
 
+    "basket_rules" -> ((s, d) => {
+      // Association rules on top of the basket kernel: for every pair
+      // with support >= 3, directional confidence in exact permille
+      // (conf(a->b) = 1000*supp_ab div supp_a) — "customers who bought a
+      // also bought b", ranked by the stronger direction. Single-item
+      // supports come from one extra hash aggregate over the SAME
+      // distinct (basket, item) projection; the two support joins key on
+      // one int each (broadcast at this SF, sort-merge at scale — the
+      // item-support table grows with the catalog). Lift needs the
+      // global basket count (a scalar); it is deliberately omitted so no
+      // 1-row broadcast enters the plan — rank by confidence, derive
+      // lift downstream if a pipeline wants it.
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .persist() // pair explode AND item supports read it
+      val supp1 = items.groupBy(col("pk")).agg(count(lit(1)).as("s1"))
+      val pairs = items.groupBy(col("ok")).agg(sort_array(collect_list(col("pk"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (a, i) -> transform(slice(ps, i + 2, size(ps)), b -> struct(a AS pa, b AS pb))))"
+        )).as("p"))
+        .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= 3)
+      pairs
+        .join(supp1.select(col("pk").as("part_a"), col("s1").as("supp_a")), "part_a")
+        .join(supp1.select(col("pk").as("part_b"), col("s1").as("supp_b")), "part_b")
+        .withColumn("conf_ab", expr("(1000 * supp_ab) div supp_a"))
+        .withColumn("conf_ba", expr("(1000 * supp_ab) div supp_b"))
+        .select("part_a", "part_b", "supp_ab", "supp_a", "supp_b", "conf_ab", "conf_ba")
+        .orderBy(col("conf_ab").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
     "check_constraints" -> ((s, d) => {
       // dbt-test-style data-quality audit: PK uniqueness, FK orphans,
       // domain membership, range bounds — one (check, checked, violations)
@@ -748,6 +781,20 @@ object ExtraRelational extends Pack {
         |FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY part_a, part_b HAVING count(*) >= 3
         |ORDER BY part_a, part_b""".stripMargin,
+
+    "basket_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |s1 AS (SELECT pk, count(*)::BIGINT AS s1 FROM it GROUP BY pk),
+        |pr AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*)::BIGINT AS supp_ab
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY part_a, part_b HAVING count(*) >= 3)
+        |SELECT part_a, part_b, supp_ab, sa.s1 AS supp_a, sb.s1 AS supp_b,
+        |  (1000 * supp_ab) // sa.s1 AS conf_ab,
+        |  (1000 * supp_ab) // sb.s1 AS conf_ba
+        |FROM pr JOIN s1 sa ON sa.pk = pr.part_a JOIN s1 sb ON sb.pk = pr.part_b
+        |ORDER BY conf_ab DESC, part_a, part_b LIMIT 20""".stripMargin,
 
     "check_constraints" ->
       """SELECT chk, n_checked, n_violations FROM (
