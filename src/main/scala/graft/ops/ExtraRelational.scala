@@ -437,6 +437,39 @@ object ExtraRelational extends Pack {
         .orderBy("part_a", "part_b")
     }),
 
+    "join_star_revenue" -> ((s, d) => {
+      // TPC-H Q5 shape: revenue by nation for one region and one order
+      // year, joining lineitem⋈orders⋈customer⋈supplier⋈nation⋈region
+      // with the local-supplier condition (supplier and customer share a
+      // nation). The join-order story: region (1 row) and nation (a few)
+      // BROADCAST and prune customer/supplier before either touches a
+      // fact table; orders carries its year filter into the scan as raw
+      // timestamp bounds; lineitem joins last, on keys only. Revenue is
+      // exact integer cents (the house money rule).
+      val ev = t(s, d, "region").filter(col("r_name") === "AMERICA")
+        .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(ev.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val supp = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("bigint(round(l_extendedprice * (1 - l_discount) * 100))").as("rev_c"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") === col("c_nationkey")) // local supplier
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("n_name"))
+    }),
+
     "basket_rules" -> ((s, d) => {
       // Association rules on top of the basket kernel: for every pair
       // with support >= 3, directional confidence in exact permille
@@ -781,6 +814,22 @@ object ExtraRelational extends Pack {
         |FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY part_a, part_b HAVING count(*) >= 3
         |ORDER BY part_a, part_b""".stripMargin,
+
+    "join_star_revenue" ->
+      """SELECT n_name, count(*)::BIGINT AS n_items,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_c
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |  AND s_nationkey = c_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_c DESC, n_name""".stripMargin,
 
     "basket_rules" ->
       """WITH it AS (
