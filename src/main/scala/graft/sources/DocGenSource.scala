@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -81,12 +82,13 @@ class DocGenTable(rows: Long, partitions: Int) extends Table with SupportsRead {
   override def name(): String = s"docgen($rows)"
   override def schema(): StructType = DocGen.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(rows, partitions)
+    new DocGenScanBuilder(rows, partitions,
+      Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(rows))
 }
 
-class DocGenScanBuilder(rows: Long, partitions: Int)
+class DocGenScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = Long.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L
@@ -120,14 +122,26 @@ class DocGenScanBuilder(rows: Long, partitions: Int)
 
   override def pruneColumns(requiredSchema: StructType): Unit = { cols = requiredSchema }
 
-  override def build(): Scan = new DocGenScan(lo, math.max(lo, hi), partitions, cols)
+  override def build(): Scan = new DocGenScan(lo, math.max(lo, hi), partitions, cols, rowsPerBatch)
 }
 
-class DocGenScan(lo: Long, hi: Long, partitions: Int, cols: StructType)
+class DocGenScan(lo: Long, hi: Long, partitions: Int, cols: StructType,
+    rowsPerBatch: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = cols
   override def toBatch: Batch = this
   override def description(): String = s"docgen[$lo, $hi) cols=${cols.fieldNames.mkString(",")}"
+
+  /** Streaming form: the same deterministic table as an offset-tracked
+    * micro-batch stream. Offsets are plain row positions in [lo, hi);
+    * each trigger admits at most `rowsPerBatch` ids, partitioned like the
+    * batch scan. Because (offset -> rows) is a pure function, replaying a
+    * committed offset range regenerates IDENTICAL rows — the
+    * exactly-once-after-restart property the spec pins by killing and
+    * resuming a query mid-stream on one checkpoint.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocGenMicroBatchStream(lo, hi, partitions, cols, rowsPerBatch)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo
@@ -143,6 +157,51 @@ class DocGenScan(lo: Long, hi: Long, partitions: Int, cols: StructType)
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
+
+/** Row-position offset, serialized as its decimal string. */
+case class DocGenOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+class DocGenMicroBatchStream(lo: Long, hi: Long, partitions: Int, cols: StructType,
+    rowsPerBatch: Long)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  override def initialOffset(): Offset = DocGenOffset(lo)
+  // rate limiting happens HERE (admission control), never by truncating a
+  // planned batch — an engine-committed offset range must produce exactly
+  // its rows or restart semantics break
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    DocGenOffset(math.min(hi, start.asInstanceOf[DocGenOffset].pos + rowsPerBatch))
+  override def latestOffset(): Offset = DocGenOffset(hi) // non-admission path: everything
+  override def getDefaultReadLimit: ReadLimit =
+    if (rowsPerBatch == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(rowsPerBatch)
+  // Trigger.AvailableNow: the run's END boundary is the whole table while
+  // every batch stays admission-capped — without this interface the
+  // engine's wrapper captures ONE capped offset as the boundary and a
+  // rate-limited run stops after its first batch (pinned by the spec)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = DocGenOffset(hi)
+  override def deserializeOffset(json: String): Offset = DocGenOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DocGenOffset].pos
+    val e = end.asInstanceOf[DocGenOffset].pos
+    val n = e - s
+    if (n <= 0) return Array.empty
+    val p = math.min(partitions.toLong, n).toInt
+    (0 until p).map { i =>
+      DocGenPartition(s + n * i / p, s + n * (i + 1) / p): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new DocGenReaderFactory(cols)
+}
 
 class DocGenReaderFactory(cols: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -54,6 +54,34 @@ class DocGenSourceSpec extends AnyFunSuite with SparkSpec {
     assert(df.collect().length == 500)
   }
 
+  test("micro-batch stream: rate-limited batches cover the table exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("docgen-stream").toString
+    val stream = spark.readStream.format(classOf[DocGenSource].getName)
+      .option("rows", "1000").option("partitions", "4")
+      .option("rowsPerBatch", "300").load()
+    def run() = {
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    val q1 = run()
+    val got = spark.read.parquet(s"$root/out").collect().map(_.getLong(0)).sorted
+    assert(got.length == 1000, s"each id exactly once, got ${got.length}")
+    assert(got.toSeq == (0L until 1000L))
+    // the 300-row admission cap forced multiple batches (1000/300 -> 4)
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected >=3 rate-limited batches, got ${q1.recentProgress.map(_.numInputRows).mkString(",")}")
+
+    // restart on the SAME checkpoint: offsets are committed, nothing replays
+    run()
+    assert(spark.read.parquet(s"$root/out").count() == 1000L,
+      "a finished checkpoint must deliver no duplicate rows on restart")
+  }
+
   test("generation parallelizes across the configured partitions") {
     val df = docs(100000, parts = 16)
     assert(df.rdd.getNumPartitions == 16)
