@@ -60,9 +60,10 @@ object ScaleOps extends Pack {
     * only dead negative keys) and the a < b filter keeps one orientation.
     * The distance test is exact integer d². At 100 TB the cell key is
     * the shuffle key — density skew (a hot cell) salts or AQE-splits
-    * like any hot join key. Expects (id, x, y) with 0 <= x, y and
-    * y div r < 999 (the packed key's row width; widen the 1000 factor —
-    * or pack into a struct key — for a finer grid). Pair uniqueness and
+    * like any hot join key. Expects (id, x, y) with 0 <= x, y; the cell
+    * key is a (cx, cy) STRUCT, so no packing arithmetic constrains the
+    * grid extent (a packed cx*K+cy int key silently collides the moment
+    * cy reaches K-1 at a probe's dy=-1 edge). Pair uniqueness and
     * boundary semantics (d² = r² inclusive, adjacent-cell reach) are
     * brute-force-pinned in ScaleOpsSpec.
     */
@@ -73,10 +74,10 @@ object ScaleOps extends Pack {
     val probe = cells
       .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
         explode(expr("flatten(transform(sequence(-1L, 1L), dx -> " +
-          "transform(sequence(-1L, 1L), dy -> (cx + dx) * 1000 + (cy + dy))))")).as("ck"))
+          "transform(sequence(-1L, 1L), dy -> struct(cx + dx AS kx, cy + dy AS ky))))")).as("ck"))
     val base = cells
       .select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
-        (col("cx") * 1000 + col("cy")).as("ck"))
+        struct(col("cx").as("kx"), col("cy").as("ky")).as("ck"))
     probe.join(base, "ck")
       .filter(col("a") < col("b"))
       .withColumn("d2", expr("(ax-bx)*(ax-bx) + (ay-by)*(ay-by)"))
