@@ -28,7 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  final case class Index(cents: DataFrame, codebooks: DataFrame, codes: DataFrame)
+  /** The built index. All three frames are persisted (search reads each
+    * repeatedly); the CALLER owns their lifecycle — long-lived pipelines
+    * call [[Index.unpersist]] when the index is dropped or rebuilt (the
+    * IvfIncremental round-6 lesson: a persisted frame a caller cannot
+    * release accretes storage forever).
+    */
+  final case class Index(cents: DataFrame, codebooks: DataFrame, codes: DataFrame) {
+    def unpersist(): Unit = {
+      cents.unpersist(false)
+      codebooks.unpersist(false)
+      codes.unpersist(false): Unit
+    }
+  }
 
   /** Coarse argmin assignment of vectors to cell centroids (exact integer
     * d², codegen'd dots) — the ml_kmeans discipline.

@@ -50,6 +50,8 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     assert(oneCell.count() <= cellSizes.values.max,
       "nprobe=1 may rank at most one cell's vectors")
     assert(probedCell >= 0) // the probe itself lives in some cell
+    // caller-owned lifecycle: dropping the index releases its cache
+    idx.unpersist()
     v.unpersist(false): Unit
   }
 
