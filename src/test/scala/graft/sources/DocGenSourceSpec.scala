@@ -82,6 +82,36 @@ class DocGenSourceSpec extends AnyFunSuite with SparkSpec {
       "a finished checkpoint must deliver no duplicate rows on restart")
   }
 
+  test("the DocGen stream feeds the continuous prep pipeline with batch parity") {
+    import graft.streaming.StreamingPrep
+    val root = java.nio.file.Files.createTempDirectory("docgen-prep").toString
+    val tsCol = timestamp_seconds(lit(1700000000L) + col("doc_id"))
+    val batch = docs(2000).withColumn("ts", tsCol)
+    val benchGrams = StreamingPrep.benchGramHashes(batch.filter(col("doc_id") < 10))
+    // batch truth: same stateless gate + exact dedup on the fingerprint
+    val want = StreamingPrep.gateAndSample(batch, benchGrams, samplePermille = 600)
+      .withColumn("fp", md5(col("text"))).select("fp").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(want.nonEmpty && want.size < 2000, "fixture should gate and dedup something")
+
+    val stream = spark.readStream.format(classOf[DocGenSource].getName)
+      .option("rows", "2000").option("partitions", "4")
+      .option("rowsPerBatch", "700").load()
+      .withColumn("ts", tsCol)
+    val out = StreamingPrep.prep(stream, benchGrams,
+      watermark = "10 minutes", samplePermille = 600)
+    val q = out.withColumn("fp", md5(col("text")))
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$root/out").select("fp")
+      .collect().map(_.getString(0))
+    assert(got.length == got.distinct.length, "watermark dedup must keep one row per fingerprint")
+    assert(got.toSet == want, "streaming survivors must equal the batch pipeline's")
+  }
+
   test("generation parallelizes across the configured partitions") {
     val df = docs(100000, parts = 16)
     assert(df.rdd.getNumPartitions == 16)
