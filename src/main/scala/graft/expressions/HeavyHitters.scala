@@ -18,17 +18,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * (cnt desc, item asc).
   *
   * Guarantees (Metwally et al., SpaceSaving; Agarwal et al., "Mergeable
-  * Summaries", PODS'12):
-  *   - every stored `cnt` overestimates the item's true count by at most
-  *     its stored `err`, and err <= N/m for a stream of N items;
-  *   - any item with true count > N/m is guaranteed present;
+  * Summaries", PODS'12) — note the sequential/merged distinction, which
+  * HeavyHittersProps hunted down empirically:
+  *   - SEQUENTIAL (one partition): every stored `cnt` OVERestimates the
+  *     item's true count, by at most its stored `err`, and err <= N/m;
+  *   - MERGED (the distributed case): partial states merge by pointwise
+  *     count/err sum + top-m prune; an item's occurrences that one
+  *     partition's summary evicted are simply absent from its counter, so
+  *     the merged `cnt` can sit on EITHER side of the truth — the
+  *     guarantee is the two-sided |cnt - true| <= N/m, and `err` becomes
+  *     an accumulated-eviction diagnostic rather than a one-sided bound;
+  *   - any item with true count > N/m is guaranteed present, sequential
+  *     or merged;
   *   - when the group's DISTINCT item count never exceeds m, no eviction
-  *     happens, every err is 0 and the counts are EXACT — which is what the
-  *     oracle-paired query asserts (it emits err=0 and hash-compares);
-  *   - partial states merge by pointwise count/err sum + top-m prune (the
-  *     PODS'12 merge rule), so the plan is ONE ordinary two-phase
-  *     ObjectHashAggregate: map-side partials of bounded size m, one
-  *     exchange of m-entry states per group, no row-level distinct shuffle.
+  *     happens anywhere, every err is 0 and the counts are EXACT — which
+  *     is what the oracle-paired query asserts (it emits err=0 and
+  *     hash-compares).
+  * The plan is ONE ordinary two-phase ObjectHashAggregate: map-side
+  * partials of bounded size m, one exchange of m-entry states per group,
+  * no row-level distinct shuffle.
   *
   * That bounded state is the 100 TB story: exact top-k by count needs a
   * full (group, item) aggregate whose shuffle grows with the vocabulary;

@@ -45,14 +45,13 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val truth = skewed.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
     assert(got.length == m)
-    got.foreach { case (item, cnt, err) =>
-      val t = truth.getOrElse(item, 0L)
-      assert(cnt >= t, s"$item: stored count must overestimate (cnt=$cnt true=$t)")
-      assert(cnt - err <= t, s"$item: overestimate must be covered by err")
-    }
-    // merged-summary error bound: max overestimate <= N/m
+    // merged-summary bound is TWO-SIDED: a partition's summary that
+    // evicted an item contributes none of its occurrences, so a merged
+    // count may under- as well as overestimate — within N/m either way
+    // (HeavyHittersProps falsified the one-sided sequential claim here)
     got.foreach { case (item, cnt, _) =>
-      assert(cnt - truth.getOrElse(item, 0L) <= n / m, s"$item exceeds N/m bound")
+      assert(math.abs(cnt - truth.getOrElse(item, 0L)) <= n / m,
+        s"$item exceeds the two-sided N/m band")
     }
     // any item with true count > N/m must be present (w0: 1600 > N/m)
     val present = got.map(_._1).toSet
