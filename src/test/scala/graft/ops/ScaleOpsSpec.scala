@@ -31,6 +31,15 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairsOf(pts, 5000L) == brute(pts, 5000L))
   }
 
+  test("grid radius join equals brute force across radii, incl. r beyond the domain") {
+    for ((seed0, r) <- Seq((11L, 700L), (22L, 3000L), (33L, 12000L), (44L, 50L), (55L, 400000L))) {
+      var seed = seed0
+      def nxt(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
+      val pts = (1L to 150L).map(i => (i, nxt() % 100000L, nxt() % 100000L))
+      assert(pairsOf(pts, r) == brute(pts, r), s"radius $r")
+    }
+  }
+
   test("boundary semantics: d2 = r2 is IN, one past is OUT, adjacent-cell pairs reach") {
     // (1,2): same row, distance exactly r across a cell boundary (x 4999->5004, r=5)
     // (3,4): distance r+1 -> excluded
