@@ -100,7 +100,9 @@ object StreamingAggs {
     * serialize/deserialize is the state format), merges on arrival of
     * each batch's partials, and the window's FINAL counters emit once
     * when the watermark passes — exact whenever the window's distinct
-    * words fit m, N/m-bounded otherwise (HeavyHittersSpec).
+    * words fit m; otherwise the cross-batch merges put counts in the
+    * TWO-SIDED |cnt - true| <= N/m band with > N/m items guaranteed
+    * present (the merged-summary contract HeavyHittersProps pinned).
     */
   def windowedHeavyHitters(
       docs: DataFrame, m: Int = 64, watermark: String = "2 minutes"): DataFrame = {
