@@ -393,27 +393,25 @@ object ExtraRelational extends Pack {
     "agg_pareto" -> ((s, d) => {
       // Pareto/concentration curve: customers ranked by revenue desc, cut
       // into deciles, each reporting its cumulative revenue share (exact
-      // integer permille). The global windows run on the PER-CUSTOMER
-      // rollup (bounded rows — the events_rfm pattern); ranking ties are
-      // impossible (unique custkey tiebreak) and the share is one integer
-      // division per decile.
+      // integer permille). The customer dimension grows with the corpus,
+      // so the oracle's global row_number / running-sum windows are
+      // computed via DistributedRank instead: range Exchange on the sort
+      // key + per-partition rank/sum offsets (driver collect bounded by
+      // the partition COUNT), which reproduces the exact rank and exact
+      // running sum with no single-partition Exchange. n and the grand
+      // total come free from the offset pass as driver scalars; ties are
+      // impossible (unique custkey tiebreak) so ranks are total.
       val per = t(s, d, "orders")
         .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
         .groupBy(col("o_custkey")).agg(sum(col("cents")).as("tot"))
-      val wd = Window.orderBy(col("tot").desc, col("o_custkey"))
-      val all = Window.partitionBy()
-      per
-        .withColumn("i", row_number().over(wd).cast("long"))
-        .withColumn("cum", sum(col("tot")).over(
-          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", count(lit(1)).over(all))
-        .withColumn("g", sum(col("tot")).over(all))
-        .withColumn("decile", expr("((i - 1) * 10) div n"))
+      val rk = DistributedRank.withGlobalRank(per,
+        Seq(col("tot").desc, col("o_custkey")), "i", cum = Some(("tot", "cum")))
+      rk.df
+        .withColumn("decile", expr(s"((i - 1) * 10) div ${rk.n}"))
         .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_customers"),
-          max(col("cum")).as("cum_end"), max(col("g")).as("g"))
+        .agg(count(lit(1)).as("n_customers"), max(col("cum")).as("cum_end"))
         .select(col("decile"), col("n_customers"),
-          expr("(cum_end * 1000) div g").as("cum_rev_permille"))
+          expr(s"(cum_end * 1000) div ${rk.grandSum}").as("cum_rev_permille"))
         .orderBy("decile")
     }),
 

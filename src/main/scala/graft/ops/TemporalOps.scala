@@ -215,28 +215,41 @@ object TemporalOps extends Pack {
     "events_rfm" -> ((s, d) => {
       // RFM segmentation: per purchasing user, recency (days since last
       // purchase vs corpus max), frequency, monetary (integer cents), each
-      // cut into quintiles. ntile needs a GLOBAL total order — fine at
-      // user cardinality (bounded, already one row per user), but at 100 TB
-      // the quintile edges should come from approx_percentile cutpoints
-      // (agg_approx_percentile shows the mergeable primitive) instead of a
-      // single-partition window. Unique user_id tiebreaks make every tile
-      // assignment deterministic across engines.
+      // cut into quintiles. The oracle says ntile(5) — but ntile over an
+      // empty partitionBy funnels the whole user dimension (which GROWS
+      // with the corpus) through one partition. Instead: exact global rank
+      // per dimension via DistributedRank (range Exchange + per-partition
+      // offsets — the mergeable shape), then the exact ntile bucket rule
+      // applied as per-row integer arithmetic with the driver-known n.
+      // Unique user_id tiebreaks make ranks total, so the tile assignment
+      // is bit-identical to the oracle's ntile while the plan never has a
+      // single-partition Exchange.
       val p = t(s, d, "events").filter(col("event_type") === "purchase")
         .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
           round(col("value") * 100).cast("long").as("cents"))
       val per = p.groupBy(col("user_id"))
         .agg(max(col("es")).as("last_es"), count(lit(1)).as("freq"),
           sum(col("cents")).as("monetary"))
-      // corpus max rides the SAME single-partition window pass the ntiles
-      // already need (max of per-user maxes) — no scalar cross join
-      per.withColumn("gmax", max(col("last_es")).over(Window.partitionBy()))
+      // corpus max: scalar aggregate of the per-user frame, broadcast back
+      // (1-row build side — the standard scalar-subquery shape)
+      val mx = per.agg(max(col("last_es")).as("gmax"))
+      val base = per.crossJoin(broadcast(mx))
         .withColumn("rec_days", expr("(gmax - last_es) div 86400"))
-        .withColumn("r_tile",
-          ntile(5).over(Window.orderBy(col("rec_days"), col("user_id"))))
-        .withColumn("f_tile",
-          ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
-        .withColumn("m_tile",
-          ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id"))))
+        .drop("gmax")
+      // three exact-rank passes, chained so each carries the prior tiles —
+      // narrow all-numeric schema, no join-back needed
+      val r1 = DistributedRank.withGlobalRank(base,
+        Seq(col("rec_days"), col("user_id")), "__rr")
+      val d1 = r1.df.withColumn("r_tile",
+        DistributedRank.exactNtile(col("__rr"), r1.n, 5)).drop("__rr")
+      val r2 = DistributedRank.withGlobalRank(d1,
+        Seq(col("freq").desc, col("user_id")), "__rf")
+      val d2 = r2.df.withColumn("f_tile",
+        DistributedRank.exactNtile(col("__rf"), r2.n, 5)).drop("__rf")
+      val r3 = DistributedRank.withGlobalRank(d2,
+        Seq(col("monetary").desc, col("user_id")), "__rm")
+      r3.df.withColumn("m_tile",
+          DistributedRank.exactNtile(col("__rm"), r3.n, 5)).drop("__rm")
         .withColumn("rfm", col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
         .select(col("user_id"), col("rec_days"), col("freq"), col("monetary"),
           col("r_tile"), col("f_tile"), col("m_tile"), col("rfm"))

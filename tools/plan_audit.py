@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
 """Plan-shape gate: run after `sbt "runMain graft.Explain <sfDir>" > out.txt`
-to assert no query gained an unapproved non-equi join or a cartesian
-product. Exits 1 listing offenders.
+to assert no query gained an unapproved non-equi join, a cartesian
+product, or a single-partition funnel (a Window over an empty partitionBy,
+or an Exchange SinglePartition that carries data rows). Exits 1 listing
+offenders.
 
 Usage: python3 tools/plan_audit.py /tmp/explain_out.txt
+       python3 tools/plan_audit.py --selftest
 """
 import sys, re
 
@@ -17,7 +20,89 @@ import sys, re
 # the intended semantics) (see PLANS.md "Known intentional non-equi plans")
 BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim_ann_ivf",
                 "sim_radius", "sim_sq8", "ml_kmeans", "agg_sketch_merge", "graph_triangles",
-                "events_grid"}
+                "events_grid",
+                # scalar corpus-max (1-row aggregate) broadcast back onto the
+                # per-user frame — the standard scalar-subquery join shape
+                "events_rfm"}
+
+# Queries allowed a Window over an EMPTY partitionBy (global total order
+# through one partition). Empty on purpose: the pattern is banned — exact
+# global ranks come from DistributedRank (range Exchange + per-partition
+# offsets) instead. Add a query here only with a written bound on its row
+# count at scale.
+GLOBAL_WINDOW_ALLOWED = set()
+
+# Queries allowed an Exchange SinglePartition whose CHILD is not an
+# aggregate. Aggregate-fed single-partition exchanges (scalar aggregates:
+# one partial row per upstream partition) are always fine and are
+# auto-allowed; a LIMIT-class single-partition collect of an already
+# top-k-pruned stream is bounded by the limit itself.
+SINGLE_PARTITION_ALLOWED = {"sort_paginate"}
+
+# ---------------------------------------------------------------------------
+# formatted-explain parsing
+
+NODE_HEADER = re.compile(r"^(?:\[info\]\s*)?\((\d+)\) ([A-Za-z]+)")
+# Window detail: Arguments: [exprs...], [partitionSpec], [orderSpec]
+WINDOW_ARGS_TAIL = re.compile(r"\],\s*\[([^\[\]]*)\],\s*\[[^\[\]]*\]\s*$")
+
+
+def strip_info(line):
+    return re.sub(r"^\[info\]\s?", "", line)
+
+
+def audit_section(name, body):
+    """Return list of offender strings for one query's formatted plan."""
+    bad = []
+    if "CartesianProduct" in body:
+        bad.append(f"{name}: CartesianProduct")
+    if "BroadcastNestedLoopJoin" in body and name not in BNLJ_ALLOWED:
+        bad.append(f"{name}: unapproved BroadcastNestedLoopJoin")
+    if "explain failed" in body:
+        bad.append(f"{name}: explain failed")
+
+    lines = [strip_info(l) for l in body.splitlines()]
+
+    # Node-detail pass: map node id -> (class, full detail block)
+    nodes = {}
+    headers = [(i, int(m.group(1)), m.group(2))
+               for i, l in enumerate(lines) if (m := NODE_HEADER.match(l))]
+    for k, (i, nid, cls) in enumerate(headers):
+        end = headers[k + 1][0] if k + 1 < len(headers) else len(lines)
+        nodes[nid] = (cls, "\n".join(lines[i:end]))
+
+    # Global windows: partitionSpec printed as an empty bracket group
+    for nid, (cls, detail) in nodes.items():
+        if cls != "Window":
+            continue
+        args = next((l for l in detail.splitlines() if l.startswith("Arguments:")), "")
+        m = WINDOW_ARGS_TAIL.search(args)
+        if m and m.group(1).strip() == "" and name not in GLOBAL_WINDOW_ALLOWED:
+            bad.append(f"{name}: Window over empty partitionBy (node {nid})")
+
+    # SinglePartition exchanges: find the tree line `... Exchange (N)`; the
+    # child (next tree line) must be a SCALAR aggregate (`Keys: []` — the
+    # final step of a global agg, one partial row per upstream partition,
+    # bounded). A keyed aggregate or anything else below a SinglePartition
+    # exchange funnels data rows through one partition.
+    sp_ids = {nid for nid, (cls, detail) in nodes.items()
+              if cls == "Exchange" and "Arguments: SinglePartition" in detail}
+    if sp_ids and name not in SINGLE_PARTITION_ALLOWED:
+        for i, l in enumerate(lines):
+            m = re.search(r"Exchange \((\d+)\)\s*$", l)
+            if not m or int(m.group(1)) not in sp_ids:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            cm = re.search(r"([A-Za-z]+) \((\d+)\)\s*$", child)
+            child_detail = nodes.get(int(cm.group(2)), ("", ""))[1] if cm else ""
+            scalar_agg = (cm and "Aggregate" in cm.group(1)
+                          and "Keys: []" in child_detail)
+            if not scalar_agg:
+                bad.append(
+                    f"{name}: Exchange SinglePartition (node {m.group(1)}) "
+                    f"feeds data rows (child: {child.strip() or '?'})")
+    return bad
+
 
 def main():
     text = open(sys.argv[1]).read()
@@ -25,19 +110,87 @@ def main():
     bad = []
     # sections = [preamble, name1, body1, name2, body2, ...]
     for name, body in zip(sections[1::2], sections[2::2]):
-        if "CartesianProduct" in body:
-            bad.append(f"{name}: CartesianProduct")
-        if "BroadcastNestedLoopJoin" in body and name not in BNLJ_ALLOWED:
-            bad.append(f"{name}: unapproved BroadcastNestedLoopJoin")
-        if "explain failed" in body:
-            bad.append(f"{name}: explain failed")
+        bad.extend(audit_section(name, body))
     if bad:
         print("PLAN AUDIT FAILED:")
         for b in bad:
             print(" ", b)
         sys.exit(1)
     n = len(sections) // 2
-    print(f"plan audit OK: {n} queries, no cartesian products, BNLJ only in {sorted(BNLJ_ALLOWED)}")
+    print(f"plan audit OK: {n} queries — no cartesians, no global windows, "
+          f"no data-bearing SinglePartition exchanges; BNLJ only in {sorted(BNLJ_ALLOWED)}")
+
+
+# ---------------------------------------------------------------------------
+# embedded self-test: real formatted-explain snippets (captured from Spark
+# 4.1.2) — the pre-round-8 global-window shape must go RED, the re-shaped
+# plan and the scalar-aggregate exchange must stay GREEN.
+
+OLD_GLOBAL_WINDOW = """\
+* Project (9)
++- Window (8)
+   +- * Sort (7)
+      +- Exchange (6)
+         +- * HashAggregate (5)
+
+(5) HashAggregate [codegen id : 1]
+Input [2]: [user_id#2L, sum#40L]
+Keys [1]: [user_id#2L]
+Functions [1]: [sum(cents#5L)]
+
+(6) Exchange
+Input [3]: [user_id#2L, freq#11L, monetary#12L]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=100]
+
+(8) Window
+Input [3]: [user_id#2L, freq#11L, monetary#12L]
+Arguments: [ntile(5) windowspecdefinition(freq#11L DESC NULLS LAST, user_id#2L ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS r_tile#20], [], [freq#11L DESC NULLS LAST, user_id#2L ASC NULLS FIRST]
+"""
+
+NEW_SHAPE = """\
+* Project (9)
++- Window (8)
+   +- * Sort (7)
+      +- Exchange (6)
+         +- * BroadcastHashJoin Inner BuildRight (5)
+
+(6) Exchange
+Input [4]: [__pid#39, user_id#2L, freq#11L, __roff#50L]
+Arguments: hashpartitioning(__pid#39, 4), ENSURE_REQUIREMENTS, [plan_id=101]
+
+(8) Window
+Input [4]: [__pid#39, user_id#2L, freq#11L, __roff#50L]
+Arguments: [row_number() windowspecdefinition(__pid#39, freq#11L DESC NULLS LAST, user_id#2L ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS _we0#60], [__pid#39], [freq#11L DESC NULLS LAST, user_id#2L ASC NULLS FIRST]
+"""
+
+SCALAR_AGG = """\
+* HashAggregate (4)
++- Exchange (3)
+   +- * HashAggregate (2)
+
+(2) HashAggregate [codegen id : 1]
+Input [1]: [last_es#34L]
+Keys: []
+Functions [1]: [partial_max(last_es#34L)]
+
+(3) Exchange
+Input [1]: [max#30L]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=102]
+"""
+
+
+def selftest():
+    red = audit_section("events_rfm", OLD_GLOBAL_WINDOW)
+    assert any("empty partitionBy" in b for b in red), red
+    assert any("SinglePartition" in b for b in red), red
+    assert audit_section("events_rfm", NEW_SHAPE) == []
+    assert audit_section("events_rfm", SCALAR_AGG) == []
+    assert audit_section("x", "CartesianProduct") == ["x: CartesianProduct"]
+    print("plan_audit selftest OK (old global-window shape RED, re-shaped plan GREEN)")
+
 
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+    else:
+        main()
