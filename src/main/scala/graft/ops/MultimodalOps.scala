@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata, partition-parallel decode / feature-extract.
   *
-  * The decode kernels themselves are STUBBED with a deterministic fake
-  * (no image/audio libraries in this environment) — everything Spark-side is
-  * real: the envelope schema, the batch-shaped mapPartitions plumbing, the
-  * metadata projection, and partitioning behavior. Swapping `stubDecode` for
-  * a real codec is a one-function change.
+  * The decode kernel is REAL for the uncompressed interchange formats
+  * [[ImageCodec]] speaks — PPM `P6` and 24-bit BMP stills, and PPM streams
+  * (ffmpeg `image2pipe -vcodec ppm` output) as the video container: those
+  * payloads yield actual decoded dimensions, actual resampled pixels, and
+  * actual per-frame bytes. Payloads in formats this environment has no
+  * codec for (JPEG/PNG/WAV/MP4...) fall back to a deterministic synthetic
+  * decode so the pipeline stays TOTAL — the fallback is clearly marked and
+  * the Spark-side shape (envelope schema, batch-shaped mapPartitions, no
+  * driver materialization) is identical on both paths, so swapping in a
+  * compressed-format codec is a one-function change.
   */
 object MultimodalOps {
 
@@ -30,17 +35,33 @@ object MultimodalOps {
       height: Int,
       n_frames: Int)
 
-  /** STUB decode: deterministic pseudo-dimensions derived from the payload
-    * fingerprint — stands in for a real image/audio decoder, keeping the
-    * pipeline shape (per-partition batch iteration, no driver collect) real.
+  /** FALLBACK decode for payloads in formats [[ImageCodec]] can't parse:
+    * deterministic pseudo-dimensions derived from the payload fingerprint.
+    * Keeps the pipeline total (a JPEG in a PPM-era corpus degrades to
+    * metadata-only, it doesn't kill the task); real formats never hit this.
     */
-  private def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
+  private def syntheticDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(payload)
     val w = 16 + math.abs(h % 1024)
     val ht = 16 + math.abs((h / 1024) % 1024)
     val fr = 1 + math.abs((h / 1048576) % 64)
     (w, ht, fr)
   }
+
+  /** (width, height, n_frames) — real when the payload is a supported
+    * uncompressed format (single still = 1 frame; PPM stream = its frame
+    * count), synthetic otherwise.
+    */
+  private def decodeDims(payload: Array[Byte]): (Int, Int, Int) =
+    if (ImageCodec.looksLikePpm(payload))
+      ImageCodec.decodePpmStream(payload)
+        .map(fs => (fs.head.width, fs.head.height, fs.length))
+        .getOrElse(syntheticDecode(payload))
+    else if (ImageCodec.looksLikeBmp(payload))
+      ImageCodec.decodeBmp(payload)
+        .map(r => (r.width, r.height, 1))
+        .getOrElse(syntheticDecode(payload))
+    else syntheticDecode(payload)
 
   private def hex(bytes: Array[Byte]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -59,7 +80,7 @@ object MultimodalOps {
       .load(dir)
       .select(
         abs(xxhash64(col("path"))).as("media_id"),
-        when(lower(col("path")).rlike("\\.(png|jpe?g|gif)$"), "image")
+        when(lower(col("path")).rlike("\\.(png|jpe?g|gif|ppm|bmp)$"), "image")
           .when(lower(col("path")).rlike("\\.(wav|mp3|flac)$"), "audio")
           .otherwise("video").as("kind"),
         col("content").as("payload"),
@@ -89,7 +110,7 @@ object MultimodalOps {
     import envelopes.sparkSession.implicits._
     envelopes.mapPartitions { it =>
       it.map { e =>
-        val (w, h, f) = stubDecode(e.payload)
+        val (w, h, f) = decodeDims(e.payload)
         MediaFeatures(e.media_id, e.kind, e.payload.length.toLong, hex(e.payload), w, h, f)
       }
     }
@@ -106,13 +127,17 @@ object MultimodalOps {
 
   /** Bounded-resolution resize (the image-normalization step of a training
     * pipeline): scale every image so its longer side is at most `maxDim`,
-    * preserving aspect ratio in integer arithmetic; never upscale. The
-    * pixel resample is STUBBED (fingerprint chaining stands in for the
-    * re-encoded payload) but the Spark shape is the real one: a NARROW
+    * preserving aspect ratio in integer arithmetic; never upscale. For
+    * supported uncompressed formats the resample is REAL — decode via
+    * [[ImageCodec]], nearest-neighbor floor-mapped resample on actual
+    * pixels, PPM re-encode, fingerprint of the re-encoded bytes.
+    * Undecodable payloads keep the deterministic fingerprint-chain
+    * fallback. Either way the Spark shape is the production one: a NARROW
     * mapPartitions consuming the iterator in fixed-size batches — the same
     * batch discipline `mapInPandas` imposes via Arrow record batches, so a
-    * real codec drops in per-batch (amortized codec init, bounded memory)
-    * without replanning. No shuffle, no driver materialization.
+    * compressed-format codec drops in per-batch (amortized codec init,
+    * bounded memory) without replanning. No shuffle, no driver
+    * materialization.
     */
   def resizeImages(envelopes: Dataset[MediaEnvelope], maxDim: Int,
       batchSize: Int = 64): Dataset[ResizedMedia] = {
@@ -120,16 +145,26 @@ object MultimodalOps {
     require(maxDim > 0, s"maxDim must be positive, got $maxDim")
     envelopes.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // per-batch block: a real implementation initializes the codec
-        // here, once per batch, not once per record
+        // per-batch block: a codec with per-open state initializes here,
+        // once per batch, not once per record
         batch.iterator.map { e =>
-          val (w, h, _) = stubDecode(e.payload)
-          val long = math.max(w, h)
-          val (ow, oh) =
+          def bounded(w: Int, h: Int): (Int, Int) = {
+            val long = math.max(w, h)
             if (long <= maxDim) (w, h)
             else (math.max(1, w * maxDim / long), math.max(1, h * maxDim / long))
-          ResizedMedia(e.media_id, e.kind, w, h, ow, oh,
-            hex(e.payload ++ s"#resize:${ow}x$oh".getBytes("UTF-8")))
+          }
+          ImageCodec.decodeImage(e.payload) match {
+            case Some(src) =>
+              val (ow, oh) = bounded(src.width, src.height)
+              val resized = ImageCodec.resizeNearest(src, ow, oh)
+              ResizedMedia(e.media_id, e.kind, src.width, src.height, ow, oh,
+                hex(ImageCodec.encodePpm(resized)))
+            case None =>
+              val (w, h, _) = syntheticDecode(e.payload)
+              val (ow, oh) = bounded(w, h)
+              ResizedMedia(e.media_id, e.kind, w, h, ow, oh,
+                hex(e.payload ++ s"#resize:${ow}x$oh".getBytes("UTF-8")))
+          }
         }
       }
     }
@@ -141,11 +176,15 @@ object MultimodalOps {
       frame_fp: String)
 
   /** Video frame sampling: every `stride`-th frame of each video envelope
-    * (frame 0 always included) as one row per kept frame. The frame decode
-    * is STUBBED (fingerprint of payload digest + index), but the shape is
-    * the production one: frames are generated IN-ROW by a flatMap bounded
-    * by the envelope's frame count — a video's frames stay in its task,
-    * row inflation is n_frames/stride per video, and nothing is collected.
+    * (frame 0 always included) as one row per kept frame. For PPM-stream
+    * payloads the frames are REAL: each kept frame is decoded and its
+    * fingerprint is the digest of the frame's canonical PPM bytes, so
+    * downstream frame-level dedup collapses identical frames across
+    * videos regardless of their position. Undecodable payloads keep the
+    * synthetic per-index fingerprint. The shape is the production one
+    * either way: frames are generated IN-ROW by a flatMap bounded by the
+    * envelope's frame count — a video's frames stay in its task, row
+    * inflation is n_frames/stride per video, and nothing is collected.
     * Downstream (dedup by frame_fp, embedding per frame) sees plain rows.
     */
   def sampleFrames(envelopes: Dataset[MediaEnvelope], stride: Int,
@@ -155,10 +194,17 @@ object MultimodalOps {
     envelopes.filter(_.kind == "video").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { e =>
-          val (_, _, nFrames) = stubDecode(e.payload)
-          val base = hex(e.payload)
-          (0 until nFrames by stride).iterator.map { idx =>
-            SampledFrame(e.media_id, idx, hex(s"$base#frame:$idx".getBytes("UTF-8")))
+          ImageCodec.decodePpmStream(e.payload) match {
+            case Some(frames) =>
+              (0 until frames.length by stride).iterator.map { idx =>
+                SampledFrame(e.media_id, idx, hex(ImageCodec.encodePpm(frames(idx))))
+              }
+            case None =>
+              val (_, _, nFrames) = syntheticDecode(e.payload)
+              val base = hex(e.payload)
+              (0 until nFrames by stride).iterator.map { idx =>
+                SampledFrame(e.media_id, idx, hex(s"$base#frame:$idx".getBytes("UTF-8")))
+              }
           }
         }
       }

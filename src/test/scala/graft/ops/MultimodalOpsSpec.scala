@@ -74,6 +74,74 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec {
       == again.sortBy(_.media_id).map(_.out_fp).toSeq)
   }
 
+  // ------------------------------------------------------------------
+  // real-decode path: crafted uncompressed payloads through the SAME
+  // Spark plumbing (schema, mapPartitions batching) as the fallback path
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  private def ppmBytes(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+      px.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }
+
+  private def envelopes(rows: Seq[MultimodalOps.MediaEnvelope]) = {
+    import spark.implicits._
+    spark.createDataset(rows).repartition(2)
+  }
+
+  test("extractFeatures reads REAL dimensions from PPM payloads") {
+    val env = envelopes(Seq(
+      MultimodalOps.MediaEnvelope(1L, "image",
+        ppmBytes(7, 3, Seq.fill(21)((9, 9, 9))), "image/x-portable-pixmap"),
+      // undecodable payload still degrades to the synthetic fallback
+      MultimodalOps.MediaEnvelope(2L, "image", Array[Byte](1, 2, 3), "application/octet-stream")))
+    val f = MultimodalOps.extractFeatures(env).collect().map(x => x.media_id -> x).toMap
+    assert((f(1L).width, f(1L).height, f(1L).n_frames) == ((7, 3, 1)))
+    assert(f(2L).width >= 16 && f(2L).n_frames >= 1) // fallback, total
+  }
+
+  test("resize computes on ACTUAL pixels: output fingerprint is the digest of the hand-computed resampled PPM") {
+    // 4x2 image, distinct pixels; maxDim=2 -> output 2x1 via the exact
+    // floor mapping sx = x*4/2 in {0,2}, sy = 0
+    val px = Seq((10, 0, 0), (20, 0, 0), (30, 0, 0), (40, 0, 0),
+                 (0, 50, 1), (0, 60, 2), (0, 70, 3), (0, 80, 4))
+    val env = envelopes(Seq(
+      MultimodalOps.MediaEnvelope(7L, "image", ppmBytes(4, 2, px), "image/x-portable-pixmap")))
+    val r = MultimodalOps.resizeImages(env, maxDim = 2).collect().head
+    assert((r.src_w, r.src_h, r.out_w, r.out_h) == ((4, 2, 2, 1)))
+    val expected = ppmBytes(2, 1, Seq((10, 0, 0), (30, 0, 0)))
+    assert(r.out_fp == md5hex(expected),
+      "resized payload must be byte-identical to the hand-computed resample")
+  }
+
+  test("small real images pass through resize untouched, fingerprint = canonical re-encode") {
+    val px = Seq((1, 2, 3), (4, 5, 6))
+    val bytes = ppmBytes(2, 1, px)
+    val env = envelopes(Seq(MultimodalOps.MediaEnvelope(8L, "image", bytes, "x")))
+    val r = MultimodalOps.resizeImages(env, maxDim = 64).collect().head
+    assert((r.out_w, r.out_h) == ((2, 1)))
+    assert(r.out_fp == md5hex(bytes), "no-op resize re-encodes to identical PPM bytes")
+  }
+
+  test("frame sampling decodes REAL frames from a PPM stream; identical frames share a fingerprint across videos") {
+    val a = ppmBytes(2, 1, Seq((1, 1, 1), (2, 2, 2)))
+    val b = ppmBytes(2, 1, Seq((3, 3, 3), (4, 4, 4)))
+    val c = ppmBytes(2, 1, Seq((5, 5, 5), (6, 6, 6)))
+    val env = envelopes(Seq(
+      MultimodalOps.MediaEnvelope(11L, "video", a ++ b ++ c, "x"), // frames 0,1,2
+      MultimodalOps.MediaEnvelope(12L, "video", c ++ b ++ a, "x"))) // reversed
+    val frames = MultimodalOps.sampleFrames(env, stride = 2).collect()
+    val by = frames.groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(by(11L).map(_.frame_idx).toSeq == Seq(0, 2))
+    // fingerprints are digests of the frame's canonical PPM bytes
+    assert(by(11L).map(_.frame_fp).toSeq == Seq(md5hex(a), md5hex(c)))
+    assert(by(12L).map(_.frame_fp).toSeq == Seq(md5hex(c), md5hex(a)))
+    // the same frame content yields the SAME fp in both videos (position-free
+    // frame-level dedup key) — impossible under the synthetic per-index fp
+    assert(by(11L).head.frame_fp == by(12L).last.frame_fp)
+  }
+
   test("frame sampling keeps every stride-th frame of videos only") {
     val env = MultimodalOps.envelopesFromDocuments(spark, sfDir)
     val stride = 5
