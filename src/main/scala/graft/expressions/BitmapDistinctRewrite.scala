@@ -52,7 +52,11 @@ object BitmapDistinctRewrite extends Rule[LogicalPlan] {
               if a.dataType == LongType =>
             BitmapDistinct(a).toAggregateExpression()
         }.asInstanceOf[NamedExpression])
-        agg.copy(aggregateExpressions = rewritten)
+        // only allocate a new node when something actually matched — the
+        // optimizer batch re-runs to fixed point, and copying every
+        // Aggregate each iteration is pure churn
+        if (rewritten.zip(aggExprs).forall { case (r, o) => r eq o }) agg
+        else agg.copy(aggregateExpressions = rewritten)
     }
   }
 }

@@ -55,13 +55,18 @@ case class HeavyHitters(
   private lazy val capacity: Int = capacityExpr.eval().asInstanceOf[Number].intValue
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if capacityExpr.foldable =>
+    case StringType if !capacityExpr.foldable =>
+      TypeCheckResult.TypeCheckFailure("graft_heavy_hitters capacity must be foldable")
+    case StringType if !Seq(ByteType, ShortType, IntegerType, LongType).contains(capacityExpr.dataType) =>
+      // type-check BEFORE eval: a foldable non-numeric capacity must fail
+      // cleanly, not ClassCastException during analysis
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_heavy_hitters capacity must be an integral literal, got ${capacityExpr.dataType.sql}")
+    case StringType =>
       val m = capacityExpr.eval()
       if (m == null || m.asInstanceOf[Number].intValue < 1)
         TypeCheckResult.TypeCheckFailure("graft_heavy_hitters capacity must be a positive literal")
       else TypeCheckResult.TypeCheckSuccess
-    case StringType =>
-      TypeCheckResult.TypeCheckFailure("graft_heavy_hitters capacity must be foldable")
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_heavy_hitters requires a string item, got ${t.sql}")
   }

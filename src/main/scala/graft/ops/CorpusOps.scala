@@ -281,6 +281,12 @@ object CorpusOps extends Pack {
       // window_median / quantile_disc-pinned convention), so the day
       // rollup is one hash aggregate, no second shuffle. Day ids are pure
       // epoch arithmetic (s div 86400) — no calendar/locale conventions.
+      // SCALE BOUND: collect_list state grows with that day's conversion
+      // count — unlike the pack's other fixed-state aggregates. That is
+      // the price of the exact rank-select median the oracle pins; at
+      // 100 TB swap the collect for a fixed-budget quantile (a mergeable
+      // sketch like approx_percentile, or DistributedRank's exact
+      // cutpoint pass per hot day) and keep this form for bounded days.
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("s"), col("event_id"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)

@@ -211,12 +211,14 @@ class DocGenReaderFactory(cols: StructType) extends PartitionReaderFactory {
       override def next(): Boolean = { id += 1; id < p.end }
       override def get(): InternalRow = {
         // materialize ONLY pruned columns — text never builds for a
-        // count() or an id-only projection
+        // count() or an id-only projection; when text AND n_chars are both
+        // projected, generate the text once per row, not per column
+        lazy val text = DocGen.textOf(id)
         val vals = cols.fields.map(_.name match {
           case "doc_id" => id: java.lang.Long
-          case "text" => UTF8String.fromString(DocGen.textOf(id))
+          case "text" => UTF8String.fromString(text)
           case "lang" => UTF8String.fromString(DocGen.langOf(id))
-          case "n_chars" => DocGen.textOf(id).length.toLong: java.lang.Long
+          case "n_chars" => text.length.toLong: java.lang.Long
         })
         InternalRow.fromSeq(vals.toIndexedSeq)
       }

@@ -19,6 +19,14 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
   // skewed stream: item i appears (40 - i)^2 times, i = 0..39 -> N = sum
   private def skewed = (0 until 40).flatMap(i => Seq.fill((40 - i) * (40 - i))(s"w$i"))
 
+  test("non-numeric capacity fails analysis cleanly, not with a ClassCastException") {
+    val df = Seq("a", "b").toDF("w")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(call_function("graft_heavy_hitters", col("w"), lit("x"))).collect()
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("exact regime (m >= distinct): counts match groupBy exactly, err = 0") {
     val df = spark.sparkContext.parallelize(skewed, 7).toDF("w")
     val got = df.agg(call_function("graft_heavy_hitters", col("w"), lit(64)).as("hh"))
