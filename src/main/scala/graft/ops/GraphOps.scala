@@ -91,7 +91,23 @@ object GraphOps {
   }
 
   def pagerank(edges: DataFrame, damping: Double = 0.85,
-               maxIter: Int = 30, tol: Double = 1e-7): DataFrame = {
+               maxIter: Int = 30, tol: Double = 1e-7): DataFrame =
+    pagerankWithRounds(edges, damping, maxIter, tol)._1
+
+  /** [[pagerank]] plus the number of rounds actually run — the observable
+    * for the convergence-based early halt (a fast-mixing graph stops well
+    * before maxIter; tol = 0 degrades to the fixed-round form).
+    *
+    * Picking (maxIter, tol): the L1 delta contracts by ~`damping` per
+    * round, so rounds-to-tol ≈ log(tol/δ₀)/log(damping) — at d = 0.85,
+    * tol = 1e-3 needs ~35 rounds and 1e-7 needs ~90; residual error after
+    * the stop is bounded by tol·d/(1-d). The defaults (30, 1e-7) therefore
+    * act as a fixed-round bound on slow-mixing graphs; pass an explicit
+    * tol matched to the downstream use (sampling weights rarely need
+    * better than 1e-3) to get the early halt.
+    */
+  private[ops] def pagerankWithRounds(edges: DataFrame, damping: Double = 0.85,
+               maxIter: Int = 30, tol: Double = 1e-7): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val chain = new CheckpointChain(spark)
 
@@ -131,7 +147,7 @@ object GraphOps {
       ranks = next.select(col("node"), col("pr"))
       iter += 1
     }
-    IterativeCompute.handoff(ranks.select(col("node"), col("pr").as("pagerank")),
-      rankChain, chain)
+    (IterativeCompute.handoff(ranks.select(col("node"), col("pr").as("pagerank")),
+      rankChain, chain), iter)
   }
 }

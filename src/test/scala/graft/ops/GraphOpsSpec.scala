@@ -56,6 +56,33 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("convergence stop: a fast-mixing graph halts well before maxIter with unchanged ranks") {
+    // complete digraph K5 (every ordered pair): the uniform start IS the
+    // fixed point, so the first round's L1 delta is ~0 — the tolerance
+    // stop must fire immediately, not after 30 rounds
+    val k5 = for (a <- 1L to 5L; b <- 1L to 5L if a != b) yield (a, b)
+    val (fast, fastRounds) = GraphOps.pagerankWithRounds(edges(k5: _*), maxIter = 30, tol = 1e-9)
+    assert(fastRounds == 1, s"expected immediate halt, ran $fastRounds rounds")
+    // tol = 0 is the fixed-round form; early halt must not change the result
+    val (fixed, fixedRounds) = GraphOps.pagerankWithRounds(edges(k5: _*), maxIter = 30, tol = 0.0)
+    assert(fixedRounds == 30)
+    val f = fast.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val x = fixed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f.keySet == x.keySet)
+    f.foreach { case (v, p) => assert(math.abs(p - x(v)) < 1e-9, s"node $v") }
+    // slow-mixing case: the classic dangling graph contracts its L1 delta
+    // by ~damping per round, so tol = 1e-3 must fire well before the
+    // maxIter=100 bound and land within the tail bound of the fixed point
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (3L, 5L))
+    val (pr, rounds) = GraphOps.pagerankWithRounds(edges(es: _*), maxIter = 100, tol = 1e-3)
+    assert(rounds < 100, s"tolerance stop never fired: $rounds rounds")
+    assert(rounds > 5, s"suspiciously fast for a slow-mixing graph: $rounds rounds")
+    val want = densePagerank(es)
+    val got = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // remaining error after an L1-delta-tol stop is bounded by tol*d/(1-d)
+    got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-2, s"node $v") }
+  }
+
   test("bfsHops: exact hop distances on a chain; other components unreachable") {
     // chain 1-2-3-4 (undirected, given in mixed direction) + separate pair 10-11
     val got = GraphOps.bfsHops(edges((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)))
