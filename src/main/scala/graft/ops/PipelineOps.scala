@@ -227,6 +227,31 @@ object PipelineOps extends Pack {
         .limit(20)
     }),
 
+    "sort_paginate_keyset" -> ((s, d) => {
+      // keyset pagination — the deep-page form sort_paginate's comment
+      // recommends. OFFSET must stream and discard `offset` rows through
+      // one CollectLimit regardless of depth; keyset instead SEEKS past
+      // the last row the client saw with a sargable range predicate, so
+      // the page plan is a pushed-down scan (min/max row-group pruning on
+      // o_totalprice) + TakeOrderedAndProject(20) — per-page cost is
+      // O(matching row groups), independent of page depth. The cursor
+      // (the 100th row's sort key) is client-supplied in production; here
+      // it's derived by one bounded top-100 job so the query stays
+      // self-contained and lands on the same page as sort_paginate.
+      // Precondition (standard for keyset): the sort key is TOTAL —
+      // (o_totalprice, o_orderkey) is unique, so "strictly after the
+      // cursor" skips exactly the first 100 rows.
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cur = base.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(99).limit(1).collect()(0)
+      val (p0, k0) = (cur.getDouble(2), cur.getLong(0))
+      base.filter(col("o_totalprice") < p0 ||
+          (col("o_totalprice") === p0 && col("o_orderkey") > k0))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     "agg_bool" -> ((s, d) => {
       // boolean aggregates (every/any): per-priority data-quality style
       // assertions in one map-side-combinable pass
@@ -468,6 +493,14 @@ object PipelineOps extends Pack {
     "sort_paginate" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 100""".stripMargin,
+
+    "sort_paginate_keyset" ->
+      """WITH cur AS (
+        |  SELECT o_totalprice AS p0, o_orderkey AS k0 FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1 OFFSET 99)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, cur
+        |WHERE o_totalprice < p0 OR (o_totalprice = p0 AND o_orderkey > k0)
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
 
     "agg_bool" ->
       """SELECT o_orderpriority, bool_and(o_totalprice > 1000) AS all_over_1k,

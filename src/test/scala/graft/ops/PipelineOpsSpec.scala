@@ -21,6 +21,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("sort_paginate_keyset returns the identical page to OFFSET, with a seek plan") {
+    val dir = "/root/testdata/sf0.001"
+    val offsetPage = PipelineOps.queries("sort_paginate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keyset = PipelineOps.queries("sort_paginate_keyset")(spark, dir)
+    val keysetPage = keyset.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(keysetPage == offsetPage, "page 6 (rows 101-120) must be identical either way")
+    // plan shape: the seek predicate reaches the scan (sargable pushdown)
+    // and the page is a top-k, not a deep offset CollectLimit
+    val phys = keyset.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$phys")
+    assert(!phys.contains("CollectLimit"), s"keyset page must not plan an offset collect:\n$phys")
+    assert(phys.contains("PushedFilters: [Or(LessThan(o_totalprice")
+      || phys.contains("PushedFilters: [Or(And("),
+      s"seek predicate did not push to the scan:\n$phys")
+  }
+
   test("window_streak matches a brute-force streak computation") {
     val rnd = new scala.util.Random(42)
     val dayNs = 86400L * 1000000000L
