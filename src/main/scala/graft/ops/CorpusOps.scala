@@ -329,6 +329,18 @@ object CorpusOps extends Pack {
         .orderBy("name_a", "name_b")
     }),
 
+    "join_fuzzy_multiblock" -> ((s, d) => {
+      // the production form of join_fuzzy: TWO complementary blocking
+      // passes (trailing + leading token) via FuzzyMatch, so a true match
+      // that disagrees on one key still shares the other's block. The cap
+      // (100, above any block here — the drop channel is spec-exercised on
+      // crafted hot blocks) mirrors in the oracle as a HAVING filter, so
+      // both engines run the identical capped-union-verify semantics.
+      FuzzyMatch.matchPairs(t(s, d, "part").select(col("p_name")),
+          "p_name", maxDist = 4, blockCap = 100)
+        .matches.orderBy("name_a", "name_b")
+    }),
+
     "window_mad" -> ((s, d) => {
       // Median absolute deviation of each customer's order values — the
       // robust dispersion twin of stddev (one whale order doesn't move
@@ -844,6 +856,22 @@ object CorpusOps extends Pack {
         |       levenshtein(x.nm, y.nm)::BIGINT AS dist
         |FROM b x JOIN b y ON x.blk = y.blk AND x.nm < y.nm
         |WHERE levenshtein(x.nm, y.nm) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "join_fuzzy_multiblock" ->
+      """WITH n AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
+        |bt AS (SELECT nm, string_split(nm, ' ')[-1] AS blk FROM n),
+        |bh AS (SELECT nm, string_split(nm, ' ')[1] AS blk FROM n),
+        |kt AS (SELECT * FROM bt WHERE blk IN
+        |         (SELECT blk FROM bt GROUP BY blk HAVING count(*) <= 100)),
+        |kh AS (SELECT * FROM bh WHERE blk IN
+        |         (SELECT blk FROM bh GROUP BY blk HAVING count(*) <= 100)),
+        |p AS (
+        |  SELECT x.nm AS a, y.nm AS b FROM kt x JOIN kt y ON x.blk = y.blk AND x.nm < y.nm
+        |  UNION
+        |  SELECT x.nm, y.nm FROM kh x JOIN kh y ON x.blk = y.blk AND x.nm < y.nm)
+        |SELECT a AS name_a, b AS name_b, levenshtein(a, b)::BIGINT AS dist
+        |FROM p WHERE levenshtein(a, b) <= 4
         |ORDER BY name_a, name_b""".stripMargin,
 
     "window_mad" ->
