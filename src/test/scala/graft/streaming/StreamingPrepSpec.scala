@@ -52,6 +52,67 @@ class StreamingPrepSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("chaos restart: crash between sink write and checkpoint commit loses nothing, dups nothing") {
+    // The exactly-once composition proven piecewise elsewhere, now end to
+    // end under a forced crash: DocGen micro-batch source (restart-safe
+    // offsets) -> StreamingPrep.prep (watermark dedup state) ->
+    // Sink.writeBatchIdempotent (overwrite-by-batchId). The injected
+    // failure fires AFTER the sink wrote batch 1 but BEFORE the engine
+    // committed it — the exact at-least-once window every non-transactional
+    // sink has. Restart must replay batch 1 with the SAME id and data, the
+    // overwrite must absorb the replay, and the final sink must equal the
+    // batch-mode truth.
+    import graft.ingest.Sink
+    import graft.sources.DocGenSource
+    import org.apache.spark.sql.{DataFrame, Row, Dataset}
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("prep-chaos").toString
+    val tsCol = timestamp_seconds(lit(1700000000L) + col("doc_id"))
+    val batch = spark.read.format(classOf[DocGenSource].getName)
+      .option("rows", "2000").option("partitions", "4").load()
+      .withColumn("ts", tsCol)
+    val benchGrams = StreamingPrep.benchGramHashes(batch.filter(col("doc_id") < 10))
+    val want = StreamingPrep.gateAndSample(batch, benchGrams, samplePermille = 600)
+      .withColumn("fp", md5(col("text"))).select("fp").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(want.nonEmpty, "fixture must keep something")
+
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def runQuery(): Unit = {
+      val stream = spark.readStream.format(classOf[DocGenSource].getName)
+        .option("rows", "2000").option("partitions", "4")
+        .option("rowsPerBatch", "700").load()
+        .withColumn("ts", tsCol)
+      val out = StreamingPrep.prep(stream, benchGrams,
+          watermark = "10 minutes", samplePermille = 600)
+        .withColumn("fp", md5(col("text")))
+      val sinkFn: (Dataset[Row], Long) => Unit = { (df, id) =>
+        Sink.writeBatchIdempotent(df.toDF(), s"$root/sink", id)
+        if (id == 1 && crashArmed.getAndSet(false))
+          throw new RuntimeException("chaos: crash after sink write, before commit")
+      }
+      val q = out.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(sinkFn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runQuery())
+    assert(boom.getMessage.contains("chaos"), boom.getMessage)
+    assert(new java.io.File(s"$root/sink/batch=1").exists(),
+      "premise: the sink DID write the batch the checkpoint never committed")
+    val orphanRows = spark.read.parquet(s"$root/sink").filter(col("batch") === 1).count()
+    assert(orphanRows > 0)
+
+    runQuery() // restart from the same checkpoint; crash is disarmed
+    val got = spark.read.parquet(s"$root/sink").select("fp").collect().map(_.getString(0))
+    assert(got.length == got.distinct.length,
+      "replayed batch must OVERWRITE its own directory, not append a second copy")
+    assert(got.toSet == want, "post-restart sink must equal the batch-mode truth — no loss, no dups")
+  }
+
   test("the sample knob is reproducible and monotone") {
     import spark.implicits._
     // batch-mode check of the same predicate: permille=1000 keeps all,
