@@ -276,34 +276,35 @@ object CorpusOps extends Pack {
       // funnel-health statistic behind "checkout got slower on Tuesday".
       // Same single-window shape as join_asof_fwd (ONE user_id shuffle,
       // first(ignoreNulls) over the FOLLOWING frame, second-resolution ts
-      // with event_id tiebreak); the median folds IN-ROW from the
-      // day-bounded collected delays (lower-middle element — the
-      // window_median / quantile_disc-pinned convention), so the day
-      // rollup is one hash aggregate, no second shuffle. Day ids are pure
-      // epoch arithmetic (s div 86400) — no calendar/locale conventions.
-      // SCALE BOUND: collect_list state grows with that day's conversion
-      // count — unlike the pack's other fixed-state aggregates. That is
-      // the price of the exact rank-select median the oracle pins; at
-      // 100 TB swap the collect for a fixed-budget quantile (a mergeable
-      // sketch like approx_percentile, or DistributedRank's exact
-      // cutpoint pass per hot day) and keep this form for bounded days.
+      // with event_id tiebreak). The exact median is RANK-SELECT over a
+      // day-partitioned window (row_number by delay + whole-partition
+      // count/min/max, keep the lower-middle row): WindowExec sorts and
+      // buffers each day in a SPILLABLE row array, so a hot day costs
+      // disk, never heap — unlike the previous collect_list hash-agg
+      // whose per-group array had to fit in memory (the one unbounded-
+      // state aggregate the round-7 advice flagged). The selected VALUE
+      // at rank (n+1) div 2 is tie-insensitive (k-th smallest is
+      // well-defined under duplicate delays), matching quantile_disc.
+      // Day ids are pure epoch arithmetic — no calendar conventions.
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("s"), col("event_id"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      t(s, d, "events")
+      val delays = t(s, d, "events")
         .filter(col("event_type").isin("click", "purchase"))
         .withColumn("s", unix_timestamp(col("ts")))
         .withColumn("p_s", when(col("event_type") === "purchase", col("s")))
         .withColumn("next_p_s", first(col("p_s"), ignoreNulls = true).over(w))
         .filter(col("event_type") === "click" && col("next_p_s").isNotNull)
         .select(expr("s div 86400").as("day_d"), (col("next_p_s") - col("s")).as("delay_s"))
-        .groupBy(col("day_d"))
-        .agg(count(lit(1)).as("n_conv"),
-          sort_array(collect_list(col("delay_s"))).as("ds"),
-          min(col("delay_s")).as("min_delay_s"),
-          max(col("delay_s")).as("max_delay_s"))
-        .withColumn("med_delay_s", expr("element_at(ds, int((size(ds) + 1) div 2))"))
-        .select("day_d", "n_conv", "med_delay_s", "min_delay_s", "max_delay_s")
+      val byDay = Window.partitionBy(col("day_d"))
+      delays
+        .withColumn("rn", row_number().over(byDay.orderBy(col("delay_s"))))
+        .withColumn("n_conv", count(lit(1)).over(byDay))
+        .withColumn("min_delay_s", min(col("delay_s")).over(byDay))
+        .withColumn("max_delay_s", max(col("delay_s")).over(byDay))
+        .filter(col("rn") === expr("(n_conv + 1) div 2"))
+        .select(col("day_d"), col("n_conv"), col("delay_s").as("med_delay_s"),
+          col("min_delay_s"), col("max_delay_s"))
         .orderBy("day_d")
     }),
 

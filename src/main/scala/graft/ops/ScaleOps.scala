@@ -87,6 +87,29 @@ object ScaleOps extends Pack {
 
   val queries: Map[String, Q] = Map(
 
+    "agg_quantile_edges" -> ((s, d) => {
+      // EXACT global quantile cutpoints (quartiles of order value, integer
+      // cents) — the mergeable primitive that replaces ntile/percentile
+      // windows at scale (events_rfm's re-shape, generalized into its own
+      // op). DistributedRank assigns every row its exact global rank with
+      // a range Exchange + per-partition offsets (no single-partition
+      // funnel); the three edges are then the VALUES at fixed integer
+      // ranks k_i = max(1, i*(n+1) div 4) — tie-insensitive (the k-th
+      // smallest is well-defined under duplicate values), so the result
+      // is bit-equal to the oracle's global-window formulation while the
+      // plan stays fully parallel. Output is one row: n + the 3 edges —
+      // exactly what a downstream tiler broadcasts back.
+      val v = t(s, d, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      val rk = DistributedRank.withGlobalRank(v, Seq(col("c")), "rn")
+      val ks = (1 to 3).map(i => math.max(1L, i * (rk.n + 1) / 4))
+      rk.df.filter(col("rn").isin(ks: _*))
+        .agg(lit(rk.n).as("n_rows"),
+          max(when(col("rn") === ks(0), col("c"))).as("q1_c"),
+          max(when(col("rn") === ks(1), col("c"))).as("q2_c"),
+          max(when(col("rn") === ks(2), col("c"))).as("q3_c"))
+    }),
+
     "agg_heavy_hitters" -> ((s, d) => {
       // top-10 corpus words from the native SpaceSaving aggregate
       // (graft.expressions.HeavyHitters): ONE two-phase hash aggregate
@@ -274,6 +297,16 @@ object ScaleOps extends Pack {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "agg_quantile_edges" ->
+      """WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+        |             count(*) OVER () AS n FROM v)
+        |SELECT min(n)::BIGINT AS n_rows,
+        |  max(CASE WHEN rn = greatest(1, (1 * (n + 1)) // 4) THEN c END)::BIGINT AS q1_c,
+        |  max(CASE WHEN rn = greatest(1, (2 * (n + 1)) // 4) THEN c END)::BIGINT AS q2_c,
+        |  max(CASE WHEN rn = greatest(1, (3 * (n + 1)) // 4) THEN c END)::BIGINT AS q3_c
+        |FROM r""".stripMargin,
 
     "agg_heavy_hitters" ->
       """SELECT w AS word, count(*) AS cnt, 0::BIGINT AS err
