@@ -24,7 +24,11 @@ import org.apache.spark.storage.StorageLevel
   * total and deterministic, so ntile/decile assignments derived from the
   * exact rank reproduce the oracle's window results bit-for-bit while the
   * physical plan stays fully parallel. The ranked intermediate is persisted
-  * so the offset pass and the final pass see identical range partitions.
+  * so the offset pass and the final pass see identical range partitions;
+  * the cache lives in the session's CacheManager until released — the
+  * Verify/Bench harnesses clear it per query (clearCache + unpersist of
+  * persistent RDDs, the repo convention), and library callers should do
+  * the same after their terminal action.
   */
 object DistributedRank {
 
