@@ -110,6 +110,32 @@ object ScaleOps extends Pack {
           max(when(col("rn") === ks(2), col("c"))).as("q3_c"))
     }),
 
+    "prep_mixture" -> ((s, d) => {
+      // Training-mix rebalancing + audit: each language stratum keeps a
+      // TARGET permille of its documents (downsample the dominant en,
+      // trim zh, keep minority langs whole — the data-mixing step every
+      // LLM corpus build runs before tokenization). Membership is the
+      // keyed md5 permille (h60 of lang#doc_id — StreamingPrep's sample
+      // predicate convention): deterministic across runs / engines /
+      // backfills, needs no rand() seed coordination, and a document's
+      // keep-decision never changes as the corpus grows. The emitted
+      // audit (per-lang target vs achieved permille) is the mixture
+      // datasheet; the plan is one narrow map + ONE hash aggregate —
+      // no shuffle of document content, no sampling retry loop.
+      val pm = h60(concat(col("lang"), lit("#"), col("doc_id").cast("string"))) % 1000
+      val tgt = when(col("lang") === "en", lit(250L))
+        .when(col("lang") === "zh", lit(800L)).otherwise(lit(1000L))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("tgt", tgt)
+        .withColumn("keep", pm < col("tgt"))
+        .groupBy(col("lang"))
+        .agg(max(col("tgt")).as("target_permille"), count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("achieved_permille", expr("(n_kept * 1000) div n_total"))
+        .orderBy("lang")
+    }),
+
     "agg_heavy_hitters" -> ((s, d) => {
       // top-10 corpus words from the native SpaceSaving aggregate
       // (graft.expressions.HeavyHitters): ONE two-phase hash aggregate
@@ -307,6 +333,20 @@ object ScaleOps extends Pack {
         |  max(CASE WHEN rn = greatest(1, (2 * (n + 1)) // 4) THEN c END)::BIGINT AS q2_c,
         |  max(CASE WHEN rn = greatest(1, (3 * (n + 1)) // 4) THEN c END)::BIGINT AS q3_c
         |FROM r""".stripMargin,
+
+    "prep_mixture" ->
+      (s"""WITH a AS (
+        |  SELECT lang,
+        |    CASE WHEN lang = 'en' THEN 250 WHEN lang = 'zh' THEN 800
+        |         ELSE 1000 END AS tgt,
+        |    ${h60Sql.format("lang||'#'||doc_id::VARCHAR")} % 1000 AS pm
+        |  FROM documents)
+        |SELECT lang, max(tgt)::BIGINT AS target_permille,
+        |  count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN pm < tgt THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  ((sum(CASE WHEN pm < tgt THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT
+        |    AS achieved_permille
+        |FROM a GROUP BY lang ORDER BY lang""").stripMargin,
 
     "agg_heavy_hitters" ->
       """SELECT w AS word, count(*) AS cnt, 0::BIGINT AS err
