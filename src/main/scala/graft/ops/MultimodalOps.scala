@@ -170,6 +170,114 @@ object MultimodalOps {
     }
   }
 
+  case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,       // frames (per-channel samples)
+      duration_ms: Long,
+      rms_milli: Long,       // RMS amplitude, milli-units of full scale
+      peak_milli: Long,
+      decoded: Boolean)      // true = real WAV decode, false = synthetic fallback
+
+  /** Audio feature extraction — the audio twin of [[extractFeatures]],
+    * REAL for RIFF/WAV PCM payloads ([[WavCodec]]: 16-bit and 8-bit PCM,
+    * any channel count): sample rate, duration, integer-exact RMS and
+    * peak in milli-full-scale. Non-WAV payloads (MP3/FLAC — no codec in
+    * this environment) degrade to a deterministic synthetic row with
+    * `decoded = false`, keeping the pipeline total and the fallback
+    * observable (a corpus audit can count undecoded payloads directly).
+    */
+  def extractAudioFeatures(envelopes: Dataset[MediaEnvelope]): Dataset[AudioFeatures] = {
+    import envelopes.sparkSession.implicits._
+    envelopes.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { e =>
+        WavCodec.decodeWav(e.payload) match {
+          case Some(p) =>
+            AudioFeatures(e.media_id, p.sampleRate, p.channels, p.nFrames.toLong,
+              p.durationMs, WavCodec.rmsMilli(p), WavCodec.peakMilli(p), decoded = true)
+          case None =>
+            val (w, h, f) = syntheticDecode(e.payload)
+            AudioFeatures(e.media_id, 8000 + w, 1 + (h % 2), (f * 1000).toLong,
+              (f * 1000).toLong * 1000 / (8000 + w), (w % 1000).toLong,
+              (h % 1000).toLong, decoded = false)
+        }
+      }
+    }
+  }
+
+  case class EnergyWindow(
+      media_id: Long,
+      win_idx: Int,
+      start_ms: Long,
+      rms_milli: Long)
+
+  /** Windowed energy curve (per-`windowMs` RMS) — the audio twin of
+    * [[sampleFrames]]: windows are generated IN-ROW by a flatMap bounded
+    * by the clip's duration, rows are (media, window, energy), and the
+    * arithmetic is [[WavCodec.rmsMilli]]'s integer-exact form. Feeds
+    * silence detection, VAD-style segmentation, and loudness profiling.
+    * Only real WAV payloads emit windows — a synthetic curve would be
+    * noise pretending to be signal.
+    */
+  def energyWindows(envelopes: Dataset[MediaEnvelope], windowMs: Int = 100,
+      batchSize: Int = 64): Dataset[EnergyWindow] = {
+    import envelopes.sparkSession.implicits._
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    envelopes.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { e =>
+          WavCodec.decodeWav(e.payload).iterator.flatMap { p =>
+            val framesPerWin = math.max(1, p.sampleRate * windowMs / 1000)
+            val nWins = (p.nFrames + framesPerWin - 1) / framesPerWin
+            (0 until nWins).iterator.map { w =>
+              EnergyWindow(e.media_id, w, w.toLong * windowMs,
+                WavCodec.rmsMilli(p, w * framesPerWin, (w + 1) * framesPerWin))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  case class TrimmedAudio(
+      media_id: Long,
+      duration_ms: Long,
+      start_ms: Long,       // first non-silent window start
+      end_ms: Long,         // end of last non-silent window (exclusive)
+      kept_ms: Long)
+
+  /** Leading/trailing silence trim — the standard audio-prep step before
+    * tokenization/embedding: drop windows below `thresholdMilli` RMS at
+    * both ends, keep everything between the first and last loud window
+    * (interior quiet passages survive — this is a TRIM, not a gate). A
+    * fully silent clip reports kept_ms = 0. Real WAV payloads only, same
+    * rationale as [[energyWindows]].
+    */
+  def trimSilence(envelopes: Dataset[MediaEnvelope], thresholdMilli: Long = 10,
+      windowMs: Int = 100, batchSize: Int = 64): Dataset[TrimmedAudio] = {
+    import envelopes.sparkSession.implicits._
+    envelopes.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { e =>
+          WavCodec.decodeWav(e.payload).iterator.map { p =>
+            val framesPerWin = math.max(1, p.sampleRate * windowMs / 1000)
+            val nWins = (p.nFrames + framesPerWin - 1) / framesPerWin
+            val loud = (0 until nWins).filter { w =>
+              WavCodec.rmsMilli(p, w * framesPerWin, (w + 1) * framesPerWin) >= thresholdMilli
+            }
+            if (loud.isEmpty) TrimmedAudio(e.media_id, p.durationMs, 0L, 0L, 0L)
+            else {
+              val start = loud.head.toLong * windowMs
+              val end = math.min((loud.last + 1).toLong * windowMs, p.durationMs)
+              TrimmedAudio(e.media_id, p.durationMs, start, end, end - start)
+            }
+          }
+        }
+      }
+    }
+  }
+
   case class SampledFrame(
       media_id: Long,
       frame_idx: Int,

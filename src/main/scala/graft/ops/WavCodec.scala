@@ -1,0 +1,131 @@
+package graft.ops
+
+/** Pure-JVM WAV (RIFF) PCM codec — the audio member of the uncompressed
+  * codec family next to [[ImageCodec]] (PPM/BMP). Supports the
+  * uncompressed interchange cases: format 1 (integer PCM) at 16-bit signed
+  * and 8-bit unsigned, any channel count, via proper RIFF chunk traversal
+  * (fmt / data chunks in any order, unknown chunks skipped, word-aligned).
+  *
+  * Same totality contract as ImageCodec: malformed or truncated payloads
+  * return None, never throw — a poison blob degrades, it doesn't kill the
+  * task.
+  *
+  * Samples are held interleaved as 16-bit signed (8-bit input is widened
+  * exactly: (b - 128) << 8), so every derived statistic is integer-exact
+  * and bit-identical across engines.
+  */
+object WavCodec {
+
+  /** Decoded PCM: interleaved 16-bit samples, `nFrames = samples / channels`. */
+  final case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short]) {
+    require(channels > 0 && samples.length % channels == 0, "ragged PCM")
+    def nFrames: Int = samples.length / channels
+    def durationMs: Long = nFrames.toLong * 1000L / sampleRate
+  }
+
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def u16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  def decodeWav(b: Array[Byte]): Option[Pcm] = {
+    try {
+      if (!looksLikeWav(b)) return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, sampleRate, bits) packed below
+      var bits = 0
+      var data: Option[(Int, Int)] = None // (offset, length)
+      while (off + 8 <= b.length) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = i32(b, off + 4)
+        if (size < 0 || off + 8 + size > b.length) {
+          // truncated chunk: a well-formed file never has one
+          return None
+        }
+        id match {
+          case "fmt " if size >= 16 =>
+            val audioFormat = u16(b, off + 8)
+            val channels = u16(b, off + 10)
+            val rate = i32(b, off + 12)
+            bits = u16(b, off + 22)
+            fmt = Some((audioFormat, channels, rate))
+          case "data" => data = Some((off + 8, size))
+          case _ => () // LIST, cue, etc. — skip
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((1, ch, rate)), Some((doff, dlen)))
+            if ch > 0 && rate > 0 && (bits == 16 || bits == 8) =>
+          val bytesPerSample = bits / 8
+          val n = dlen / bytesPerSample
+          if (n % ch != 0) return None
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (bits == 16) (u16(b, doff + i * 2)).toShort
+              else (((b(doff + i) & 0xff) - 128) << 8).toShort // 8-bit unsigned, widened exactly
+            i += 1
+          }
+          Some(Pcm(rate, ch, out))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Canonical 16-bit PCM encode (the round-trip twin of decodeWav). */
+  def encodeWav(p: Pcm): Array[Byte] = {
+    val dataLen = p.samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(p.channels.toShort).putInt(p.sampleRate)
+      .putInt(p.sampleRate * p.channels * 2) // byte rate
+      .putShort((p.channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    p.samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  /** Integer-exact RMS in milli-units of full scale (0..1000): frames are
+    * mono-mixed by exact integer average first, the mean square is exact
+    * integer arithmetic, and only the final sqrt touches floating point
+    * (IEEE-deterministic on an exact integer ratio).
+    */
+  def rmsMilli(p: Pcm, from: Int = 0, until: Int = Int.MaxValue): Long = {
+    val hi = math.min(p.nFrames, until)
+    if (hi <= from) return 0L
+    var sumSq = 0.0
+    var f = from
+    while (f < hi) {
+      var c = 0
+      var acc = 0L
+      while (c < p.channels) { acc += p.samples(f * p.channels + c); c += 1 }
+      val mono = acc / p.channels
+      sumSq += mono.toDouble * mono.toDouble
+      f += 1
+    }
+    math.round(1000.0 * math.sqrt(sumSq / (hi - from)) / 32768.0)
+  }
+
+  /** Peak absolute mono amplitude in milli-units of full scale. */
+  def peakMilli(p: Pcm): Long = {
+    var peak = 0L
+    var f = 0
+    while (f < p.nFrames) {
+      var c = 0
+      var acc = 0L
+      while (c < p.channels) { acc += p.samples(f * p.channels + c); c += 1 }
+      val mono = math.abs(acc / p.channels)
+      if (mono > peak) peak = mono
+      f += 1
+    }
+    math.round(1000.0 * peak / 32768.0)
+  }
+}

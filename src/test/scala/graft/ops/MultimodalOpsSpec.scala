@@ -142,6 +142,45 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(by(11L).head.frame_fp == by(12L).last.frame_fp)
   }
 
+  test("audio features decode REAL WAV payloads; non-WAV audio degrades observably") {
+    import graft.ops.WavCodec
+    val loud = WavCodec.encodeWav(WavCodec.Pcm(16000, 1, Array.fill[Short](16000)(16384)))
+    val env = envelopes(Seq(
+      MultimodalOps.MediaEnvelope(21L, "audio", loud, "audio/wav"),
+      MultimodalOps.MediaEnvelope(22L, "audio", Array[Byte](1, 2, 3, 4), "audio/mpeg"),
+      MultimodalOps.MediaEnvelope(23L, "image", loud, "x"))) // not audio: excluded
+    val f = MultimodalOps.extractAudioFeatures(env).collect().map(a => a.media_id -> a).toMap
+    assert(f.keySet == Set(21L, 22L), "audio envelopes only")
+    val a = f(21L)
+    assert(a.decoded && a.sample_rate == 16000 && a.channels == 1)
+    assert(a.n_samples == 16000L && a.duration_ms == 1000L)
+    assert(a.rms_milli == 500L && a.peak_milli == 500L) // half scale, exact
+    assert(!f(22L).decoded, "undecodable audio is a visible fallback row")
+  }
+
+  test("energy windows and silence trim are sample-exact on a crafted clip") {
+    import graft.ops.WavCodec
+    // 1 kHz rate, 1 s: 300 ms silence, 400 ms half-scale, 300 ms silence
+    val samples = Array.fill[Short](300)(0) ++ Array.fill[Short](400)(16384) ++
+      Array.fill[Short](300)(0)
+    val clip = WavCodec.encodeWav(WavCodec.Pcm(1000, 1, samples))
+    val silent = WavCodec.encodeWav(WavCodec.Pcm(1000, 1, Array.fill[Short](500)(0)))
+    val env = envelopes(Seq(
+      MultimodalOps.MediaEnvelope(31L, "audio", clip, "audio/wav"),
+      MultimodalOps.MediaEnvelope(32L, "audio", silent, "audio/wav")))
+    val wins = MultimodalOps.energyWindows(env, windowMs = 100).collect()
+      .filter(_.media_id == 31L).sortBy(_.win_idx)
+    assert(wins.length == 10)
+    assert(wins.map(_.rms_milli).toSeq ==
+      Seq(0L, 0L, 0L, 500L, 500L, 500L, 500L, 0L, 0L, 0L))
+    assert(wins(3).start_ms == 300L)
+    val trims = MultimodalOps.trimSilence(env, thresholdMilli = 10, windowMs = 100)
+      .collect().map(t => t.media_id -> t).toMap
+    assert(trims(31L).start_ms == 300L && trims(31L).end_ms == 700L
+      && trims(31L).kept_ms == 400L)
+    assert(trims(32L).kept_ms == 0L, "fully silent clip trims to nothing")
+  }
+
   test("frame sampling keeps every stride-th frame of videos only") {
     val env = MultimodalOps.envelopesFromDocuments(spark, sfDir)
     val stride = 5
