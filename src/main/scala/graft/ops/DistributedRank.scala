@@ -36,8 +36,20 @@ object DistributedRank {
     * `cum` is set) `cum._2` = exact global running sum of column `cum._1`.
     * Also returns the total row count and (if requested) the grand sum —
     * free by-products of the offset pass, so callers avoid extra jobs.
+    *
+    * `release()` unpersists the internal cached intermediate. The offset
+    * pass has already materialized the cache by the time `withGlobalRank`
+    * returns, so in a CHAIN of rank passes the caller should release pass
+    * k as soon as pass k+1 has been constructed (its offset collect fully
+    * consumed pass k's output); the LAST pass's cache must live until the
+    * terminal action on `df` and be released after it (the Verify/Bench
+    * harnesses clear the session cache per query, which covers it too).
+    * Releasing early is safe for correctness — callers use unique-key
+    * tiebreaks, so a recompute reproduces identical ranks — it only costs
+    * the recompute.
     */
-  final case class Ranked(df: DataFrame, n: Long, grandSum: Long)
+  final case class Ranked(df: DataFrame, n: Long, grandSum: Long,
+      release: () => Unit)
 
   def withGlobalRank(
       df: DataFrame,
@@ -90,7 +102,8 @@ object DistributedRank {
         ranked0.withColumn(out, sum(col(v)).over(run) + col("__soff"))
       case None => ranked0
     }
-    Ranked(ranked.drop("__pid", "__roff", "__soff"), n, grand)
+    Ranked(ranked.drop("__pid", "__roff", "__soff"), n, grand,
+      () => { arranged.unpersist(blocking = false); () })
   }
 
   /** Exact `ntile(tiles)` tile number from an exact 1-based global rank —

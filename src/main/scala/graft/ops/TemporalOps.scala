@@ -244,10 +244,12 @@ object TemporalOps extends Pack {
         DistributedRank.exactNtile(col("__rr"), r1.n, 5)).drop("__rr")
       val r2 = DistributedRank.withGlobalRank(d1,
         Seq(col("freq").desc, col("user_id")), "__rf")
+      r1.release() // r2's offset pass fully consumed r1's cache
       val d2 = r2.df.withColumn("f_tile",
         DistributedRank.exactNtile(col("__rf"), r2.n, 5)).drop("__rf")
       val r3 = DistributedRank.withGlobalRank(d2,
         Seq(col("monetary").desc, col("user_id")), "__rm")
+      r2.release() // likewise; r3's cache is released by the harness post-action
       r3.df.withColumn("m_tile",
           DistributedRank.exactNtile(col("__rm"), r3.n, 5)).drop("__rm")
         .withColumn("rfm", col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))

@@ -94,24 +94,26 @@ object WavCodec {
   }
 
   /** Integer-exact RMS in milli-units of full scale (0..1000): frames are
-    * mono-mixed by exact integer average first, the mean square is exact
-    * integer arithmetic, and only the final sqrt touches floating point
-    * (IEEE-deterministic on an exact integer ratio).
+    * mono-mixed by exact integer average first, the sum of squares
+    * accumulates in Long (mono² ≤ 2^30, so the sum is exact up to ~2^33
+    * frames ≈ 54 hours at 44.1 kHz — far past any single payload), and
+    * only the final sqrt touches floating point (IEEE-deterministic on an
+    * exact integer ratio).
     */
   def rmsMilli(p: Pcm, from: Int = 0, until: Int = Int.MaxValue): Long = {
     val hi = math.min(p.nFrames, until)
     if (hi <= from) return 0L
-    var sumSq = 0.0
+    var sumSq = 0L
     var f = from
     while (f < hi) {
       var c = 0
       var acc = 0L
       while (c < p.channels) { acc += p.samples(f * p.channels + c); c += 1 }
       val mono = acc / p.channels
-      sumSq += mono.toDouble * mono.toDouble
+      sumSq += mono * mono
       f += 1
     }
-    math.round(1000.0 * math.sqrt(sumSq / (hi - from)) / 32768.0)
+    math.round(1000.0 * math.sqrt(sumSq.toDouble / (hi - from)) / 32768.0)
   }
 
   /** Peak absolute mono amplitude in milli-units of full scale. */
