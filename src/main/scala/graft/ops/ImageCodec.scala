@@ -24,7 +24,10 @@ object ImageCodec {
 
   /** Decoded raster: row-major RGB, 3 bytes per pixel, top-down. */
   final case class Raster(width: Int, height: Int, rgb: Array[Byte]) {
-    require(rgb.length == width * height * 3, "raster byte count mismatch")
+    // Long arithmetic: a crafted header like `P6 1431655766 1` must not be
+    // able to overflow the product into a passing check.
+    require(rgb.length.toLong == width.toLong * height * 3,
+      "raster byte count mismatch")
     def pixel(x: Int, y: Int): (Int, Int, Int) = {
       val o = (y * width + x) * 3
       ((rgb(o) & 0xff), (rgb(o + 1) & 0xff), (rgb(o + 2) & 0xff))
@@ -40,10 +43,15 @@ object ImageCodec {
   def looksLikeBmp(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'B' && b(1) == 'M'
 
+  def looksLikePng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+
   /** Decode a single image payload of any supported still format. */
   def decodeImage(b: Array[Byte]): Option[Raster] =
     if (looksLikePpm(b)) decodePpmAt(b, 0).map(_._1)
     else if (looksLikeBmp(b)) decodeBmp(b)
+    else if (looksLikePng(b)) decodePng(b)
     else None
 
   // -------------------------------------------------------------------- PPM
@@ -84,9 +92,15 @@ object ImageCodec {
       hdr match {
         case Some((w, h, m)) if w > 0 && h > 0 && m > 0 && m <= 255 =>
           i += 1 // the single post-maxval whitespace byte
-          val need = w * h * 3
-          if (i + need > b.length) None
+          // Validate the sample count in Long BEFORE any Int-sized use: a
+          // crafted header (e.g. `P6 1431655766 1 255`) overflows w*h*3 in
+          // Int to a tiny positive value, which would pass the bounds check
+          // and build a bogus Raster that later dies in pixel math —
+          // breaking the totality contract.
+          val needL = w.toLong * h * 3
+          if (needL > b.length - i) None
           else {
+            val need = needL.toInt
             val out = java.util.Arrays.copyOfRange(b, i, i + need)
             Some((Raster(w, h, out), i + need))
           }
@@ -143,9 +157,14 @@ object ImageCodec {
       val compression = i32le(b, 30)
       if (w <= 0 || rawH == 0 || bpp != 24 || compression != 0) return None
       val topDown = rawH < 0
+      if (rawH == Int.MinValue) return None // abs would stay negative
       val h = math.abs(rawH)
-      val rowSize = ((24 * w + 31) / 32) * 4
-      if (dataOff < 0 || dataOff.toLong + rowSize.toLong * h > b.length) return None
+      // Row stride in Long: 24*w overflows Int at w ≈ 89M, which would
+      // corrupt the bounds check below. Once rowSizeL*h fits in b.length,
+      // w*h*3 <= rowSizeL*h necessarily fits in Int.
+      val rowSizeL = ((24L * w + 31) / 32) * 4
+      if (dataOff < 0 || dataOff.toLong + rowSizeL * h > b.length) return None
+      val rowSize = rowSizeL.toInt
       val out = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
@@ -164,6 +183,185 @@ object ImageCodec {
       }
       Some(Raster(w, h, out))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // -------------------------------------------------------------------- PNG
+
+  private def i32be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** PNG (RFC 2083), decoded with nothing but `java.util.zip` — the one
+    * compressed format reachable pure-JVM, and the dominant lossless format
+    * in real media corpora. Supported: bit depth 8, color types 0 (gray),
+    * 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), interlace 0 (none);
+    * all five scanline filter types (None/Sub/Up/Average/Paeth). Adam7
+    * interlace and 1/2/4/16-bit depths are rejected (None), not misread.
+    * Alpha is DROPPED, not composited — this kernel feeds pixel statistics
+    * and thumbnailing, not display. CRCs are verified on the chunks whose
+    * corruption would corrupt pixels (IHDR/PLTE/IDAT); ancillary chunks are
+    * skipped without CRC cost. Same totality contract as the other
+    * decoders: any malformed, truncated, or overflow-crafted payload
+    * returns None, never throws.
+    */
+  def decodePng(b: Array[Byte]): Option[Raster] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      if (!looksLikePng(b)) return None
+      var i = 8
+      var w = 0; var h = 0
+      var bitDepth = -1; var colorType = -1; var interlace = -1
+      var palette: Array[Byte] = null
+      var seenIhdr = false; var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      val crc = new java.util.zip.CRC32()
+      while (!seenIend) {
+        if (i + 8 > b.length) return None
+        val len = i32be(b, i)
+        if (len < 0 || i.toLong + 12 + len > b.length) return None
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        def crcOk: Boolean = {
+          crc.reset(); crc.update(b, i + 4, 4 + len)
+          crc.getValue.toInt == i32be(b, i + 8 + len)
+        }
+        typ match {
+          case "IHDR" =>
+            if (seenIhdr || len != 13 || !crcOk) return None
+            seenIhdr = true
+            w = i32be(b, i + 8); h = i32be(b, i + 12)
+            bitDepth = b(i + 16) & 0xff; colorType = b(i + 17) & 0xff
+            interlace = b(i + 20) & 0xff
+            // supported subset, with Long-checked output size: raw scanline
+            // buffer h*(1+w*ch) and the RGB output w*h*3 must both fit Int
+            val ch = channelsOf(colorType)
+            if (w <= 0 || h <= 0 || bitDepth != 8 || ch == 0 ||
+              interlace != 0 ||
+              h.toLong * (1L + w.toLong * ch) > Int.MaxValue ||
+              w.toLong * h * 3 > Int.MaxValue) return None
+          case "PLTE" =>
+            if (!seenIhdr || len % 3 != 0 || len > 768 || !crcOk) return None
+            palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+          case "IDAT" =>
+            if (!seenIhdr || !crcOk) return None
+            idat.write(b, i + 8, len)
+          case "IEND" => seenIend = true
+          case _ => () // ancillary — skip
+        }
+        i += 12 + len
+      }
+      if (!seenIhdr) return None
+      val ch = channelsOf(colorType)
+      if (colorType == 3 && palette == null) return None
+      val stride = w * ch
+      val rawLen = h * (stride + 1)
+      val raw = new Array[Byte](rawLen)
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, got, rawLen - got)
+        // truncated zlib stream, or a preset-dictionary stream (illegal in
+        // PNG) — either way the pixels can't be recovered
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+      if (got != rawLen) return None
+      // un-filter in place conceptually: recon rows into `px`
+      val px = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (stride + 1)) & 0xff
+        if (ft > 4) return None
+        val ro = y * (stride + 1) + 1
+        val po = y * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(ro + x) & 0xff
+          val a = if (x >= ch) px(po + x - ch) & 0xff else 0          // left
+          val bb = if (y > 0) px(po - stride + x) & 0xff else 0       // up
+          val c = if (y > 0 && x >= ch) px(po - stride + x - ch) & 0xff else 0
+          val recon = ft match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + bb
+            case 3 => cur + (a + bb) / 2
+            case 4 => // Paeth
+              val p = a + bb - c
+              val pa = math.abs(p - a); val pb = math.abs(p - bb)
+              val pc = math.abs(p - c)
+              cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+          }
+          px(po + x) = (recon & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // expand to packed RGB
+      val out = new Array[Byte](w * h * 3)
+      val nPx = w * h
+      var p = 0
+      while (p < nPx) {
+        val s = p * ch; val d = p * 3
+        colorType match {
+          case 2 | 6 => // RGB / RGBA (alpha dropped)
+            out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+          case 0 | 4 => // gray / gray+alpha
+            out(d) = px(s); out(d + 1) = px(s); out(d + 2) = px(s)
+          case 3 => // palette index
+            val idx = (px(s) & 0xff) * 3
+            if (idx + 2 >= palette.length) return None
+            out(d) = palette(idx); out(d + 1) = palette(idx + 1)
+            out(d + 2) = palette(idx + 2)
+        }
+        p += 1
+      }
+      Some(Raster(w, h, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally inf.end()
+  }
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    case _ => 0
+  }
+
+  /** Minimal PNG encoder (color type 2, filter 0 rows, one IDAT) — exists
+    * so the media generator and specs can produce REAL compressed payloads
+    * that exercise the inflate+unfilter path end-to-end.
+    */
+  def encodePng(r: Raster): Array[Byte] = {
+    val stride = r.width * 3
+    val raw = new Array[Byte](r.height * (stride + 1))
+    var y = 0
+    while (y < r.height) {
+      // raw(y*(stride+1)) stays 0 = filter None
+      System.arraycopy(r.rgb, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(raw); def_.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!def_.finished()) zbuf.write(tmp, 0, def_.deflate(tmp))
+    def_.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val lenB = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(lenB)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(r.width).putInt(r.height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   // --------------------------------------------------------------- resample

@@ -61,6 +61,10 @@ object MultimodalOps {
       ImageCodec.decodeBmp(payload)
         .map(r => (r.width, r.height, 1))
         .getOrElse(syntheticDecode(payload))
+    else if (ImageCodec.looksLikePng(payload))
+      ImageCodec.decodePng(payload)
+        .map(r => (r.width, r.height, 1))
+        .getOrElse(syntheticDecode(payload))
     else syntheticDecode(payload)
 
   private def hex(bytes: Array[Byte]): String = {
@@ -150,8 +154,12 @@ object MultimodalOps {
         batch.iterator.map { e =>
           def bounded(w: Int, h: Int): (Int, Int) = {
             val long = math.max(w, h)
+            // Long products: a legitimately decodable 1px-tall, multi-
+            // million-px-wide strip would overflow w*maxDim in Int and
+            // collapse the output dim to 1 instead of preserving aspect.
             if (long <= maxDim) (w, h)
-            else (math.max(1, w * maxDim / long), math.max(1, h * maxDim / long))
+            else (math.max(1, (w.toLong * maxDim / long).toInt),
+              math.max(1, (h.toLong * maxDim / long).toInt))
           }
           ImageCodec.decodeImage(e.payload) match {
             case Some(src) =>

@@ -49,6 +49,30 @@ object ImageCodecProps extends Properties("ImageCodec") {
       }
     }
 
+  property("PNG encode -> decode is the identity") = forAllNoShrink(rasters) { r =>
+    val back = decodePng(encodePng(r)).get
+    back.width == r.width && back.height == r.height && back.rgb.sameElements(r.rgb)
+  }
+
+  property("PNG totality: truncated / bit-flipped payloads return None, never throw") =
+    forAllNoShrink(for {
+      r <- rasters
+      cut <- Gen.choose(0, 40)
+      flipAt <- Gen.choose(8, 60)
+      flipBit <- Gen.choose(0, 7)
+    } yield (r, cut, flipAt, flipBit)) { case (r, cut, flipAt, flipBit) =>
+      val enc = encodePng(r)
+      val truncated = enc.dropRight(math.min(cut, enc.length))
+      val flipped = enc.clone()
+      if (flipAt < flipped.length)
+        flipped(flipAt) = (flipped(flipAt) ^ (1 << flipBit)).toByte
+      // outcomes may be None or (for flips in skippable regions) a decode —
+      // the contract is only that nothing THROWS
+      scala.util.Try(decodePng(truncated)).isSuccess &&
+        scala.util.Try(decodePng(flipped)).isSuccess &&
+        scala.util.Try(decodeImage(flipped)).isSuccess
+    }
+
   property("resize to source dims is the identity; truncated payloads never throw") =
     forAllNoShrink(rasters) { r =>
       val same = resizeNearest(r, r.width, r.height)
