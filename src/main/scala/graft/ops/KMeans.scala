@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Convergent Lloyd k-means over exact-integer quantized vectors — the
+  * multi-round generalization of the `ml_kmeans` oracle query's single
+  * round, with the same engine-parity discipline end to end (ref:
+  * Abishek257/ETL_Data_Ingestion has no clustering surface; this belongs to
+  * the mandated training-data-pipeline extension plane, where k-means is
+  * the trainer behind PQ codebooks and IVF cell maps).
+  *
+  * Arithmetic contract (shared with [[VectorOps]] `ml_kmeans`): vectors are
+  * int64 in a shifted non-negative quantized space, centroids are
+  * element-wise integer means (`sum div count` — no negative-truncation
+  * ambiguity in the shifted space), and the assignment metric is pure-int64
+  * d² = |v|² − 2·v·c + |c|² via the codegen'd `graft_dot_i64` kernel, ties
+  * broken on the lower cell id. Every round is therefore bit-reproducible
+  * across engines AND across retries — the property that makes the
+  * assignment column safe to use as a training-data shard key.
+  *
+  * Scale shape — why this loop needs NO checkpoint chain (contrast
+  * [[GraphOps]].pagerank, where the per-node state is corpus-sized):
+  * the ONLY iterated state is the centroid table, k·dim int64s — control
+  * plane, like [[DistributedRank]]'s offsets. Each round collects the k
+  * updated centroids to the driver (k rows — bounded by k, not the corpus)
+  * and re-broadcasts them as literals, so round N's plan is always
+  * `persisted vecs ⋈ broadcast(k rows)` + one map-side-combined hash
+  * aggregate of `dim` sum columns: constant depth, no lineage growth, one
+  * corpus scan per round. Cost at 100 TB: rounds × (1 scan + a k×dim-cell
+  * exchange). The centroid-shift stop (`shiftSq ≤ tolSq`) is computed
+  * driver-side from the same collected rows — free.
+  *
+  * Empty cells keep their previous centroid (the standard Lloyd rule; any
+  * re-seed heuristic would break cross-engine determinism).
+  */
+object KMeans {
+
+  /** Fitted state: `centroids` sorted by cell id; `rounds` = update rounds
+    * actually executed; `converged` = the shift stop fired before
+    * `maxRounds` was exhausted.
+    */
+  final case class Model(
+      centroids: Array[(Int, Array[Long])],
+      rounds: Int,
+      lastShiftSq: Long,
+      converged: Boolean)
+
+  /** `vecs` must have columns (`vec_id` long, `v` array<long>) and SHOULD be
+    * persisted by the caller (it is scanned once per round plus once for
+    * seeding). Seeds are the k lowest `vec_id` vectors — deterministic, no
+    * RNG (engine-parity rule).
+    */
+  def fit(vecs: DataFrame, k: Int, maxRounds: Int, tolSq: Long = 0L): Model = {
+    require(k > 0 && maxRounds >= 1, s"bad k=$k / maxRounds=$maxRounds")
+    val spark = vecs.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+
+    val seedRows = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect() // k rows — control plane
+    require(seedRows.nonEmpty, "cannot seed k-means from an empty input")
+    var cents: Array[(Int, Array[Long])] = seedRows.zipWithIndex.map {
+      case (r, i) => (i, r.getSeq[Long](0).toArray)
+    }
+    val dim = cents.head._2.length
+
+    var round = 0
+    var shiftSq = Long.MaxValue
+    while (round < maxRounds && shiftSq > tolSq) {
+      val sumCols = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      val updated = assign(vecs, cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect() // k rows
+        .map { r =>
+          val n = r.getLong(1)
+          (r.getInt(0), Array.tabulate(dim) { i =>
+            val s = r.getLong(2 + i)
+            // integer mean; shifted space keeps s >= 0 so div == floor
+            s / n
+          })
+        }.toMap
+      val next = cents.map { case (cell, old) =>
+        (cell, updated.getOrElse(cell, old)) // empty cell: keep old centroid
+      }
+      shiftSq = cents.zip(next).map { case ((_, a), (_, b)) =>
+        var acc = 0L; var i = 0
+        while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }.sum
+      cents = next
+      round += 1
+    }
+    Model(cents, round, shiftSq, shiftSq <= tolSq)
+  }
+
+  /** One exact argmin assignment pass of `vecs` against a centroid set:
+    * adds (`cell`, `d2`). One narrow scan, centroids broadcast, min_by over
+    * k candidates — the corpus never shuffles.
+    */
+  def assign(vecs: DataFrame, cents: Array[(Int, Array[Long])]): DataFrame = {
+    val spark = vecs.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val centDf = cents.toSeq.toDF("cell", "cv")
+    vecs
+      .withColumn("n2v", call_function("graft_dot_i64", col("v"), col("v")))
+      .crossJoin(broadcast(
+        centDf.withColumn("n2c", call_function("graft_dot_i64", col("cv"), col("cv")))))
+      .withColumn("d2",
+        col("n2v") - lit(2L) * call_function("graft_dot_i64", col("v"), col("cv")) + col("n2c"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("d2")), struct(col("d2"), col("cell"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("best.cell").as("cell"), col("best.d2").as("d2"))
+  }
+
+  /** Per-cell size + inertia summary of a fitted model over `vecs` — the
+    * `ml_kmeans` oracle's output shape.
+    */
+  def summarize(vecs: DataFrame, model: Model): DataFrame =
+    assign(vecs, model.centroids)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+      .orderBy("cell")
+}

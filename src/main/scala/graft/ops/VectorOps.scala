@@ -134,33 +134,20 @@ object VectorOps extends Pack {
       // on cell (map-side combined, zero row inflation — the minhash-
       // signature discipline, NOT a 64x posexplode). Cost per round at
       // 100 TB: one corpus scan + a k×64-cell exchange.
+      // The Lloyd kernel itself lives in [[KMeans]] (multi-round, centroid-
+      // shift convergence stop, driver-held k×dim control-plane state —
+      // KMeansSpec pins the early halt). The ORACLE form runs exactly one
+      // update round (maxRounds=1) because the DuckDB twin mirrors one
+      // round; fit(maxRounds=1) + summarize is bit-equal to the inline
+      // seed -> assign -> update -> re-assign chain (parity pinned in
+      // KMeansSpec).
       graft.expressions.GraftFunctions.register(s)
       val vecs = t(s, d, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> bigint(round(double(x) * 1000)) + 1000L)").as("v"))
-        .withColumn("n2v", call_function("graft_dot_i64", col("v"), col("v")))
-        .persist() // two assignment passes + the seed scan read it
-      val dim = 64
-      def assign(cents: org.apache.spark.sql.DataFrame) =
-        vecs.crossJoin(broadcast(
-            cents.withColumn("n2c", call_function("graft_dot_i64", col("cv"), col("cv")))))
-          .withColumn("d2",
-            col("n2v") - lit(2L) * call_function("graft_dot_i64", col("v"), col("cv")) + col("n2c"))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("cell"), col("d2")), struct(col("d2"), col("cell"))).as("best"),
-            first(col("v")).as("v"))
-          .select(col("vec_id"), col("v"), col("best.cell").as("cell"), col("best.d2").as("d2"))
-      val c0 = vecs.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cell"), col("v").as("cv"))
-      val a1 = assign(c0)
-      val sumCols = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
-      val c1 = a1.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), sumCols: _*)
-        .select(col("cell"), array((0 until dim).map(i => expr(s"s$i div n")): _*).as("cv"))
-      assign(c1)
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
-        .orderBy("cell")
+        .persist() // seed scan + one assignment pass per round read it
+      val model = KMeans.fit(vecs, k = 8, maxRounds = 1)
+      KMeans.summarize(vecs, model)
     }),
 
     "sim_sq8" -> ((s, d) => {
