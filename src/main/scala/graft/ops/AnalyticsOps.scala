@@ -196,7 +196,11 @@ object AnalyticsOps extends Pack {
       // resistant twin of a moving average) over each customer's last 4
       // orders. Spark has no percentile over a window, so the composition
       // is element_at(array_sort(collect_list), ceil(n/2)) — per-frame
-      // state is the 4-row frame, never the partition. The (date, key)
+      // state is the 4-row frame, never the partition: the buffer is
+      // CONSTANT-bounded (rowsBetween(-3, 0)), not corpus-driven, so this
+      // shape survives scale-up unchanged (contrast window_mad/window_ewma,
+      // which needed the rank-select / streaming-fold re-shapes because
+      // their state grew with a customer's history). The (date, key)
       // window order is TOTAL (dates tie at sf scale); the oracle's
       // quantile_disc(0.5) picks the same lower-middle element (pinned by
       // a probe: n=4 frames agree on the 2nd sorted value).
@@ -233,28 +237,44 @@ object AnalyticsOps extends Pack {
     "window_ewma" -> ((s, d) => {
       // Exponentially weighted moving average of each customer's order
       // values — the recency-weighted spend signal. EWMA is inherently
-      // recursive (no window frame expresses it), so the composition is a
-      // per-group in-row FOLD: collect the history once, order-proof it
-      // with an in-row sort of (date, key, cents) structs (the events_
-      // paths trick — collect_list order is nondeterministic under
-      // parallel merge), then aggregate() folds in whole-stage codegen.
-      // alpha = 0.3 as the exact integer recurrence (7a + 3x) div 10 —
-      // truncation agrees with DuckDB's // on the positive domain, and
-      // list_reduce's seed (first element) is replicated by folding
-      // slice(2..) from element 1. State is one customer's history,
-      // bounded by group size; the unbounded-stream form of this signal
-      // is the incremental-state family (MinHashIncremental etc.).
+      // recursive (no window frame or rank-select expresses it: each
+      // output depends on the PREVIOUS output), which is the one genuine
+      // per-partition-imperative case — so the shape is repartition on
+      // the group key + sortWithinPartitions (Spark's EXTERNAL sort —
+      // spills, never heap-bound) + a streaming fold whose state is three
+      // scalars (key, count, accumulator) regardless of group size. This
+      // replaces the collect_list hash-agg whose per-group array was the
+      // last corpus-driven agg buffer in the surface. alpha = 0.3 as the
+      // exact integer recurrence (7a + 3x) div 10, seeded with the first
+      // element — truncation agrees with DuckDB's // on the positive
+      // domain, and the (date, orderkey) sort is total so the fold order
+      // is engine- and retry-deterministic.
+      import s.implicits._
       t(s, d, "orders")
-        .select(col("o_custkey"),
-          struct(col("o_orderdate"), col("o_orderkey"),
-            round(col("o_totalprice") * 100).cast("long").as("price_c")).as("r"))
-        .groupBy("o_custkey")
-        .agg(sort_array(collect_list(col("r"))).as("rs"))
-        .withColumn("cs", expr("transform(rs, r -> r.price_c)"))
-        .select(col("o_custkey"),
-          size(col("cs")).cast("long").as("n_orders"),
-          expr("aggregate(slice(cs, 2, size(cs) - 1), element_at(cs, 1)," +
-            " (a, x) -> (7 * a + 3 * x) div 10)").as("ewma_c"))
+        .select(col("o_custkey").cast("long").as("ck"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("dd"),
+          col("o_orderkey").cast("long").as("ok"),
+          round(col("o_totalprice") * 100).cast("long").as("pc"))
+        .repartition(col("ck"))
+        .sortWithinPartitions(col("ck"), col("dd"), col("ok"))
+        .as[(Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          // groups are contiguous after the sort; emit on key change
+          var key = 0L; var n = 0L; var acc = 0L; var open = false
+          (it.map(Option(_)) ++ Iterator(None)).flatMap {
+            case Some((ck, _, _, pc)) =>
+              if (open && ck == key) {
+                n += 1; acc = (7 * acc + 3 * pc) / 10; Iterator.empty
+              } else {
+                val prev = if (open) Iterator.single((key, n, acc)) else Iterator.empty
+                key = ck; n = 1L; acc = pc; open = true
+                prev
+              }
+            case None =>
+              if (open) Iterator.single((key, n, acc)) else Iterator.empty
+          }
+        }
+        .toDF("o_custkey", "n_orders", "ewma_c")
         .orderBy("o_custkey")
     }),
 

@@ -317,17 +317,13 @@ object CorpusOps extends Pack {
       // |names|^2 — blocking-key entropy governs the bound, and a
       // production matcher runs several complementary blocking passes
       // with per-block caps (the df-cap discipline) rather than one
-      // perfect key. The verify filter rides the block equi-join; no
-      // cartesian anywhere.
-      val names = t(s, d, "part")
-        .select(lower(col("p_name")).as("nm")).distinct()
-        .withColumn("blk", element_at(split(col("nm"), " "), -1))
-      names.as("x").join(names.as("y"),
-          col("x.blk") === col("y.blk") && col("x.nm") < col("y.nm"))
-        .withColumn("dist", levenshtein(col("x.nm"), col("y.nm")).cast("long"))
-        .filter(col("dist") <= 4)
-        .select(col("x.nm").as("name_a"), col("y.nm").as("name_b"), col("dist"))
-        .orderBy("name_a", "name_b")
+      // perfect key — that form is join_fuzzy_multiblock. Both forms now
+      // run the SAME FuzzyMatch kernel (capped blocks with exact dropped-
+      // block/name/candidate accounting; the cap mirrors in the oracle's
+      // HAVING), this one restricted to the single trailing-token pass.
+      FuzzyMatch.matchPairs(t(s, d, "part").select(col("p_name")),
+          "p_name", maxDist = 4, blockCap = 100, passes = FuzzyMatch.tailPass)
+        .matches.orderBy("name_a", "name_b")
     }),
 
     "join_fuzzy_multiblock" -> ((s, d) => {
@@ -345,21 +341,30 @@ object CorpusOps extends Pack {
     "window_mad" -> ((s, d) => {
       // Median absolute deviation of each customer's order values — the
       // robust dispersion twin of stddev (one whale order doesn't move
-      // it). Exact integer cents end-to-end: ONE hash aggregate collects
-      // the group-bounded history, then median and MAD both fold IN-ROW
-      // (sorted array + lower-middle element, the window_median
-      // convention) — no second shuffle, no self-join back, per-group
-      // state bounded by order count. The oracle computes the same two
-      // medians via quantile_disc with a join between the passes — two
-      // formulations, same exact integers.
+      // it). Exact integer cents end-to-end, via CHAINED RANK-SELECT
+      // windows (the events_conversion_lag shape, generalized): median =
+      // the value at rank (n+1) div 2 under an in-partition sort by
+      // value, broadcast to the group by a whole-partition max(when);
+      // MAD = the same selection re-run on |x - med|. Every stage is a
+      // WindowExec over the SAME o_custkey hash partitioning — ONE
+      // exchange total, per-stage sorts in spillable row buffers — so a
+      // hot customer costs disk, never heap, unlike the previous
+      // collect_list hash-agg whose per-group array had to fit in memory
+      // (the round-8 verdict's last corpus-driven agg buffer). Both
+      // selections are tie-insensitive (k-th smallest under duplicates),
+      // matching the oracle's quantile_disc twins.
+      val wAll = Window.partitionBy(col("o_custkey"))
       t(s, d, "orders")
         .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
-        .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("pc"))).as("cs"))
-        .withColumn("n_orders", size(col("cs")).cast("long"))
-        .withColumn("med_c", expr("element_at(cs, int((size(cs) + 1) div 2))"))
-        .withColumn("ads", expr("array_sort(transform(cs, x -> abs(x - med_c)))"))
-        .withColumn("mad_c", expr("element_at(ads, int((size(ads) + 1) div 2))"))
+        .withColumn("rn", row_number().over(wAll.orderBy(col("pc"))))
+        .withColumn("n_orders", count(lit(1)).over(wAll))
+        .withColumn("med_c",
+          max(when(col("rn") === expr("(n_orders + 1) div 2"), col("pc"))).over(wAll))
+        .withColumn("ad", abs(col("pc") - col("med_c")))
+        .withColumn("rn2", row_number().over(wAll.orderBy(col("ad"))))
+        .withColumn("mad_c",
+          max(when(col("rn2") === expr("(n_orders + 1) div 2"), col("ad"))).over(wAll))
+        .filter(col("rn") === 1) // one representative row per customer
         .select(col("o_custkey"), col("n_orders"), col("med_c"), col("mad_c"))
         .orderBy("o_custkey")
     }),
@@ -852,10 +857,12 @@ object CorpusOps extends Pack {
 
     "join_fuzzy" ->
       """WITH n AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
-        |b AS (SELECT nm, string_split(nm, ' ')[-1] AS blk FROM n)
+        |b AS (SELECT nm, string_split(nm, ' ')[-1] AS blk FROM n),
+        |k AS (SELECT * FROM b WHERE blk IN
+        |        (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 100))
         |SELECT x.nm AS name_a, y.nm AS name_b,
         |       levenshtein(x.nm, y.nm)::BIGINT AS dist
-        |FROM b x JOIN b y ON x.blk = y.blk AND x.nm < y.nm
+        |FROM k x JOIN k y ON x.blk = y.blk AND x.nm < y.nm
         |WHERE levenshtein(x.nm, y.nm) <= 4
         |ORDER BY name_a, name_b""".stripMargin,
 

@@ -39,17 +39,26 @@ object FuzzyMatch {
 
   final case class FuzzyMatchResult(matches: DataFrame, passStats: Seq[FuzzyPassStats])
 
+  /** The standard complementary pair: trailing token + leading token. */
+  val defaultPasses: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "tail" -> element_at(split(col("nm"), " "), -1),
+    "head" -> element_at(split(col("nm"), " "), 1))
+
+  /** The single-key simplification `join_fuzzy` runs (capped, one pass). */
+  val tailPass: Seq[(String, org.apache.spark.sql.Column)] = defaultPasses.take(1)
+
   /** @param names    frame with a string column `nameCol` (deduped here)
     * @param maxDist  Levenshtein verify threshold
     * @param blockCap max names per block per pass; larger blocks drop
+    * @param passes   blocking keys over the deduped `nm` column, one pass
+    *                 each — every pass shares the capped-union-verify kernel
     */
   def matchPairs(names: DataFrame, nameCol: String, maxDist: Int,
-      blockCap: Int): FuzzyMatchResult = {
+      blockCap: Int,
+      passes: Seq[(String, org.apache.spark.sql.Column)] = defaultPasses): FuzzyMatchResult = {
     require(maxDist >= 0 && blockCap >= 2, s"bad maxDist=$maxDist / blockCap=$blockCap")
+    require(passes.nonEmpty, "need at least one blocking pass")
     val nm = names.select(lower(col(nameCol)).as("nm")).distinct()
-    val passes: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-      "tail" -> element_at(split(col("nm"), " "), -1),
-      "head" -> element_at(split(col("nm"), " "), 1))
 
     val perPass = passes.map { case (passName, key) =>
       val blocked = nm.withColumn("blk", key)

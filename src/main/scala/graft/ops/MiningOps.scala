@@ -151,7 +151,10 @@ object MiningOps extends Pack {
       // user count. One user_id window shuffle; collect_list is made
       // order-proof by sorting the (rn, type) structs in-row — collected
       // order after a shuffle is NOT deterministic, the sort_array is
-      // what makes the path reproducible across retries and engines.
+      // what makes the path reproducible across retries and engines. The
+      // agg buffer is CONSTANT-bounded: filter(rn <= 3) runs BEFORE the
+      // aggregate, so each group collects at most 3 structs no matter how
+      // active the user — not a corpus-driven buffer.
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"))
