@@ -143,6 +143,34 @@ object MultimodalOps {
     * bounded memory) without replanning. No shuffle, no driver
     * materialization.
     */
+  /** Per-envelope resize kernel — the unit [[resizeImages]] maps and the
+    * streaming twin ([[graft.streaming.StreamingMediaPrep]]) reuses, so
+    * batch and stream agree by shared code, not by parallel reimplementation.
+    */
+  def resizeOne(e: MediaEnvelope, maxDim: Int): ResizedMedia = {
+    def bounded(w: Int, h: Int): (Int, Int) = {
+      val long = math.max(w, h)
+      // Long products: a legitimately decodable 1px-tall, multi-
+      // million-px-wide strip would overflow w*maxDim in Int and
+      // collapse the output dim to 1 instead of preserving aspect.
+      if (long <= maxDim) (w, h)
+      else (math.max(1, (w.toLong * maxDim / long).toInt),
+        math.max(1, (h.toLong * maxDim / long).toInt))
+    }
+    ImageCodec.decodeImage(e.payload) match {
+      case Some(src) =>
+        val (ow, oh) = bounded(src.width, src.height)
+        val resized = ImageCodec.resizeNearest(src, ow, oh)
+        ResizedMedia(e.media_id, e.kind, src.width, src.height, ow, oh,
+          hex(ImageCodec.encodePpm(resized)))
+      case None =>
+        val (w, h, _) = syntheticDecode(e.payload)
+        val (ow, oh) = bounded(w, h)
+        ResizedMedia(e.media_id, e.kind, w, h, ow, oh,
+          hex(e.payload ++ s"#resize:${ow}x$oh".getBytes("UTF-8")))
+    }
+  }
+
   def resizeImages(envelopes: Dataset[MediaEnvelope], maxDim: Int,
       batchSize: Int = 64): Dataset[ResizedMedia] = {
     import envelopes.sparkSession.implicits._
@@ -151,29 +179,7 @@ object MultimodalOps {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch block: a codec with per-open state initializes here,
         // once per batch, not once per record
-        batch.iterator.map { e =>
-          def bounded(w: Int, h: Int): (Int, Int) = {
-            val long = math.max(w, h)
-            // Long products: a legitimately decodable 1px-tall, multi-
-            // million-px-wide strip would overflow w*maxDim in Int and
-            // collapse the output dim to 1 instead of preserving aspect.
-            if (long <= maxDim) (w, h)
-            else (math.max(1, (w.toLong * maxDim / long).toInt),
-              math.max(1, (h.toLong * maxDim / long).toInt))
-          }
-          ImageCodec.decodeImage(e.payload) match {
-            case Some(src) =>
-              val (ow, oh) = bounded(src.width, src.height)
-              val resized = ImageCodec.resizeNearest(src, ow, oh)
-              ResizedMedia(e.media_id, e.kind, src.width, src.height, ow, oh,
-                hex(ImageCodec.encodePpm(resized)))
-            case None =>
-              val (w, h, _) = syntheticDecode(e.payload)
-              val (ow, oh) = bounded(w, h)
-              ResizedMedia(e.media_id, e.kind, w, h, ow, oh,
-                hex(e.payload ++ s"#resize:${ow}x$oh".getBytes("UTF-8")))
-          }
-        }
+        batch.iterator.map(resizeOne(_, maxDim))
       }
     }
   }
@@ -262,26 +268,31 @@ object MultimodalOps {
     * fully silent clip reports kept_ms = 0. Real WAV payloads only, same
     * rationale as [[energyWindows]].
     */
+  /** Per-envelope trim kernel (None = not a decodable WAV) — shared with
+    * the streaming twin, same rationale as [[resizeOne]].
+    */
+  def trimOne(e: MediaEnvelope, thresholdMilli: Long,
+      windowMs: Int = 100): Option[TrimmedAudio] =
+    WavCodec.decodeWav(e.payload).map { p =>
+      val framesPerWin = math.max(1, p.sampleRate * windowMs / 1000)
+      val nWins = (p.nFrames + framesPerWin - 1) / framesPerWin
+      val loud = (0 until nWins).filter { w =>
+        WavCodec.rmsMilli(p, w * framesPerWin, (w + 1) * framesPerWin) >= thresholdMilli
+      }
+      if (loud.isEmpty) TrimmedAudio(e.media_id, p.durationMs, 0L, 0L, 0L)
+      else {
+        val start = loud.head.toLong * windowMs
+        val end = math.min((loud.last + 1).toLong * windowMs, p.durationMs)
+        TrimmedAudio(e.media_id, p.durationMs, start, end, end - start)
+      }
+    }
+
   def trimSilence(envelopes: Dataset[MediaEnvelope], thresholdMilli: Long = 10,
       windowMs: Int = 100, batchSize: Int = 64): Dataset[TrimmedAudio] = {
     import envelopes.sparkSession.implicits._
     envelopes.filter(_.kind == "audio").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap { e =>
-          WavCodec.decodeWav(e.payload).iterator.map { p =>
-            val framesPerWin = math.max(1, p.sampleRate * windowMs / 1000)
-            val nWins = (p.nFrames + framesPerWin - 1) / framesPerWin
-            val loud = (0 until nWins).filter { w =>
-              WavCodec.rmsMilli(p, w * framesPerWin, (w + 1) * framesPerWin) >= thresholdMilli
-            }
-            if (loud.isEmpty) TrimmedAudio(e.media_id, p.durationMs, 0L, 0L, 0L)
-            else {
-              val start = loud.head.toLong * windowMs
-              val end = math.min((loud.last + 1).toLong * windowMs, p.durationMs)
-              TrimmedAudio(e.media_id, p.durationMs, start, end, end - start)
-            }
-          }
-        }
+        batch.iterator.flatMap(trimOne(_, thresholdMilli, windowMs))
       }
     }
   }
@@ -309,21 +320,25 @@ object MultimodalOps {
     require(stride > 0, s"stride must be positive, got $stride")
     envelopes.filter(_.kind == "video").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap { e =>
-          ImageCodec.decodePpmStream(e.payload) match {
-            case Some(frames) =>
-              (0 until frames.length by stride).iterator.map { idx =>
-                SampledFrame(e.media_id, idx, hex(ImageCodec.encodePpm(frames(idx))))
-              }
-            case None =>
-              val (_, _, nFrames) = syntheticDecode(e.payload)
-              val base = hex(e.payload)
-              (0 until nFrames by stride).iterator.map { idx =>
-                SampledFrame(e.media_id, idx, hex(s"$base#frame:$idx".getBytes("UTF-8")))
-              }
-          }
-        }
+        batch.iterator.flatMap(sampleOne(_, stride))
       }
     }
   }
+
+  /** Per-envelope frame-sampling kernel — shared with the streaming twin,
+    * same rationale as [[resizeOne]].
+    */
+  def sampleOne(e: MediaEnvelope, stride: Int): Iterator[SampledFrame] =
+    ImageCodec.decodePpmStream(e.payload) match {
+      case Some(frames) =>
+        (0 until frames.length by stride).iterator.map { idx =>
+          SampledFrame(e.media_id, idx, hex(ImageCodec.encodePpm(frames(idx))))
+        }
+      case None =>
+        val (_, _, nFrames) = syntheticDecode(e.payload)
+        val base = hex(e.payload)
+        (0 until nFrames by stride).iterator.map { idx =>
+          SampledFrame(e.media_id, idx, hex(s"$base#frame:$idx".getBytes("UTF-8")))
+        }
+    }
 }
