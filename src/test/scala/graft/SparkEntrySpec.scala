@@ -8,7 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntrySpec extends AnyFunSuite with SparkSpec {
 
   test("every query has an oracle and every oracle has a query") {
-    val q = SparkEntry.queries.keySet
+    // the driver contract's carve-out: non-SQL-expressible ops may omit the
+    // oracle (rows-only check). Every member must be justified here.
+    val rowsOnly = Set(
+      "media_prep" // binary codec pipeline over the DSv2 media generator —
+                   // exactness is pinned in the codec/prep/source specs
+    )
+    val q = SparkEntry.queries.keySet -- rowsOnly
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
