@@ -52,6 +52,7 @@ object ImageCodec {
     if (looksLikePpm(b)) decodePpmAt(b, 0).map(_._1)
     else if (looksLikeBmp(b)) decodeBmp(b)
     else if (looksLikePng(b)) decodePng(b)
+    else if (looksLikeGif(b)) decodeGif(b)
     else None
 
   // -------------------------------------------------------------------- PPM
@@ -322,6 +323,232 @@ object ImageCodec {
   private def channelsOf(colorType: Int): Int = colorType match {
     case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     case _ => 0
+  }
+
+  // -------------------------------------------------------------------- GIF
+
+  def looksLikeGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** GIF87a/89a, first image frame, via a full variable-width LZW decoder —
+    * the third compressed web format next to PNG (the LZW here and the
+    * DEFLATE there cover the two compression families lossless web images
+    * actually use). Supported: global or local color table, 89a extension
+    * blocks (skipped — transparency is an alpha concern and this kernel
+    * drops alpha by contract). Interlaced images are rejected, not
+    * misread, like PNG's Adam7. Same totality contract as every decoder
+    * here: malformed, truncated, or overflow-crafted payloads return None.
+    */
+  def decodeGif(b: Array[Byte]): Option[Raster] = {
+    try {
+      if (!looksLikeGif(b)) return None
+      var i = 6
+      def u8(o: Int): Int = b(o) & 0xff
+      def u16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+      if (i + 7 > b.length) return None
+      val gctFlag = (u8(i + 4) & 0x80) != 0
+      val gctSize = 2 << (u8(i + 4) & 7)
+      i += 7
+      var gct: Array[Byte] = null
+      if (gctFlag) {
+        if (i + gctSize * 3 > b.length) return None
+        gct = java.util.Arrays.copyOfRange(b, i, i + gctSize * 3)
+        i += gctSize * 3
+      }
+      while (true) {
+        if (i >= b.length) return None
+        u8(i) match {
+          case 0x3b => return None // trailer before any image
+          case 0x21 => // extension: label + sub-blocks, skip
+            i += 2
+            while (i < b.length && u8(i) != 0) i += 1 + u8(i)
+            if (i >= b.length) return None
+            i += 1 // block terminator
+          case 0x2c => // image descriptor
+            if (i + 10 > b.length) return None
+            val w = u16(i + 5); val h = u16(i + 7)
+            val flags = u8(i + 9)
+            i += 10
+            if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+            if ((flags & 0x40) != 0) return None // interlaced: reject, don't misread
+            var table = gct
+            if ((flags & 0x80) != 0) { // local color table wins
+              val sz = 2 << (flags & 7)
+              if (i + sz * 3 > b.length) return None
+              table = java.util.Arrays.copyOfRange(b, i, i + sz * 3)
+              i += sz * 3
+            }
+            if (table == null) return None
+            if (i >= b.length) return None
+            val minCode = u8(i); i += 1
+            if (minCode < 2 || minCode > 8) return None
+            // concatenate sub-blocks into the LZW stream
+            val data = new java.io.ByteArrayOutputStream()
+            var bs = u8(i)
+            while (bs != 0) {
+              if (i + 1 + bs > b.length) return None
+              data.write(b, i + 1, bs)
+              i += 1 + bs
+              if (i >= b.length) return None
+              bs = u8(i)
+            }
+            val indices = lzwDecode(data.toByteArray, minCode, w * h)
+              .getOrElse(return None)
+            val out = new Array[Byte](w * h * 3)
+            var p = 0
+            val nColors = table.length / 3
+            while (p < w * h) {
+              val idx = indices(p) & 0xff
+              if (idx >= nColors) return None
+              out(p * 3) = table(idx * 3)
+              out(p * 3 + 1) = table(idx * 3 + 1)
+              out(p * 3 + 2) = table(idx * 3 + 2)
+              p += 1
+            }
+            return Some(Raster(w, h, out))
+          case _ => return None
+        }
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** GIF-flavor LZW: variable code width from `minCode`+1 up to 12 bits,
+    * CLEAR resets the table, EOI ends the stream; codes pack LSB-first.
+    * Returns exactly `expected` pixel indices or None.
+    */
+  private def lzwDecode(d: Array[Byte], minCode: Int, expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](expected)
+    var outN = 0
+    // dictionary: prefix link + appended byte; entries < clear are literals
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var next = eoi + 1
+    var width = minCode + 1
+    var bitPos = 0
+    val totalBits = d.length * 8
+    var prev = -1
+    def emit(code: Int): Boolean = { // writes the expansion of `code`
+      var stack = List.empty[Byte]
+      var c = code
+      while (c >= clear) { stack = append(c) :: stack; c = prefix(c) }
+      stack = c.toByte :: stack
+      for (byte <- stack) {
+        if (outN >= expected) return false
+        out(outN) = byte; outN += 1
+      }
+      true
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    while (bitPos + width <= totalBits) {
+      // LSB-first read of `width` bits at bitPos
+      var code = 0
+      var k = 0
+      while (k < width) {
+        val bp = bitPos + k
+        if ((d(bp >> 3) & (1 << (bp & 7))) != 0) code |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      if (code == eoi) return if (outN == expected) Some(out) else None
+      else if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else {
+        if (code > next || (code == next && prev == -1)) return None
+        if (prev == -1) {
+          if (code >= clear) return None
+          if (!emit(code)) return None
+        } else {
+          if (code == next) { // the KwKwK case
+            if (next >= 4096) return None
+            prefix(next) = prev; append(next) = firstByte(prev); next += 1
+            if (!emit(code)) return None
+          } else {
+            if (!emit(code)) return None
+            if (next < 4096) {
+              prefix(next) = prev; append(next) = firstByte(code); next += 1
+            }
+          }
+        }
+        prev = code
+        // width grows when the NEXT code could not fit (GIF rule: at
+        // next == 2^width, not after)
+        if (next == (1 << width) && width < 12) width += 1
+      }
+    }
+    None // ran out of bits before EOI
+  }
+
+  /** Minimal GIF87a encoder (global color table built from the raster's
+    * distinct colors — at most 256, callers quantize beforehand; LZW
+    * stream of literal codes with a CLEAR before the table would overflow)
+    * — exists so specs and the media generator can produce REAL GIF
+    * payloads that exercise the full LZW decode path.
+    */
+  def encodeGif(r: Raster): Option[Array[Byte]] = {
+    val colors = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    val nPx = r.width * r.height
+    var p = 0
+    while (p < nPx) {
+      val c = ((r.rgb(p * 3) & 0xff) << 16) | ((r.rgb(p * 3 + 1) & 0xff) << 8) |
+        (r.rgb(p * 3 + 2) & 0xff)
+      if (!colors.contains(c)) {
+        if (colors.size == 256) return None // caller must quantize first
+        colors(c) = colors.size
+      }
+      p += 1
+    }
+    // color-table size: power of two >= max(2, nColors); minCode >= 2
+    var bits = 2
+    while ((1 << bits) < colors.size) bits += 1
+    val tblSize = 1 << bits
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(r.width); w16(r.height)
+    out.write(0x80 | (bits - 1)); out.write(0); out.write(0) // GCT flag+size
+    for ((c, _) <- colors) { out.write(c >> 16); out.write((c >> 8) & 0xff); out.write(c & 0xff) }
+    for (_ <- colors.size until tblSize) { out.write(0); out.write(0); out.write(0) }
+    out.write(0x2c); w16(0); w16(0); w16(r.width); w16(r.height); out.write(0)
+    val minCode = bits
+    out.write(minCode)
+    val clear = 1 << minCode; val eoi = clear + 1
+    // literal-code stream: CLEAR, then every pixel as a literal, re-CLEARing
+    // before the decoder's width would grow past our fixed minCode+1
+    val bitBuf = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << accBits; accBits += minCode + 1
+      while (accBits >= 8) { bitBuf.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8 }
+    }
+    putCode(clear)
+    var budget = (1 << (minCode + 1)) - eoi - 2 // codes until width would grow
+    p = 0
+    while (p < nPx) {
+      val c = ((r.rgb(p * 3) & 0xff) << 16) | ((r.rgb(p * 3 + 1) & 0xff) << 8) |
+        (r.rgb(p * 3 + 2) & 0xff)
+      if (budget == 0) { putCode(clear); budget = (1 << (minCode + 1)) - eoi - 2 }
+      putCode(colors(c)); budget -= 1
+      p += 1
+    }
+    putCode(eoi)
+    if (accBits > 0) bitBuf.write((acc & 0xff).toInt)
+    val lzw = bitBuf.toByteArray
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    Some(out.toByteArray)
   }
 
   /** Minimal PNG encoder (color type 2, filter 0 rows, one IDAT) — exists

@@ -65,6 +65,10 @@ object MultimodalOps {
       ImageCodec.decodePng(payload)
         .map(r => (r.width, r.height, 1))
         .getOrElse(syntheticDecode(payload))
+    else if (ImageCodec.looksLikeGif(payload))
+      ImageCodec.decodeGif(payload)
+        .map(r => (r.width, r.height, 1))
+        .getOrElse(syntheticDecode(payload))
     else syntheticDecode(payload)
 
   private def hex(bytes: Array[Byte]): String = {

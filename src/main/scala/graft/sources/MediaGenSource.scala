@@ -61,11 +61,15 @@ object MediaGen {
   private def mix(z: Long): Long = DocGen.mix(z)
 
   /** (kind, mime) — a pure function of the CONTENT key so duplicate pairs
-    * agree on modality.
+    * agree on modality. The compressed-image slot alternates PNG and GIF
+    * so BOTH web compression families (DEFLATE and LZW) appear in any
+    * realistic slice of the corpus.
     */
   def kindOf(id: Long): (String, String) = (contentKey(id) % 4) match {
     case 0 => ("image", "image/x-portable-pixmap")
-    case 1 => ("image", "image/png")
+    case 1 =>
+      if ((mix(contentKey(id) + 11) & 1) == 0) ("image", "image/png")
+      else ("image", "image/gif")
     case 2 => ("audio", "audio/wav")
     case _ => ("video", "video/x-ppm-stream")
   }
@@ -92,7 +96,15 @@ object MediaGen {
     val ck = contentKey(id)
     val whole = (ck % 4) match {
       case 0 => ImageCodec.encodePpm(raster(ck * 131 + 5))
-      case 1 => ImageCodec.encodePng(raster(ck * 131 + 5))
+      case 1 =>
+        if ((mix(ck + 11) & 1) == 0) ImageCodec.encodePng(raster(ck * 131 + 5))
+        else {
+          // GIF needs <= 256 colors: quantize each channel to 4 levels
+          val r0 = raster(ck * 131 + 5)
+          val q = ImageCodec.Raster(r0.width, r0.height,
+            r0.rgb.map(b => (((b & 0xff) >> 6) * 85).toByte))
+          ImageCodec.encodeGif(q).get // 64 distinct colors max — always Some
+        }
       case 2 =>
         val n = 400 + (mix(ck) & 1023).toInt
         val samples = Array.tabulate(n)(i =>

@@ -73,6 +73,35 @@ object ImageCodecProps extends Properties("ImageCodec") {
         scala.util.Try(decodeImage(flipped)).isSuccess
     }
 
+  // rasters the GIF encoder accepts (<= 256 distinct colors): quantize
+  // each channel to 3 levels so distinct colors <= 27
+  private val gifRasters: Gen[Raster] = rasters.map { r =>
+    Raster(r.width, r.height, r.rgb.map(b => (((b & 0xff) / 86) * 100).toByte))
+  }
+
+  property("GIF encode -> decode is the identity (full LZW path)") =
+    forAllNoShrink(gifRasters) { r =>
+      val back = decodeGif(encodeGif(r).get).get
+      back.width == r.width && back.height == r.height && back.rgb.sameElements(r.rgb)
+    }
+
+  property("GIF totality: truncated / bit-flipped payloads never throw") =
+    forAllNoShrink(for {
+      r <- gifRasters
+      cut <- Gen.choose(0, 40)
+      flipAt <- Gen.choose(6, 60)
+      flipBit <- Gen.choose(0, 7)
+    } yield (r, cut, flipAt, flipBit)) { case (r, cut, flipAt, flipBit) =>
+      val enc = encodeGif(r).get
+      val truncated = enc.dropRight(math.min(cut, enc.length))
+      val flipped = enc.clone()
+      if (flipAt < flipped.length)
+        flipped(flipAt) = (flipped(flipAt) ^ (1 << flipBit)).toByte
+      scala.util.Try(decodeGif(truncated)).isSuccess &&
+        scala.util.Try(decodeGif(flipped)).isSuccess &&
+        scala.util.Try(decodeImage(flipped)).isSuccess
+    }
+
   property("resize to source dims is the identity; truncated payloads never throw") =
     forAllNoShrink(rasters) { r =>
       val same = resizeNearest(r, r.width, r.height)

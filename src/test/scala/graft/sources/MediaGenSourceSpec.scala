@@ -50,6 +50,7 @@ class MediaGenSourceSpec extends AnyFunSuite with SparkSpec {
       val ok = mime match {
         case "image/x-portable-pixmap" => ImageCodec.decodeImage(p).nonEmpty
         case "image/png" => ImageCodec.decodePng(p).nonEmpty
+        case "image/gif" => ImageCodec.decodeGif(p).nonEmpty
         case "audio/wav" => WavCodec.decodeWav(p).nonEmpty
         case "video/x-ppm-stream" => ImageCodec.decodePpmStream(p).nonEmpty
       }
