@@ -34,22 +34,48 @@ object IvfIncremental {
   private def vecDir(p: String) = s"$p/vectors"
   private def centDir(p: String) = s"$p/centroids"
 
-  /** Read the centroid table, completing a crashed swap if one is found.
-    * `centroids/` is only ever absent between [[addBatch]]'s two renames —
-    * at that point `centroids_staging` is already complete (it was fully
-    * written before the swap began), so finishing the swap is safe; the
-    * `centroids_old` fallback covers a staging dir lost to manual cleanup.
+  /** Complete a crashed stage-and-swap on `dir` if one is found. A swapped
+    * dir is only ever absent between the two renames — at that point
+    * `<dir>_staging` is already complete (it was fully written before the
+    * swap began), so finishing the swap is safe; the `<dir>_old` fallback
+    * covers a staging dir lost to manual cleanup.
     */
-  private def readCentroids(spark: SparkSession, indexPath: String): DataFrame = {
-    val cd = new org.apache.hadoop.fs.Path(centDir(indexPath))
+  private def completeSwap(spark: SparkSession, dir: String): Unit = {
+    val cd = new org.apache.hadoop.fs.Path(dir)
     val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cd)) {
-      val stg = new org.apache.hadoop.fs.Path(centDir(indexPath) + "_staging")
-      val old = new org.apache.hadoop.fs.Path(centDir(indexPath) + "_old")
+      val stg = new org.apache.hadoop.fs.Path(dir + "_staging")
+      val old = new org.apache.hadoop.fs.Path(dir + "_old")
       if (fs.exists(stg)) fs.rename(stg, cd)
       else if (fs.exists(old)) fs.rename(old, cd)
     }
+    (): Unit
+  }
+
+  /** Rename-old-aside swap: `tmp` (complete) replaces `dir`. No crash point
+    * leaves the index without a completable dir — [[completeSwap]] finishes
+    * an interrupted swap on next read.
+    */
+  private def swapInto(spark: SparkSession, tmp: String, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cd = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + "_old")
+    fs.delete(old, true)
+    fs.rename(cd, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), cd)
+    fs.delete(old, true)
+    (): Unit
+  }
+
+  private def readCentroids(spark: SparkSession, indexPath: String): DataFrame = {
+    completeSwap(spark, centDir(indexPath))
     spark.read.parquet(centDir(indexPath))
+  }
+
+  private def readVectors(spark: SparkSession, indexPath: String): DataFrame = {
+    completeSwap(spark, vecDir(indexPath))
+    spark.read.parquet(vecDir(indexPath))
   }
 
   /** Quantize raw float embeddings to the engine's integer vector form. */
@@ -121,6 +147,7 @@ object IvfIncremental {
     val cents = spark.createDataFrame(
       java.util.Arrays.asList(centSrc.collect(): _*), centSrc.schema)
     val assigned = assignTo(quantized(vecs), cents).persist()
+    completeSwap(spark, vecDir(indexPath)) // finish a crashed recluster swap first
     assigned.write.mode("append").partitionBy("cell").parquet(vecDir(indexPath))
     val merged = cellSums(assigned).unionByName(cents)
       .select(col("cell"), posexplode(col("csum")), col("cnt"))
@@ -134,19 +161,49 @@ object IvfIncremental {
     // (readCentroids completes an interrupted swap)
     val tmp = centDir(indexPath) + "_staging"
     merged.write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cd = new org.apache.hadoop.fs.Path(centDir(indexPath))
-    val old = new org.apache.hadoop.fs.Path(centDir(indexPath) + "_old")
-    fs.delete(old, true)
-    fs.rename(cd, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), cd)
-    fs.delete(old, true)
+    swapInto(spark, tmp, centDir(indexPath))
     // release the internal cache BEFORE returning: callers get a plan, not
     // a storage-memory obligation (round-6 advice — the DedupClusters leak
     // class). Recompute-on-consume is one broadcast pass over the batch.
     assigned.unpersist(false)
     assigned.select("vec_id", "cell")
+  }
+
+  /** Full re-bootstrap of the cell structure with the convergent Lloyd
+    * kernel ([[KMeans.fit]]) — the documented answer to centroid DRIFT:
+    * when per-cell counts show the accreted index has gone lopsided, this
+    * re-clusters in ONE job over the quantized `vectors/` store (never the
+    * raw corpus), re-partitions the vectors under the new cells, and
+    * rebuilds the centroid table as exact integer member sums (so probe's
+    * mean-dot ranking is consistent with what a fresh bootstrap + addBatch
+    * sequence would hold). Both directories move via the same
+    * stage-and-swap contract as addBatch's centroid rewrite; a crash at
+    * any point is completed by the next read. Cells that converge empty
+    * simply have no directory — probe never ranks them.
+    *
+    * Returns the fitted model (rounds / shift / convergence observables —
+    * the re-cluster audit record).
+    */
+  def recluster(spark: SparkSession, indexPath: String, nCells: Int,
+      maxRounds: Int = 10, tolSq: Long = 0L): KMeans.Model = {
+    graft.expressions.GraftFunctions.register(spark)
+    val stored = readVectors(spark, indexPath)
+      .select(col("vec_id"), col("q").as("v")).persist()
+    try {
+      val model = KMeans.fit(stored, nCells, maxRounds, tolSq)
+      val assigned = KMeans.assign(stored, model.centroids)
+        .select(col("vec_id"), col("v").as("q"), col("cell").cast("long").as("cell"))
+        .persist()
+      try {
+        val tmpV = vecDir(indexPath) + "_staging"
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(tmpV)
+        swapInto(spark, tmpV, vecDir(indexPath))
+        val tmpC = centDir(indexPath) + "_staging"
+        cellSums(assigned).write.mode("overwrite").parquet(tmpC)
+        swapInto(spark, tmpC, centDir(indexPath))
+      } finally { assigned.unpersist(false); () }
+      model
+    } finally { stored.unpersist(false); () }
   }
 
   /** Top-k by exact integer dot among the vectors of the `nprobe` cells
@@ -166,7 +223,7 @@ object IvfIncremental {
       .orderBy(col("score").desc, col("cell").asc)
       .limit(nprobe)
       .collect().map(_.getLong(0)) // nprobe ids: a bounded control-plane collect
-    spark.read.parquet(vecDir(indexPath))
+    readVectors(spark, indexPath)
       .filter(col("cell").isin(cells: _*))
       .crossJoin(broadcast(pq))
       // `cell` is a partition column on read, so its type is directory-name

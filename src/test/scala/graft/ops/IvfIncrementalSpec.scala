@@ -84,6 +84,58 @@ class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(got2.toSeq == want)
   }
 
+  test("recluster rebalances a drifted index with the convergent KMeans kernel") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-recluster").toString
+    val all = (0 until 120).map(i => (i.toLong, mkVec(i)))
+    // adversarial bootstrap: the first batch is ONLY cluster-0 vectors
+    // (ids ≡ 0 mod 4), so all 4 seed cells sit inside one true cluster —
+    // the drift scenario the recluster doc describes
+    val skewed = all.filter(_._1 % 4 == 0).toDF("vec_id", "embedding")
+    IvfIncremental.bootstrap(spark, skewed, nCells = 4, dir)
+    IvfIncremental.addBatch(spark, all.filter(_._1 % 4 != 0).toDF("vec_id", "embedding"), dir)
+
+    // pin the structural fact of drift: cells do NOT align 1:1 with the
+    // true clusters (here they COLLAPSE — near-identical cluster-0 seeds
+    // mean one seed's mean-dot dominates, so whole clusters pile into the
+    // same cell and most cells sit empty: no partition pruning left)
+    def cellsByCluster(): Map[Long, Set[Long]] =
+      spark.read.parquet(s"$dir/vectors")
+        .selectExpr("vec_id", "cast(cell as long) as cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1 % 4)
+        .map { case (c, xs) => (c, xs.map(_._2).toSet) }
+    val before = cellsByCluster()
+    val alignedBefore = before.values.forall(_.size == 1) &&
+      before.values.flatten.toSet.size == 4
+    assert(!alignedBefore, s"premise: drifted index must not be cluster-aligned: $before")
+
+    val model = IvfIncremental.recluster(spark, dir, nCells = 4, maxRounds = 15)
+    assert(model.converged, s"separable clusters must converge, shift=${model.lastShiftSq}")
+
+    // post-recluster: each true cluster maps to exactly one cell
+    val byCluster = cellsByCluster()
+    for ((c, cells) <- byCluster)
+      assert(cells.size == 1, s"cluster $c still split across $cells")
+    assert(byCluster.values.flatten.toSet.size == 4, "4 distinct balanced cells")
+
+    // full-probe exactness is preserved, and nprobe=1 now finds the
+    // global top-1 (cells align with clusters)
+    val probeVec = mkVec(3).map(_ * 0.9f)
+    val pq = quant(probeVec)
+    val want = all.map { case (id, v) => (id, dot(quant(v), pq)) }
+      .sortBy { case (id, d) => (-d, id) }.take(10)
+    val got = IvfIncremental.probe(spark, dir, probeVec, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == want)
+    val one = IvfIncremental.probe(spark, dir, probeVec, nprobe = 1, k = 1).collect()
+    assert(one.head.getLong(0) == want.head._1)
+
+    // the index keeps accreting normally after a recluster
+    val more = (120 until 140).map(i => (i.toLong, mkVec(i))).toDF("vec_id", "embedding")
+    IvfIncremental.addBatch(spark, more, dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == 140)
+  }
+
   test("probe completes an interrupted centroid swap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivf-crash").toString
