@@ -99,27 +99,33 @@ object IvfIncremental {
     graft.expressions.GraftFunctions.register(spark)
     val q = quantized(vecs).persist()
     val seeds = q.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cell"), col("q").as("cq"))
-    val assigned = assignTo(q, seeds.withColumn("cnt", lit(1L))
-      .select(col("cell"), col("cq").as("csum"), col("cnt")))
+      .select(col("vec_id"), col("q")).collect() // nCells rows — control plane
+    val assigned = assignTo(q,
+      seeds.map(r => (r.getLong(0), r.getSeq[Long](1).toArray, 1L)))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(vecDir(indexPath))
     cellSums(assigned).write.mode("overwrite").parquet(centDir(indexPath))
     q.unpersist(false): Unit
   }
 
-  /** Nearest-cell assignment: centroids broadcast, mean-dot ranking via one
-    * exact-integer dot + one double division per (vector, cell), top-1 by
-    * a max_by struct — one pass over the batch, no shuffle of the vectors.
+  /** Nearest-cell assignment, strictly NARROW: the #cells candidates fold
+    * in-row as one flat `greatest` over literal-centroid structs — mean-dot
+    * ranking via one codegen'd exact-integer dot + one double division per
+    * candidate, top-1 by (score, lower-cell tie). Zero Exchange: no #cells-
+    * way row fanout, no re-group on vec_id (the round-9 shape shuffled the
+    * full batch per call). Centroids arrive as driver-side rows — bounded
+    * by #cells, the control plane every caller already holds.
     */
-  private def assignTo(q: DataFrame, centroids: DataFrame): DataFrame =
-    q.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("q"), col("cell"),
-        (call_function("graft_dot_i64", col("q"), col("csum")).cast("double") / col("cnt"))
-          .as("score"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("q")),
-        struct(col("score"), (-col("cell")).as("tie"))).as("best"))
-      .select(col("vec_id"), col("best.q").as("q"), col("best.cell").as("cell"))
+  private def assignTo(q: DataFrame, centroids: Array[(Long, Array[Long], Long)]): DataFrame = {
+    val cands = centroids.map { case (cell, csum, cnt) =>
+      struct(
+        (call_function("graft_dot_i64", col("q"), typedlit(csum.toSeq)).cast("double")
+          / lit(cnt.toDouble)).as("score"),
+        lit(-cell).as("tie"),
+        lit(cell).as("cell"))
+    }
+    val best = if (cands.length == 1) cands.head else greatest(cands.toIndexedSeq: _*)
+    q.select(col("vec_id"), col("q"), best.getField("cell").as("cell"))
+  }
 
   /** Assign a new batch against the CURRENT centroids, append its vectors
     * to the partitioned store, and merge its per-cell integer sums into the
@@ -144,9 +150,12 @@ object IvfIncremental {
     // parquet read of centDir, which would silently re-read the NEW
     // centroids on any post-swap recompute.
     val centSrc = readCentroids(spark, indexPath)
+    val centRows = centSrc.collect() // #cells rows — control plane
     val cents = spark.createDataFrame(
-      java.util.Arrays.asList(centSrc.collect(): _*), centSrc.schema)
-    val assigned = assignTo(quantized(vecs), cents).persist()
+      java.util.Arrays.asList(centRows: _*), centSrc.schema)
+    val assigned = assignTo(quantized(vecs),
+      centRows.map(r => (r.getAs[Long]("cell"), r.getAs[Seq[Long]]("csum").toArray,
+        r.getAs[Long]("cnt")))).persist()
     completeSwap(spark, vecDir(indexPath)) // finish a crashed recluster swap first
     assigned.write.mode("append").partitionBy("cell").parquet(vecDir(indexPath))
     val merged = cellSums(assigned).unionByName(cents)

@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
   * the ONLY iterated state is the centroid table, k·dim int64s — control
   * plane, like [[DistributedRank]]'s offsets. Each round collects the k
   * updated centroids to the driver (k rows — bounded by k, not the corpus)
-  * and re-broadcasts them as literals, so round N's plan is always
-  * `persisted vecs ⋈ broadcast(k rows)` + one map-side-combined hash
-  * aggregate of `dim` sum columns: constant depth, no lineage growth, one
-  * corpus scan per round. Cost at 100 TB: rounds × (1 scan + a k×dim-cell
-  * exchange). The centroid-shift stop (`shiftSq ≤ tolSq`) is computed
+  * and re-embeds them as literals, so round N's plan is always
+  * scan → narrow in-row argmin fold ([[assign]] — zero Exchange) + one
+  * map-side-combined hash aggregate of `dim` sum columns keyed on cell:
+  * constant depth, no lineage growth, one corpus scan per round. Cost at
+  * 100 TB: rounds × (1 scan + a k×dim-cell exchange) — the corpus itself
+  * never shuffles. The centroid-shift stop (`shiftSq ≤ tolSq`) is computed
   * driver-side from the same collected rows — free.
   *
   * Empty cells keep their previous centroid (the standard Lloyd rule; any
@@ -95,24 +96,38 @@ object KMeans {
   }
 
   /** One exact argmin assignment pass of `vecs` against a centroid set:
-    * adds (`cell`, `d2`). One narrow scan, centroids broadcast, min_by over
-    * k candidates — the corpus never shuffles.
+    * adds (`cell`, `d2`). Strictly NARROW — the k candidates fold in-row as
+    * one flat `least` over literal-centroid structs, so the plan is
+    * scan → project with ZERO Exchange (the round-9 shape fanned each
+    * vector to k rows and re-grouped on vec_id, which at 100 TB was a full
+    * corpus shuffle per Lloyd round; the fold makes each round scan-bound).
+    *
+    * Arithmetic: |v|² is row-constant, so
+    * argmin_c (d² = |v|² − 2·v·c + |c|²) ≡ argmin_c (|c|² − 2·v·c) with the
+    * same (d², cell) lexicographic tie-break; the winner's d² is recovered
+    * with one extra self-dot. Each candidate's |c|² is precomputed on the
+    * driver (control plane) and its 2·v·c runs in the codegen'd
+    * `graft_dot_i64` kernel against a literal array — k+1 tight long-loop
+    * dots per row, all inside whole-stage codegen.
     */
   def assign(vecs: DataFrame, cents: Array[(Int, Array[Long])]): DataFrame = {
     val spark = vecs.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    import spark.implicits._
-    val centDf = cents.toSeq.toDF("cell", "cv")
+    val cands = cents.map { case (cell, cv) =>
+      var n2c = 0L
+      var i = 0
+      while (i < cv.length) { n2c += cv(i) * cv(i); i += 1 }
+      struct(
+        (lit(n2c) - lit(2L) * call_function("graft_dot_i64", col("v"), typedlit(cv.toSeq)))
+          .as("part"),
+        lit(cell).as("cell"))
+    }
+    val best = if (cands.length == 1) cands.head else least(cands.toIndexedSeq: _*)
     vecs
-      .withColumn("n2v", call_function("graft_dot_i64", col("v"), col("v")))
-      .crossJoin(broadcast(
-        centDf.withColumn("n2c", call_function("graft_dot_i64", col("cv"), col("cv")))))
-      .withColumn("d2",
-        col("n2v") - lit(2L) * call_function("graft_dot_i64", col("v"), col("cv")) + col("n2c"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cell"), col("d2")), struct(col("d2"), col("cell"))).as("best"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("best.cell").as("cell"), col("best.d2").as("d2"))
+      .select(col("vec_id"), col("v"), best.as("best"),
+        call_function("graft_dot_i64", col("v"), col("v")).as("n2v"))
+      .select(col("vec_id"), col("v"), col("best.cell").as("cell"),
+        (col("n2v") + col("best.part")).as("d2"))
   }
 
   /** Per-cell size + inertia summary of a fitted model over `vecs` — the

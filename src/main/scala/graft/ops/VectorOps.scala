@@ -127,13 +127,15 @@ object VectorOps extends Pack {
       // assignment metric in pure int64: d² = |v|² - 2·v·c + |c|², all
       // three terms via the codegen'd graft_dot_i64 kernel.
       //
-      // Scale shape, per Lloyd round: assignment is ONE narrow pass with
-      // the k-row centroid table broadcast (min_by over k candidates,
-      // argmin tiebroken on cell id — no shuffle of the corpus); the
-      // centroid update is ONE hash aggregate of 64 sum() columns keyed
-      // on cell (map-side combined, zero row inflation — the minhash-
-      // signature discipline, NOT a 64x posexplode). Cost per round at
-      // 100 TB: one corpus scan + a k×64-cell exchange.
+      // Scale shape, per Lloyd round: assignment is ONE strictly-narrow
+      // pass — the k candidates fold in-row as a flat least() over
+      // literal-centroid structs (argmin tiebroken on cell id), so the
+      // assignment stage has ZERO Exchange: no k-way row fanout, no
+      // re-group on vec_id, the corpus never shuffles. The centroid
+      // update is ONE hash aggregate of 64 sum() columns keyed on cell
+      // (map-side combined, zero row inflation — the minhash-signature
+      // discipline, NOT a 64x posexplode). Cost per round at 100 TB: one
+      // corpus scan + a k×64-cell exchange.
       // The Lloyd kernel itself lives in [[KMeans]] (multi-round, centroid-
       // shift convergence stop, driver-held k×dim control-plane state —
       // KMeansSpec pins the early halt). The ORACLE form runs exactly one
@@ -366,7 +368,12 @@ object VectorOps extends Pack {
         |  SELECT vec_id,
         |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT + 1000) AS v
         |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id < 8),
+        |c0 AS (
+        |  -- seed cells are RANK-indexed over the k lowest vec_ids (0..k-1),
+        |  -- mirroring KMeans.fit structurally — not vec_id-indexed, which
+        |  -- only coincides when vec_ids are 0-based contiguous
+        |  SELECT rn - 1 AS cell, v AS cv FROM (
+        |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM q) WHERE rn <= 8),
         |d1 AS (
         |  SELECT q.vec_id, c0.cell,
         |    list_sum(list_transform(q.v, (x, i) -> (x - c0.cv[i]) * (x - c0.cv[i])))::BIGINT AS d2
@@ -379,7 +386,13 @@ object VectorOps extends Pack {
         |  SELECT a1.cell, ii.i, sum(q.v[ii.i])::BIGINT AS s, count(*)::BIGINT AS n
         |  FROM a1 JOIN q USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i) ii
         |  GROUP BY a1.cell, ii.i),
-        |c1 AS (SELECT cell, list(s // n ORDER BY i) AS cv FROM s1 GROUP BY cell),
+        |c1u AS (SELECT cell, list(s // n ORDER BY i) AS cv FROM s1 GROUP BY cell),
+        |c1 AS (
+        |  -- a cell that emptied in round 1 KEEPS its seed centroid (the
+        |  -- standard Lloyd rule KMeans.fit applies), so the re-assignment
+        |  -- still ranks all k cells — not only the non-empty ones
+        |  SELECT c0.cell, coalesce(c1u.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN c1u USING (cell)),
         |d2t AS (
         |  SELECT q.vec_id, c1.cell,
         |    list_sum(list_transform(q.v, (x, i) -> (x - c1.cv[i]) * (x - c1.cv[i])))::BIGINT AS d2
@@ -517,7 +530,8 @@ object VectorOps extends Pack {
   /** Float k-NN JOIN — the production form of the oracle-checked
     * `sim_knn_join`: every corpus vector's top-k cosine neighbors, blocked
     * by IVF cell with an `nprobe` recall dial. Query vectors probe their
-    * `nprobe` nearest cell centroids (a broadcast of #cells tiny rows), so
+    * `nprobe` nearest cell centroids (#cells literal structs, ranked by an
+    * in-row sort_array fold — no corpus shuffle), so
     * cross-cell true neighbors are recovered as nprobe grows — at
     * nprobe = #cells this is EXACTLY brute force (the equivalence the spec
     * asserts), at nprobe = 1 it is the within-cell query. Cost scales as
@@ -535,15 +549,24 @@ object VectorOps extends Pack {
       .groupBy(col("label"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> cast(x.m as float))")
         .as("centroid"))
-    // each query vector's nprobe nearest cells (centroid table broadcasts)
-    val probes = corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"),
-        call_function("graft_cos_f32", col("embedding"), col("centroid")).as("ccos"))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("label").asc)))
-      .filter(col("crnk") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("label"))
+    // Each query vector's nprobe nearest cells, selected IN-ROW: the
+    // #cells centroid table is control plane (collected once), each cell
+    // becomes a literal-centroid candidate struct (-cos, label), and
+    // sort_array + slice keep the nprobe best per row — ascending struct
+    // order on (-cos, label) IS (cos desc, label asc). Strictly narrow up
+    // to the explode (×nprobe row growth, still no Exchange); the round-9
+    // shape re-grouped the full corpus on vec_id via a window just to rank
+    // #cells candidates.
+    val centRows = cent.collect() // #cells rows — control plane
+    val cellCands = centRows.map { r =>
+      struct(
+        (-call_function("graft_cos_f32", col("embedding"),
+          typedlit(r.getSeq[Float](1)))).as("nc"),
+        lit(r.get(0)).as("label"))
+    }
+    val probes = corpus.select(col("vec_id").as("q_id"),
+        explode(slice(sort_array(array(cellCands.toIndexedSeq: _*)), 1, nprobe)).as("c"))
+      .select(col("q_id"), col("c.label").as("label"))
     // candidates = members of each probed cell (a neighbor lives in exactly
     // one cell, so no pair duplicates); exact cosine ranks per query
     probes

@@ -11,19 +11,30 @@ Usage: python3 tools/plan_audit.py /tmp/explain_out.txt
 import sys, re
 
 # the only queries allowed a BroadcastNestedLoopJoin: a bounded band-range
-# join, the one-row-probe broadcasts, the k-row centroid broadcast
-# (ml_kmeans: every vector scores against all k=8 centroids by design),
-# the 1x1 combines of two single-row aggregates (agg_sketch_merge: exact
-# count x sketch estimate; graph_triangles: degree stats x triangle
-# count), and the days x types dimension scaffold (events_grid: both
-# sides group-bounded distinct sets — the one place a cross product is
-# the intended semantics) (see PLANS.md "Known intentional non-equi plans")
+# join, the one-row-probe broadcasts, the 1x1 combines of two single-row
+# aggregates (agg_sketch_merge: exact count x sketch estimate;
+# graph_triangles: degree stats x triangle count), and the days x types
+# dimension scaffold (events_grid: both sides group-bounded distinct
+# sets — the one place a cross product is the intended semantics)
+# (see PLANS.md "Known intentional non-equi plans"). ml_kmeans left this
+# list in round 10: its centroid candidates fold in-row (flat least() over
+# literal structs), so any join in its assignment stage is a regression.
 BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim_ann_ivf",
-                "sim_radius", "sim_sq8", "ml_kmeans", "agg_sketch_merge", "graph_triangles",
+                "sim_radius", "sim_sq8", "agg_sketch_merge", "graph_triangles",
                 "events_grid",
                 # scalar corpus-max (1-row aggregate) broadcast back onto the
                 # per-user frame — the standard scalar-subquery join shape
                 "events_rfm"}
+
+# Queries whose plans must have ZERO Exchange partitioned on vec_id — the
+# fanout-groupBy-argmin regression guard. These rank a bounded candidate
+# set per vector (k centroids / #cells); the correct shape folds the
+# argmin IN-ROW over literal candidate structs (KMeans.assign round 10),
+# so any hashpartitioning(vec_id...) Exchange means the k-way fanout +
+# re-group corpus shuffle came back. (sim_knn_join is NOT here: its
+# per-vector window ranks an unbounded within-cell candidate set — a
+# genuine top-k over data, planned with WindowGroupLimit.)
+NO_VEC_ID_EXCHANGE = {"ml_kmeans"}
 
 # Queries allowed a Window over an EMPTY partitionBy (global total order
 # through one partition). Empty on purpose: the pattern is banned — exact
@@ -70,6 +81,13 @@ def audit_section(name, body):
     for k, (i, nid, cls) in enumerate(headers):
         end = headers[k + 1][0] if k + 1 < len(headers) else len(lines)
         nodes[nid] = (cls, "\n".join(lines[i:end]))
+
+    # Fanout-argmin regression guard: no Exchange keyed on vec_id
+    if name in NO_VEC_ID_EXCHANGE:
+        for nid, (cls, detail) in nodes.items():
+            if cls == "Exchange" and re.search(r"hashpartitioning\(vec_id", detail):
+                bad.append(f"{name}: Exchange hashpartitioning(vec_id) (node {nid}) "
+                           "— the fanout-groupBy-argmin corpus shuffle is back")
 
     # Global windows: partitionSpec printed as an empty bracket group
     for nid, (cls, detail) in nodes.items():
@@ -179,6 +197,18 @@ Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=102]
 """
 
 
+FANOUT_ARGMIN = """\
+* HashAggregate (6)
++- Exchange (5)
+   +- * HashAggregate (4)
+      +- * BroadcastNestedLoopJoin Cross BuildRight (3)
+
+(5) Exchange
+Input [3]: [vec_id#2L, min#40, first#41]
+Arguments: hashpartitioning(vec_id#2L, 4), ENSURE_REQUIREMENTS, [plan_id=103]
+"""
+
+
 def selftest():
     red = audit_section("events_rfm", OLD_GLOBAL_WINDOW)
     assert any("empty partitionBy" in b for b in red), red
@@ -186,7 +216,13 @@ def selftest():
     assert audit_section("events_rfm", NEW_SHAPE) == []
     assert audit_section("events_rfm", SCALAR_AGG) == []
     assert audit_section("x", "CartesianProduct") == ["x: CartesianProduct"]
-    print("plan_audit selftest OK (old global-window shape RED, re-shaped plan GREEN)")
+    red = audit_section("ml_kmeans", FANOUT_ARGMIN)
+    assert any("fanout-groupBy-argmin" in b for b in red), red
+    assert any("unapproved BroadcastNestedLoopJoin" in b for b in red), red
+    assert audit_section("sim_knn_join", FANOUT_ARGMIN.replace(
+        "BroadcastNestedLoopJoin Cross BuildRight", "SortMergeJoin Inner")) == []
+    print("plan_audit selftest OK (old global-window shape RED, re-shaped plan GREEN, "
+          "ml_kmeans vec_id-exchange RED)")
 
 
 if __name__ == "__main__":
