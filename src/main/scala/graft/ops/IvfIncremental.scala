@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * Assignment ranks cells by mean dot product, computed as one IEEE double
   * division of two exact integers (bit-identical everywhere), ties broken
   * by cell id. Centroids DRIFT as batches accrete (the usual IVF trade);
-  * monitor per-cell counts and re-bootstrap when imbalance degrades recall
-  * — the re-cluster is one job over `vectors/`, not over raw embeddings.
+  * [[addBatchAuto]] closes the loop — it checks the #cells-row count table
+  * after every merge and fires [[recluster]] (one job over `vectors/`,
+  * never raw embeddings) past a documented imbalance threshold.
   *
   * Bootstrap seeds cells from the first batch's lowest vec_ids (a real
   * deployment would run a k-means pass; the incremental dataflow — assign,
@@ -33,6 +34,10 @@ object IvfIncremental {
 
   private def vecDir(p: String) = s"$p/vectors"
   private def centDir(p: String) = s"$p/centroids"
+  private def markerPath(p: String) = new org.apache.hadoop.fs.Path(s"$p/_recluster_commit")
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Complete a crashed stage-and-swap on `dir` if one is found. A swapped
     * dir is only ever absent between the two renames — at that point
@@ -68,12 +73,60 @@ object IvfIncremental {
     (): Unit
   }
 
+  /** Promote `<dir>_staging` to `<dir>` if a complete staging exists (the
+    * rename-old-aside swap), else finish any interrupted single-dir swap.
+    * Idempotent: every crash state inside re-runs to the same result.
+    */
+  private[ops] def promote(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val cd = new org.apache.hadoop.fs.Path(dir)
+    val stg = new org.apache.hadoop.fs.Path(dir + "_staging")
+    val old = new org.apache.hadoop.fs.Path(dir + "_old")
+    if (fs.exists(stg)) {
+      fs.delete(old, true)
+      if (fs.exists(cd)) fs.rename(cd, old)
+      fs.rename(stg, cd)
+      fs.delete(old, true)
+      (): Unit
+    } else completeSwap(spark, dir)
+  }
+
+  /** Atomically raise the recluster commit point: once the marker exists,
+    * BOTH staged tables are complete and the new clustering is the index's
+    * logical state — any reader finishes the swaps ([[repair]]) before
+    * reading. Created empty (existence IS the signal; no partial-content
+    * state to misread).
+    */
+  private[ops] def markCommit(spark: SparkSession, indexPath: String): Unit = {
+    fsOf(spark, indexPath).create(markerPath(indexPath), true).close()
+  }
+
+  /** Finish a marked recluster commit if one was interrupted: promote both
+    * staged tables (each promotion is idempotent over every mid-swap crash
+    * state), then drop the marker. Without a marker, any leftover staging
+    * is a PRE-commit crash artifact — the live pair is authoritative and
+    * the staging is ignored (the next recluster overwrites it). Called by
+    * both read paths, so no caller can observe vectors/ partitioned by one
+    * clustering while centroids/ holds another.
+    */
+  private[ops] def repair(spark: SparkSession, indexPath: String): Unit = {
+    val fs = fsOf(spark, indexPath)
+    if (fs.exists(markerPath(indexPath))) {
+      promote(spark, vecDir(indexPath))
+      promote(spark, centDir(indexPath))
+      fs.delete(markerPath(indexPath), false)
+      (): Unit
+    }
+  }
+
   private def readCentroids(spark: SparkSession, indexPath: String): DataFrame = {
+    repair(spark, indexPath)
     completeSwap(spark, centDir(indexPath))
     spark.read.parquet(centDir(indexPath))
   }
 
   private def readVectors(spark: SparkSession, indexPath: String): DataFrame = {
+    repair(spark, indexPath)
     completeSwap(spark, vecDir(indexPath))
     spark.read.parquet(vecDir(indexPath))
   }
@@ -185,15 +238,34 @@ object IvfIncremental {
     * raw corpus), re-partitions the vectors under the new cells, and
     * rebuilds the centroid table as exact integer member sums (so probe's
     * mean-dot ranking is consistent with what a fresh bootstrap + addBatch
-    * sequence would hold). Both directories move via the same
-    * stage-and-swap contract as addBatch's centroid rewrite; a crash at
-    * any point is completed by the next read. Cells that converge empty
-    * simply have no directory — probe never ranks them.
+    * sequence would hold).
+    *
+    * Crash contract (the two tables must move TOGETHER — vectors
+    * partitioned by new cell ids against old centroids would silently rank
+    * wrong): BOTH stagings are fully written first, then an empty marker
+    * file is atomically created — the commit point — then the two swaps
+    * run and the marker is dropped. A crash before the marker leaves the
+    * old pair live (stagings are ignored garbage, overwritten by the next
+    * recluster); a crash after it is finished by [[repair]] on the next
+    * read, whichever swap it died in. No interleaving serves a mixed pair.
+    * Cells that converge empty simply have no directory — probe never
+    * ranks them.
     *
     * Returns the fitted model (rounds / shift / convergence observables —
     * the re-cluster audit record).
     */
   def recluster(spark: SparkSession, indexPath: String, nCells: Int,
+      maxRounds: Int = 10, tolSq: Long = 0L): KMeans.Model = {
+    val model = stageRecluster(spark, indexPath, nCells, maxRounds, tolSq)
+    commitStaged(spark, indexPath)
+    model
+  }
+
+  /** Phase 1 of [[recluster]]: fit + write BOTH staged tables, touching
+    * neither live directory. Package-private so the spec can construct
+    * every crash state between staging and commit.
+    */
+  private[ops] def stageRecluster(spark: SparkSession, indexPath: String, nCells: Int,
       maxRounds: Int = 10, tolSq: Long = 0L): KMeans.Model = {
     graft.expressions.GraftFunctions.register(spark)
     val stored = readVectors(spark, indexPath)
@@ -204,15 +276,54 @@ object IvfIncremental {
         .select(col("vec_id"), col("v").as("q"), col("cell").cast("long").as("cell"))
         .persist()
       try {
-        val tmpV = vecDir(indexPath) + "_staging"
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(tmpV)
-        swapInto(spark, tmpV, vecDir(indexPath))
-        val tmpC = centDir(indexPath) + "_staging"
-        cellSums(assigned).write.mode("overwrite").parquet(tmpC)
-        swapInto(spark, tmpC, centDir(indexPath))
+        assigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(vecDir(indexPath) + "_staging")
+        cellSums(assigned).write.mode("overwrite")
+          .parquet(centDir(indexPath) + "_staging")
       } finally { assigned.unpersist(false); () }
       model
     } finally { stored.unpersist(false); () }
+  }
+
+  /** Phase 2 of [[recluster]]: raise the commit marker, promote both staged
+    * tables, drop the marker — identical to what [[repair]] replays after a
+    * mid-commit crash.
+    */
+  private[ops] def commitStaged(spark: SparkSession, indexPath: String): Unit = {
+    markCommit(spark, indexPath)
+    promote(spark, vecDir(indexPath))
+    promote(spark, centDir(indexPath))
+    fsOf(spark, indexPath).delete(markerPath(indexPath), false)
+    (): Unit
+  }
+
+  /** Recluster trigger policy for [[addBatchAuto]]: fire when
+    * `imbalance = max(cnt) · nCells / Σcnt` (perfectly balanced = 1,
+    * everything-in-one-cell = nCells) reaches `skewRatio`. Missing centroid
+    * rows (cells that emptied) inflate the metric by construction — a
+    * collapsed index trips the trigger even though its one hot cell is the
+    * only row left. `maxRounds`/`tolSq` pass through to the Lloyd kernel.
+    */
+  final case class AutoPolicy(skewRatio: Double = 4.0, maxRounds: Int = 10, tolSq: Long = 0L)
+
+  /** [[addBatch]] with the drift loop CLOSED: after the batch merges, read
+    * the #cells-row centroid counts (control plane — no corpus pass) and
+    * fire [[recluster]] when the documented imbalance threshold is hit, so
+    * accretion skew self-heals instead of waiting for a manual monitor.
+    * Returns (batch assignments, whether a recluster fired). The returned
+    * assignments are the PRE-recluster cells that were appended — after a
+    * fired recluster the store's authoritative cells may differ; re-read
+    * `vectors/` when the flag is true and exact post-state matters.
+    */
+  def addBatchAuto(spark: SparkSession, vecs: DataFrame, indexPath: String,
+      nCells: Int, policy: AutoPolicy = AutoPolicy()): (DataFrame, Boolean) = {
+    val assigned = addBatch(spark, vecs, indexPath)
+    val counts = readCentroids(spark, indexPath)
+      .select(col("cnt")).collect().map(_.getLong(0)) // #cells rows — control plane
+    val imbalance = counts.max.toDouble * nCells / counts.sum
+    val fire = imbalance >= policy.skewRatio
+    if (fire) recluster(spark, indexPath, nCells, policy.maxRounds, policy.tolSq): Unit
+    (assigned, fire)
   }
 
   /** Top-k by exact integer dot among the vectors of the `nprobe` cells

@@ -136,6 +136,118 @@ class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$dir/vectors").count() == 140)
   }
 
+  test("recluster commit is atomic: every crash state yields a matched (vectors, centroids) pair") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val all = (0 until 80).map(i => (i.toLong, mkVec(i)))
+
+    // drifted index fixture: cluster-0-only bootstrap, rest added after
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ivf-atomic").toString
+      IvfIncremental.bootstrap(spark,
+        all.filter(_._1 % 4 == 0).toDF("vec_id", "embedding"), nCells = 4, dir)
+      IvfIncremental.addBatch(spark,
+        all.filter(_._1 % 4 != 0).toDF("vec_id", "embedding"), dir)
+      dir
+    }
+    def fsOf(dir: String) =
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellMap(dir: String): Map[Long, Long] =
+      spark.read.parquet(s"$dir/vectors")
+        .selectExpr("vec_id", "cast(cell as long) as cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the invariant the round-9 shape could break: the centroid table and
+    // the vector partitioning must describe the SAME clustering — equal
+    // cell sets AND per-cell counts
+    def assertMatched(dir: String): Unit = {
+      // probe FIRST: the API read path runs repair, which is the guarantee
+      // under test — only after it may the raw directories be inspected
+      val probeVec = mkVec(3).map(_ * 0.9f)
+      val pq = quant(probeVec)
+      val want = all.map { case (id, v) => (id, dot(quant(v), pq)) }
+        .sortBy { case (id, d) => (-d, id) }.take(5)
+      val got = IvfIncremental.probe(spark, dir, probeVec, nprobe = 4, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.toSeq == want)
+      val vecCells = cellMap(dir).groupBy(_._2).map { case (c, xs) => (c, xs.size.toLong) }
+      val centCells = spark.read.parquet(s"$dir/centroids")
+        .selectExpr("cell", "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(vecCells == centCells,
+        s"vectors/centroids describe different clusterings: $vecCells vs $centCells")
+    }
+
+    // crash BEFORE the marker: stagings are complete but the commit never
+    // happened — the OLD pair stays live and intact, stagings are inert
+    val a = build()
+    val beforeA = cellMap(a)
+    IvfIncremental.stageRecluster(spark, a, nCells = 4, maxRounds = 15)
+    assert(fsOf(a).exists(new Path(s"$a/vectors_staging")))
+    assert(cellMap(a) == beforeA, "pre-commit crash must not touch the live pair")
+    assertMatched(a)
+
+    // crash AFTER the marker, before any swap: the next read finishes BOTH
+    // swaps — the index serves the new clustering, marker and stagings gone
+    val b = build()
+    IvfIncremental.stageRecluster(spark, b, nCells = 4, maxRounds = 15)
+    IvfIncremental.markCommit(spark, b)
+    assertMatched(b)
+    assert(!fsOf(b).exists(new Path(s"$b/_recluster_commit")), "repair must drop the marker")
+    assert(!fsOf(b).exists(new Path(s"$b/vectors_staging")))
+    assert(!fsOf(b).exists(new Path(s"$b/centroids_staging")))
+    val bCells = cellMap(b).groupBy(_._2).map { case (c, xs) => (c, xs.size) }
+    assert(bCells.values.forall(_ == 20), s"repaired index must hold the NEW clustering: $bCells")
+
+    // crash BETWEEN the two swaps (the round-9 silent-mismatch window):
+    // vectors already promoted, centroids still old — repair must finish
+    // the centroid swap before anything reads
+    val c = build()
+    IvfIncremental.stageRecluster(spark, c, nCells = 4, maxRounds = 15)
+    IvfIncremental.markCommit(spark, c)
+    IvfIncremental.promote(spark, s"$c/vectors")
+    assertMatched(c)
+    assert(!fsOf(c).exists(new Path(s"$c/_recluster_commit")))
+    assert(!fsOf(c).exists(new Path(s"$c/centroids_staging")))
+  }
+
+  test("addBatchAuto self-heals accretion skew: trigger fires, rebalances, then stays quiet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-auto").toString
+    val all = (0 until 120).map(i => (i.toLong, mkVec(i)))
+    // adversarial accretion: cluster-0-only bootstrap collapses the cell
+    // structure (all 4 seeds inside one true cluster), so the batch that
+    // follows piles every vector into one hot cell — no pruning left
+    IvfIncremental.bootstrap(spark,
+      all.filter(_._1 % 4 == 0).take(30).toDF("vec_id", "embedding"), nCells = 4, dir)
+
+    val (assigned, fired) = IvfIncremental.addBatchAuto(spark,
+      all.filterNot(v => v._1 % 4 == 0 && v._1 < 120).toDF("vec_id", "embedding"),
+      dir, nCells = 4)
+    assert(assigned.count() == 90)
+    assert(fired, "collapsed cell structure must trip the imbalance trigger")
+
+    // the fired recluster restored a balanced, cluster-aligned index with
+    // no manual call: 4 partition dirs, nprobe=1 finds the global top-1
+    val cellDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).count(_.startsWith("cell="))
+    assert(cellDirs == 4, s"expected 4 balanced cell partitions, got $cellDirs")
+    val probeVec = mkVec(1).map(_ * 0.9f)
+    val pq = quant(probeVec)
+    val want = all.map { case (id, v) => (id, dot(quant(v), pq)) }
+      .sortBy { case (id, d) => (-d, id) }.take(5)
+    val got = IvfIncremental.probe(spark, dir, probeVec, nprobe = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == want)
+    val one = IvfIncremental.probe(spark, dir, probeVec, nprobe = 1, k = 1).collect()
+    assert(one.head.getLong(0) == want.head._1)
+
+    // a healthy follow-up batch must NOT re-fire (imbalance stays low)
+    val more = (120 until 140).map(i => (i.toLong, mkVec(i))).toDF("vec_id", "embedding")
+    val (_, fired2) = IvfIncremental.addBatchAuto(spark, more, dir, nCells = 4)
+    assert(!fired2, "balanced index must not re-trigger a recluster")
+    assert(spark.read.parquet(s"$dir/vectors").count() == 140)
+  }
+
   test("probe completes an interrupted centroid swap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivf-crash").toString
