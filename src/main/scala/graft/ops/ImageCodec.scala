@@ -47,12 +47,17 @@ object ImageCodec {
     b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
       b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
 
+  def looksLikeJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
   /** Decode a single image payload of any supported still format. */
   def decodeImage(b: Array[Byte]): Option[Raster] =
     if (looksLikePpm(b)) decodePpmAt(b, 0).map(_._1)
     else if (looksLikeBmp(b)) decodeBmp(b)
     else if (looksLikePng(b)) decodePng(b)
     else if (looksLikeGif(b)) decodeGif(b)
+    else if (looksLikeJpeg(b)) decodeJpeg(b)
     else None
 
   // -------------------------------------------------------------------- PPM
