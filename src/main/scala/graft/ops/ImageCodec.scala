@@ -57,7 +57,7 @@ object ImageCodec {
     else if (looksLikeBmp(b)) decodeBmp(b)
     else if (looksLikePng(b)) decodePng(b)
     else if (looksLikeGif(b)) decodeGif(b)
-    else if (looksLikeJpeg(b)) decodeJpeg(b)
+    else if (looksLikeJpeg(b)) JpegCodec.decode(b)
     else None
 
   // -------------------------------------------------------------------- PPM

@@ -12,15 +12,16 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.ops.{ImageCodec, WavCodec}
+import graft.ops.{ImageCodec, JpegCodec, WavCodec}
 
 /** DataSource V2 synthetic MEDIA-corpus generator — [[DocGenSource]]'s
   * binary sibling, so the multimodal plane ([[graft.ops.MultimodalPrep]],
   * the codec kernels) can be exercised and BENCHED at any scale without
-  * shipping fixture bytes: payloads are REAL encoded media (PPM and PNG
-  * stills through [[ImageCodec]]'s encoders, 16-bit PCM WAV through
-  * [[WavCodec]], multi-frame PPM streams as video), generated on the
-  * executors as a pure function of `media_id`.
+  * shipping fixture bytes: payloads are REAL encoded media (PPM, PNG, GIF
+  * stills through [[ImageCodec]]'s encoders, entropy-coded baseline JPEG
+  * through [[JpegCodec]], 16-bit PCM WAV through [[WavCodec]], multi-frame
+  * PPM streams as video), generated on the executors as a pure function of
+  * `media_id`.
   *
   * Corpus realism knobs, all deterministic:
   *   - ~10% exact duplicates: ids ending in 9 replay the content of the
@@ -61,15 +62,17 @@ object MediaGen {
   private def mix(z: Long): Long = DocGen.mix(z)
 
   /** (kind, mime) — a pure function of the CONTENT key so duplicate pairs
-    * agree on modality. The compressed-image slot alternates PNG and GIF
-    * so BOTH web compression families (DEFLATE and LZW) appear in any
-    * realistic slice of the corpus.
+    * agree on modality. The compressed-image slot rotates PNG / GIF / JPEG
+    * so all three web image families (DEFLATE, LZW, and lossy DCT) appear
+    * in any realistic slice of the corpus.
     */
   def kindOf(id: Long): (String, String) = (contentKey(id) % 4) match {
     case 0 => ("image", "image/x-portable-pixmap")
-    case 1 =>
-      if ((mix(contentKey(id) + 11) & 1) == 0) ("image", "image/png")
-      else ("image", "image/gif")
+    case 1 => (math.floorMod(mix(contentKey(id) + 11), 3): @unchecked) match {
+      case 0 => ("image", "image/png")
+      case 1 => ("image", "image/gif")
+      case 2 => ("image", "image/jpeg")
+    }
     case 2 => ("audio", "audio/wav")
     case _ => ("video", "video/x-ppm-stream")
   }
@@ -96,15 +99,17 @@ object MediaGen {
     val ck = contentKey(id)
     val whole = (ck % 4) match {
       case 0 => ImageCodec.encodePpm(raster(ck * 131 + 5))
-      case 1 =>
-        if ((mix(ck + 11) & 1) == 0) ImageCodec.encodePng(raster(ck * 131 + 5))
-        else {
+      case 1 => (math.floorMod(mix(ck + 11), 3): @unchecked) match {
+        case 0 => ImageCodec.encodePng(raster(ck * 131 + 5))
+        case 1 =>
           // GIF needs <= 256 colors: quantize each channel to 4 levels
           val r0 = raster(ck * 131 + 5)
           val q = ImageCodec.Raster(r0.width, r0.height,
             r0.rgb.map(b => (((b & 0xff) >> 6) * 85).toByte))
           ImageCodec.encodeGif(q).get // 64 distinct colors max — always Some
-        }
+        case 2 => // the lossy family: full entropy-coded baseline 4:2:0
+          JpegCodec.encode(raster(ck * 131 + 5), quality = 85, subsample420 = true)
+      }
       case 2 =>
         val n = 400 + (mix(ck) & 1023).toInt
         val samples = Array.tabulate(n)(i =>
