@@ -35,6 +35,32 @@ object IvfIncremental {
   private def vecDir(p: String) = s"$p/vectors"
   private def centDir(p: String) = s"$p/centroids"
   private def markerPath(p: String) = new org.apache.hadoop.fs.Path(s"$p/_recluster_commit")
+  private def cellTargetPath(p: String) = new org.apache.hadoop.fs.Path(s"$p/_cell_target")
+
+  /** Persist the index's AUTHORITATIVE cell-structure target (the nCells
+    * its current clustering was built toward). [[addBatchAuto]]'s imbalance
+    * trigger scales by this, NOT the caller-passed value — a stale caller
+    * argument must not silently rescale the threshold (too small would
+    * suppress reclustering, too large would fire spuriously).
+    */
+  private def writeCellTarget(spark: SparkSession, indexPath: String, nCells: Int): Unit = {
+    val out = fsOf(spark, indexPath).create(cellTargetPath(indexPath), true)
+    out.write(nCells.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private[ops] def readCellTarget(spark: SparkSession, indexPath: String): Option[Int] = {
+    val fs = fsOf(spark, indexPath)
+    if (!fs.exists(cellTargetPath(indexPath))) None
+    else {
+      val in = fs.open(cellTargetPath(indexPath))
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(0, n), "UTF-8").trim.toIntOption
+      } finally in.close()
+    }
+  }
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -157,26 +183,57 @@ object IvfIncremental {
       seeds.map(r => (r.getLong(0), r.getSeq[Long](1).toArray, 1L)))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(vecDir(indexPath))
     cellSums(assigned).write.mode("overwrite").parquet(centDir(indexPath))
+    writeCellTarget(spark, indexPath, nCells)
     q.unpersist(false): Unit
   }
 
-  /** Nearest-cell assignment, strictly NARROW: the #cells candidates fold
-    * in-row as one flat `greatest` over literal-centroid structs — mean-dot
-    * ranking via one codegen'd exact-integer dot + one double division per
-    * candidate, top-1 by (score, lower-cell tie). Zero Exchange: no #cells-
-    * way row fanout, no re-group on vec_id (the round-9 shape shuffled the
-    * full batch per call). Centroids arrive as driver-side rows — bounded
-    * by #cells, the control plane every caller already holds.
+  /** Nearest-cell assignment, strictly NARROW in both shapes: mean-dot
+    * ranking (one codegen'd exact-integer dot + one double division per
+    * candidate), top-1 by (score, lower-cell tie). Zero Exchange: no
+    * #cells-way row fanout, no re-group on vec_id (the round-9 shape
+    * shuffled the full batch per call). Centroids arrive as driver-side
+    * rows — bounded by #cells, the control plane every caller already
+    * holds. ≤ [[KMeans.MaxLiteralFoldCells]] cells take the flat
+    * `greatest` over per-candidate literal structs (all-codegen); above
+    * that, the single-literal `aggregate` fold whose plan size is O(1) in
+    * #cells (see [[KMeans.MaxLiteralFoldCells]] for the trade). An EMPTY
+    * centroid set yields an empty assignment frame with the output schema
+    * (not an analysis-time crash) — the bootstrap-over-empty-batch edge.
     */
-  private def assignTo(q: DataFrame, centroids: Array[(Long, Array[Long], Long)]): DataFrame = {
-    val cands = centroids.map { case (cell, csum, cnt) =>
-      struct(
-        (call_function("graft_dot_i64", col("q"), typedlit(csum.toSeq)).cast("double")
-          / lit(cnt.toDouble)).as("score"),
-        lit(-cell).as("tie"),
-        lit(cell).as("cell"))
-    }
-    val best = if (cands.length == 1) cands.head else greatest(cands.toIndexedSeq: _*)
+  private[ops] def assignTo(q: DataFrame, centroids: Array[(Long, Array[Long], Long)]): DataFrame =
+    if (centroids.isEmpty)
+      q.select(col("vec_id"), col("q"), lit(0L).as("cell")).limit(0)
+    else if (centroids.length <= KMeans.MaxLiteralFoldCells) {
+      val cands = centroids.map { case (cell, csum, cnt) =>
+        struct(
+          (call_function("graft_dot_i64", col("q"), typedlit(csum.toSeq)).cast("double")
+            / lit(cnt.toDouble)).as("score"),
+          lit(-cell).as("tie"),
+          lit(cell).as("cell"))
+      }
+      val best = if (cands.length == 1) cands.head else greatest(cands.toIndexedSeq: _*)
+      q.select(col("vec_id"), col("q"), best.getField("cell").as("cell"))
+    } else assignToFolded(q, centroids)
+
+  /** Large-#cells shape: ONE typed literal holding every (cell, csum, cnt)
+    * plus an `aggregate` argmax lambda with the identical (score, lower
+    * cell) tie-break — package-visible so the spec can pin bit-parity with
+    * the flat shape without constructing 500+ cells.
+    */
+  private[ops] def assignToFolded(q: DataFrame,
+      centroids: Array[(Long, Array[Long], Long)]): DataFrame = {
+    val centLit = typedlit(centroids.map { case (cell, csum, cnt) => (cell, csum.toSeq, cnt) }.toSeq)
+    val best = aggregate(
+      centLit,
+      struct(lit(Double.NegativeInfinity).as("score"), lit(Long.MaxValue).as("cell")),
+      (acc, c) => {
+        val score = call_function("graft_dot_i64", col("q"), c.getField("_2")).cast("double") /
+          c.getField("_3").cast("double")
+        val cell = c.getField("_1")
+        val better = (score > acc.getField("score")) ||
+          (score === acc.getField("score") && cell < acc.getField("cell"))
+        when(better, struct(score.as("score"), cell.as("cell"))).otherwise(acc)
+      })
     q.select(col("vec_id"), col("q"), best.getField("cell").as("cell"))
   }
 
@@ -258,6 +315,10 @@ object IvfIncremental {
       maxRounds: Int = 10, tolSq: Long = 0L): KMeans.Model = {
     val model = stageRecluster(spark, indexPath, nCells, maxRounds, tolSq)
     commitStaged(spark, indexPath)
+    // the new clustering's target is now authoritative for the auto trigger
+    // (written post-commit: a crash between the two leaves a stale target —
+    // recoverable noise in the trigger scale, never a wrong index)
+    writeCellTarget(spark, indexPath, nCells)
     model
   }
 
@@ -298,11 +359,13 @@ object IvfIncremental {
   }
 
   /** Recluster trigger policy for [[addBatchAuto]]: fire when
-    * `imbalance = max(cnt) · nCells / Σcnt` (perfectly balanced = 1,
-    * everything-in-one-cell = nCells) reaches `skewRatio`. Missing centroid
-    * rows (cells that emptied) inflate the metric by construction — a
-    * collapsed index trips the trigger even though its one hot cell is the
-    * only row left. `maxRounds`/`tolSq` pass through to the Lloyd kernel.
+    * `imbalance = max(cnt) · cellTarget / Σcnt` (perfectly balanced = 1,
+    * everything-in-one-cell = cellTarget) reaches `skewRatio`, where
+    * cellTarget is the index's PERSISTED structure target (see
+    * [[readCellTarget]]). Missing centroid rows (cells that emptied)
+    * inflate the metric by construction — a collapsed index trips the
+    * trigger even though its one hot cell is the only row left.
+    * `maxRounds`/`tolSq` pass through to the Lloyd kernel.
     */
   final case class AutoPolicy(skewRatio: Double = 4.0, maxRounds: Int = 10, tolSq: Long = 0L)
 
@@ -320,7 +383,15 @@ object IvfIncremental {
     val assigned = addBatch(spark, vecs, indexPath)
     val counts = readCentroids(spark, indexPath)
       .select(col("cnt")).collect().map(_.getLong(0)) // #cells rows — control plane
-    val imbalance = counts.max.toDouble * nCells / counts.sum
+    // imbalance scales by the INDEX's persisted cell target (what the live
+    // clustering was built toward), not the caller's nCells: a stale caller
+    // value must not rescale the trigger. The caller's nCells stays the
+    // TARGET of the recluster that fires — passing a larger value than the
+    // persisted one is how an index legitimately grows its cell count.
+    // Pre-upgrade indexes without the persisted target fall back to the
+    // caller's value (the old behavior).
+    val structureCells = readCellTarget(spark, indexPath).getOrElse(nCells)
+    val imbalance = counts.max.toDouble * structureCells / counts.sum
     val fire = imbalance >= policy.skewRatio
     if (fire) recluster(spark, indexPath, nCells, policy.maxRounds, policy.tolSq): Unit
     (assigned, fire)

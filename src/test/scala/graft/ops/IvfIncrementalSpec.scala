@@ -274,4 +274,44 @@ class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(got2.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq)
     assert(fs.exists(cd) && !fs.exists(old))
   }
+
+  test("assignToFolded (large-#cells shape) is bit-equal to the flat fold; empty set guarded") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val q = (0 until 40).map(i => (i.toLong, quant(mkVec(i)))).toDF("vec_id", "q")
+    val cents: Array[(Long, Array[Long], Long)] = (0 until 4).map { c =>
+      val members = (0 until 40).filter(_ % 4 == c).map(i => quant(mkVec(i)))
+      val sums = (0 until 8).map(d => members.map(_(d)).sum).toArray
+      (c.toLong, sums, members.size.toLong)
+    }.toArray
+    val flat = IvfIncremental.assignTo(q, cents).orderBy("vec_id").collect()
+    val folded = IvfIncremental.assignToFolded(q, cents).orderBy("vec_id").collect()
+    assert(flat.length == 40 && flat.sameElements(folded))
+    // a duplicated centroid ties every row's best score: lower cell wins
+    // in BOTH shapes (the greatest()-with-negated-tie vs lambda parity)
+    val dup = Array((3L, cents(0)._2, cents(0)._3), (9L, cents(0)._2, cents(0)._3))
+    val ft = IvfIncremental.assignTo(q, dup).select($"cell").collect().map(_.getLong(0))
+    val fo = IvfIncremental.assignToFolded(q, dup).select($"cell").collect().map(_.getLong(0))
+    assert(ft.forall(_ == 3L) && fo.forall(_ == 3L))
+    // empty centroid set: empty frame with the assigned schema, no throw
+    // (the bootstrap-over-empty-batch edge — used to die at analysis time)
+    val e = IvfIncremental.assignTo(q, Array.empty)
+    assert(e.columns.toSeq == Seq("vec_id", "q", "cell") && e.count() == 0)
+  }
+
+  test("addBatchAuto trigger scales by the persisted cell target, not the caller's nCells") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-auto-stale").toString
+    val all = (0 until 80).map(i => (i.toLong, mkVec(i)))
+    IvfIncremental.bootstrap(spark, all.take(40).toDF("vec_id", "embedding"), nCells = 4, dir)
+    assert(IvfIncremental.readCellTarget(spark, dir).contains(4))
+    // balanced 4-cell index + a wildly overstated caller nCells: scaling by
+    // the caller's value would read imbalance ≈ 0.25·100 = 25 and fire
+    // spuriously; the persisted structure target (4) reads ≈ 1 and stays
+    // quiet. The caller value remains the recluster TARGET when a real
+    // trigger fires — it must just not rescale the trigger itself.
+    val (_, fired) = IvfIncremental.addBatchAuto(spark,
+      all.drop(40).toDF("vec_id", "embedding"), dir, nCells = 100)
+    assert(!fired, "a balanced index must not fire from a stale caller nCells")
+  }
 }

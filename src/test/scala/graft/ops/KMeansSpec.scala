@@ -114,6 +114,25 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     } finally { vecs.unpersist(); () }
   }
 
+  test("assignFolded (the large-k shape) is bit-equal to assignFlat, ties included") {
+    val vecs = clustered()
+    val m = KMeans.fit(vecs, k = 3, maxRounds = 5)
+    val flat = KMeans.assignFlat(vecs, m.centroids).orderBy("vec_id").collect()
+    val folded = KMeans.assignFolded(vecs, m.centroids).orderBy("vec_id").collect()
+    assert(flat.length == 60 && flat.sameElements(folded),
+      "shape dispatch must be invisible in the output")
+    // duplicate centroids force an exact (part) tie on every row: both
+    // shapes must break to the LOWER cell id
+    val dup = Array((2, m.centroids(0)._2), (7, m.centroids(0)._2))
+    val ft = KMeans.assignFlat(vecs, dup).select(col("cell")).collect().map(_.getInt(0))
+    val fo = KMeans.assignFolded(vecs, dup).select(col("cell")).collect().map(_.getInt(0))
+    assert(ft.forall(_ == 2) && fo.forall(_ == 2), "tie must break to the lower cell")
+    // the public dispatch rejects an empty centroid set with a clear error
+    assertThrows[IllegalArgumentException] {
+      KMeans.assign(vecs, Array.empty[(Int, Array[Long])])
+    }
+  }
+
   test("fit leaves no persisted RDDs behind (centroids are driver state)") {
     val vecs = clustered().persist()
     try {

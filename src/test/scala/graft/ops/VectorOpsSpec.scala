@@ -83,6 +83,49 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     one.foreach { case (q, n) => assert(labelOf(q) == labelOf(n)) }
   }
 
+  test("knnJoinCells: folded centroid ranking (large-#cells shape) matches the flat shape") {
+    import spark.implicits._
+    // small deterministic corpus, 3 cells; forcing maxFlatCells = 0 routes
+    // through the 1-row-broadcast transform() fold that production uses
+    // above MaxLiteralFoldCells — results must be indistinguishable
+    val rows = for (c <- 0 until 3; j <- 0 until 6) yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == c) 1.0f else 0.0f) + ((c * 11 + j * 7 + d * 3) % 5) * 0.01f)
+      ((c * 6 + j).toLong, c, v)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"), r.getAs[Long]("n_id"),
+        r.getAs[Float]("cosine"))
+    val flat = VectorOps.knnJoinCells(df, k = 3, nprobe = 2).collect().map(norm).sorted
+    val folded = VectorOps.knnJoinCells(df, k = 3, nprobe = 2, maxFlatCells = 0)
+      .collect().map(norm).sorted
+    assert(flat.nonEmpty && flat.sameElements(folded))
+  }
+
+  test("knnJoinCells: zero-norm vectors (NaN cosine) are pinned last, not sort-placed") {
+    import spark.implicits._
+    // cell 9 is a lone ZERO vector: its centroid has zero norm, so every
+    // cosine against it is NaN. The nanvl pin ranks that cell below all
+    // real cells — at nprobe=1 no real query may probe into cell 9, and
+    // nothing throws anywhere in the plan.
+    val rows = Seq(
+      (0L, 0, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.2f, 0.0f, 0.0f)),
+      (2L, 1, Array(0.0f, 0.1f, 1.0f, 0.1f)),
+      (3L, 1, Array(0.0f, 0.2f, 0.9f, 0.0f)),
+      (4L, 9, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    for (maxFlat <- Seq(512, 0)) { // both shapes inherit the same pin
+      val got = VectorOps.knnJoinCells(df, k = 2, nprobe = 1, maxFlatCells = maxFlat)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+      assert(got.nonEmpty)
+      got.filter(_._1 != 4L).foreach { case (q, n) =>
+        assert(n != 4L, s"query $q probed the NaN cell at nprobe=1 (shape $maxFlat)")
+      }
+    }
+  }
+
   test("lshBucketCosine finds the probe's twin through its bucket") {
     val (probe, df) = corpus()
     val top = VectorOps.lshBucketCosine(df, probe, 3).collect()
