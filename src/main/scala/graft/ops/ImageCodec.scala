@@ -199,16 +199,20 @@ object ImageCodec {
 
   /** PNG (RFC 2083), decoded with nothing but `java.util.zip` — the one
     * compressed format reachable pure-JVM, and the dominant lossless format
-    * in real media corpora. Supported: bit depth 8, color types 0 (gray),
-    * 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), interlace 0 (none);
-    * all five scanline filter types (None/Sub/Up/Average/Paeth). Adam7
-    * interlace and 1/2/4/16-bit depths are rejected (None), not misread.
-    * Alpha is DROPPED, not composited — this kernel feeds pixel statistics
-    * and thumbnailing, not display. CRCs are verified on the chunks whose
-    * corruption would corrupt pixels (IHDR/PLTE/IDAT); ancillary chunks are
-    * skipped without CRC cost. Same totality contract as the other
-    * decoders: any malformed, truncated, or overflow-crafted payload
-    * returns None, never throws.
+    * in real media corpora. Supported: EVERY legal (color type, bit depth)
+    * combination — gray 1/2/4/8/16, palette 1/2/4/8, RGB / gray+alpha /
+    * RGBA 8/16 — with interlace 0 (none); all five scanline filter types
+    * (None/Sub/Up/Average/Paeth). Adam7 interlace is rejected (None), not
+    * misread. Depth normalization: 16-bit samples keep their high byte
+    * (the standard 16→8 down-conversion); sub-8-bit GRAY samples scale by
+    * 255/(2^d −1) (so 1-bit white is 255, not 1); sub-8-bit PALETTE
+    * indexes are used raw, never scaled. Alpha is DROPPED, not
+    * composited — this kernel feeds pixel statistics and thumbnailing, not
+    * display. CRCs are verified on the chunks whose corruption would
+    * corrupt pixels (IHDR/PLTE/IDAT); ancillary chunks are skipped without
+    * CRC cost. Same totality contract as the other decoders: any
+    * malformed, truncated, or overflow-crafted payload returns None, never
+    * throws.
     */
   def decodePng(b: Array[Byte]): Option[Raster] = {
     val inf = new java.util.zip.Inflater()
@@ -237,12 +241,15 @@ object ImageCodec {
             w = i32be(b, i + 8); h = i32be(b, i + 12)
             bitDepth = b(i + 16) & 0xff; colorType = b(i + 17) & 0xff
             interlace = b(i + 20) & 0xff
-            // supported subset, with Long-checked output size: raw scanline
-            // buffer h*(1+w*ch) and the RGB output w*h*3 must both fit Int
+            // supported subset, with Long-checked output sizes: the raw
+            // filtered buffer h*(1+strideBytes), the 8-bit sample plane
+            // h*w*ch, and the RGB output w*h*3 must all fit Int
             val ch = channelsOf(colorType)
-            if (w <= 0 || h <= 0 || bitDepth != 8 || ch == 0 ||
+            val sbL = (w.toLong * ch * bitDepth + 7) / 8
+            if (w <= 0 || h <= 0 || ch == 0 || !depthOk(colorType, bitDepth) ||
               interlace != 0 ||
-              h.toLong * (1L + w.toLong * ch) > Int.MaxValue ||
+              h.toLong * (1L + sbL) > Int.MaxValue ||
+              w.toLong * h * ch > Int.MaxValue ||
               w.toLong * h * 3 > Int.MaxValue) return None
           case "PLTE" =>
             if (!seenIhdr || len % 3 != 0 || len > 768 || !crcOk) return None
@@ -258,8 +265,12 @@ object ImageCodec {
       if (!seenIhdr) return None
       val ch = channelsOf(colorType)
       if (colorType == 3 && palette == null) return None
-      val stride = w * ch
-      val rawLen = h * (stride + 1)
+      // filtered-byte domain geometry: filters operate on BYTES with a
+      // step of bpp = the byte width of one pixel (min 1 for sub-byte
+      // depths, per the PNG spec)
+      val strideBytes = ((w.toLong * ch * bitDepth + 7) / 8).toInt
+      val bpp = math.max(1, ch * bitDepth / 8)
+      val rawLen = h * (strideBytes + 1)
       val raw = new Array[Byte](rawLen)
       inf.setInput(idat.toByteArray)
       var got = 0
@@ -271,20 +282,20 @@ object ImageCodec {
         got += n
       }
       if (got != rawLen) return None
-      // un-filter in place conceptually: recon rows into `px`
-      val px = new Array[Byte](h * stride)
+      // un-filter into `rec` (still the filtered-byte domain)
+      val rec = new Array[Byte](h * strideBytes)
       var y = 0
       while (y < h) {
-        val ft = raw(y * (stride + 1)) & 0xff
+        val ft = raw(y * (strideBytes + 1)) & 0xff
         if (ft > 4) return None
-        val ro = y * (stride + 1) + 1
-        val po = y * stride
+        val ro = y * (strideBytes + 1) + 1
+        val po = y * strideBytes
         var x = 0
-        while (x < stride) {
+        while (x < strideBytes) {
           val cur = raw(ro + x) & 0xff
-          val a = if (x >= ch) px(po + x - ch) & 0xff else 0          // left
-          val bb = if (y > 0) px(po - stride + x) & 0xff else 0       // up
-          val c = if (y > 0 && x >= ch) px(po - stride + x - ch) & 0xff else 0
+          val a = if (x >= bpp) rec(po + x - bpp) & 0xff else 0           // left
+          val bb = if (y > 0) rec(po - strideBytes + x) & 0xff else 0     // up
+          val c = if (y > 0 && x >= bpp) rec(po - strideBytes + x - bpp) & 0xff else 0
           val recon = ft match {
             case 0 => cur
             case 1 => cur + a
@@ -296,10 +307,39 @@ object ImageCodec {
               val pc = math.abs(p - c)
               cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
           }
-          px(po + x) = (recon & 0xff).toByte
+          rec(po + x) = (recon & 0xff).toByte
           x += 1
         }
         y += 1
+      }
+      // normalize every depth to the 8-bit sample plane `px` (w*ch per row)
+      val stride = w * ch
+      val px = bitDepth match {
+        case 8 => rec // already one byte per sample
+        case 16 =>
+          // high byte of each big-endian sample — the standard 16->8 form
+          val p = new Array[Byte](h * stride)
+          var i = 0
+          while (i < p.length) { p(i) = rec(2 * i); i += 1 }
+          p
+        case d => // 1/2/4-bit: MSB-first packed, single-channel by spec
+          val p = new Array[Byte](h * stride)
+          val maxV = (1 << d) - 1
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) {
+              val bitPos = xx * d
+              val b0 = rec(yy * strideBytes + (bitPos >> 3)) & 0xff
+              val v = (b0 >> (8 - d - (bitPos & 7))) & maxV
+              // gray scales to full 8-bit range; palette indexes stay raw
+              p(yy * stride + xx) =
+                (if (colorType == 0) v * 255 / maxV else v).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          p
       }
       // expand to packed RGB
       val out = new Array[Byte](w * h * 3)
@@ -328,6 +368,14 @@ object ImageCodec {
   private def channelsOf(colorType: Int): Int = colorType match {
     case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     case _ => 0
+  }
+
+  /** Legal (color type, bit depth) pairs per the PNG spec §11.2.2. */
+  private def depthOk(colorType: Int, d: Int): Boolean = colorType match {
+    case 0 => d == 1 || d == 2 || d == 4 || d == 8 || d == 16
+    case 3 => d == 1 || d == 2 || d == 4 || d == 8
+    case 2 | 4 | 6 => d == 8 || d == 16
+    case _ => false
   }
 
   // -------------------------------------------------------------------- GIF
