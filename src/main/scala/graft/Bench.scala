@@ -23,6 +23,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as
+      // the session's (UTC-pinned) TimestampType — skips the per-row NTZ->LTZ
+      // cast Tables.t would otherwise add on every events scan
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // checkpoint FILES of GC'd frames are only cleaner-reclaimed with this
       // on (Spark default: false) — long benches would otherwise accrete one
       // file set per iterative query until the dir is deleted at exit

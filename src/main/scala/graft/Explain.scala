@@ -15,6 +15,10 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as
+      // the session's (UTC-pinned) TimestampType — skips the per-row NTZ->LTZ
+      // cast Tables.t would otherwise add on every events scan
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as
+      // the session's (UTC-pinned) TimestampType — skips the per-row NTZ->LTZ
+      // cast Tables.t would otherwise add on every events scan
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // let the context cleaner reclaim checkpoint files of GC'd frames
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")

@@ -201,9 +201,10 @@ object ImageCodec {
     * compressed format reachable pure-JVM, and the dominant lossless format
     * in real media corpora. Supported: EVERY legal (color type, bit depth)
     * combination — gray 1/2/4/8/16, palette 1/2/4/8, RGB / gray+alpha /
-    * RGBA 8/16 — with interlace 0 (none); all five scanline filter types
-    * (None/Sub/Up/Average/Paeth). Adam7 interlace is rejected (None), not
-    * misread. Depth normalization: 16-bit samples keep their high byte
+    * RGBA 8/16 — under BOTH interlace methods (none and Adam7: seven
+    * independently-filtered sub-images scattered on the pass grids); all
+    * five scanline filter types (None/Sub/Up/Average/Paeth).
+    * Depth normalization: 16-bit samples keep their high byte
     * (the standard 16→8 down-conversion); sub-8-bit GRAY samples scale by
     * 255/(2^d −1) (so 1-bit white is 255, not 1); sub-8-bit PALETTE
     * indexes are used raw, never scaled. Alpha is DROPPED, not
@@ -246,8 +247,11 @@ object ImageCodec {
             // h*w*ch, and the RGB output w*h*3 must all fit Int
             val ch = channelsOf(colorType)
             val sbL = (w.toLong * ch * bitDepth + 7) / 8
+            // interlace 1 = Adam7; its raw size (per-pass filter bytes +
+            // per-pass row rounding) is bounded and re-checked exactly at
+            // the pass-geometry step below
             if (w <= 0 || h <= 0 || ch == 0 || !depthOk(colorType, bitDepth) ||
-              interlace != 0 ||
+              (interlace != 0 && interlace != 1) ||
               h.toLong * (1L + sbL) > Int.MaxValue ||
               w.toLong * h * ch > Int.MaxValue ||
               w.toLong * h * 3 > Int.MaxValue) return None
@@ -265,12 +269,26 @@ object ImageCodec {
       if (!seenIhdr) return None
       val ch = channelsOf(colorType)
       if (colorType == 3 && palette == null) return None
-      // filtered-byte domain geometry: filters operate on BYTES with a
-      // step of bpp = the byte width of one pixel (min 1 for sub-byte
-      // depths, per the PNG spec)
-      val strideBytes = ((w.toLong * ch * bitDepth + 7) / 8).toInt
+      // pass geometry: non-interlaced is the single pass (0,0,1,1); Adam7
+      // is seven sub-images, each independently filtered, concatenated in
+      // one zlib stream. Empty passes (small images) contribute NO
+      // scanlines at all, per spec.
+      val passes =
+        if (interlace == 0) Seq((0, 0, 1, 1))
+        else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      // (x0, y0, dx, dy, wp, hp, strideBytes) per non-empty pass
+      val geo = passes.map { case (x0, y0, dx, dy) =>
+        val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        (x0, y0, dx, dy, wp, hp, ((wp.toLong * ch * bitDepth + 7) / 8).toInt)
+      }.filter(g => g._5 > 0 && g._6 > 0)
+      // filters operate on BYTES with a step of bpp = the byte width of
+      // one pixel (min 1 for sub-byte depths, per the PNG spec)
       val bpp = math.max(1, ch * bitDepth / 8)
-      val rawLen = h * (strideBytes + 1)
+      val rawLenL = geo.map { case (_, _, _, _, _, hp, sb) => hp.toLong * (sb + 1) }.sum
+      if (rawLenL > Int.MaxValue) return None
+      val rawLen = rawLenL.toInt
       val raw = new Array[Byte](rawLen)
       inf.setInput(idat.toByteArray)
       var got = 0
@@ -282,64 +300,70 @@ object ImageCodec {
         got += n
       }
       if (got != rawLen) return None
-      // un-filter into `rec` (still the filtered-byte domain)
-      val rec = new Array[Byte](h * strideBytes)
-      var y = 0
-      while (y < h) {
-        val ft = raw(y * (strideBytes + 1)) & 0xff
-        if (ft > 4) return None
-        val ro = y * (strideBytes + 1) + 1
-        val po = y * strideBytes
-        var x = 0
-        while (x < strideBytes) {
-          val cur = raw(ro + x) & 0xff
-          val a = if (x >= bpp) rec(po + x - bpp) & 0xff else 0           // left
-          val bb = if (y > 0) rec(po - strideBytes + x) & 0xff else 0     // up
-          val c = if (y > 0 && x >= bpp) rec(po - strideBytes + x - bpp) & 0xff else 0
-          val recon = ft match {
-            case 0 => cur
-            case 1 => cur + a
-            case 2 => cur + bb
-            case 3 => cur + (a + bb) / 2
-            case 4 => // Paeth
-              val p = a + bb - c
-              val pa = math.abs(p - a); val pb = math.abs(p - bb)
-              val pc = math.abs(p - c)
-              cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
-          }
-          rec(po + x) = (recon & 0xff).toByte
-          x += 1
-        }
-        y += 1
-      }
-      // normalize every depth to the 8-bit sample plane `px` (w*ch per row)
+      // per pass: un-filter, depth-normalize, scatter into the full-size
+      // 8-bit sample plane (every output pixel is written exactly once
+      // across passes, so there is no compositing order to get wrong)
       val stride = w * ch
-      val px = bitDepth match {
-        case 8 => rec // already one byte per sample
-        case 16 =>
-          // high byte of each big-endian sample — the standard 16->8 form
-          val p = new Array[Byte](h * stride)
-          var i = 0
-          while (i < p.length) { p(i) = rec(2 * i); i += 1 }
-          p
-        case d => // 1/2/4-bit: MSB-first packed, single-channel by spec
-          val p = new Array[Byte](h * stride)
-          val maxV = (1 << d) - 1
-          var yy = 0
-          while (yy < h) {
-            var xx = 0
-            while (xx < w) {
-              val bitPos = xx * d
-              val b0 = rec(yy * strideBytes + (bitPos >> 3)) & 0xff
-              val v = (b0 >> (8 - d - (bitPos & 7))) & maxV
-              // gray scales to full 8-bit range; palette indexes stay raw
-              p(yy * stride + xx) =
-                (if (colorType == 0) v * 255 / maxV else v).toByte
-              xx += 1
+      val px = new Array[Byte](h * stride)
+      val maxV = (1 << bitDepth) - 1
+      var rawOff = 0
+      for ((x0, y0, dx, dy, wp, hp, strideBytes) <- geo) {
+        val rec = new Array[Byte](hp * strideBytes)
+        var y = 0
+        while (y < hp) {
+          val ft = raw(rawOff + y * (strideBytes + 1)) & 0xff
+          if (ft > 4) return None
+          val ro = rawOff + y * (strideBytes + 1) + 1
+          val po = y * strideBytes
+          var x = 0
+          while (x < strideBytes) {
+            val cur = raw(ro + x) & 0xff
+            val a = if (x >= bpp) rec(po + x - bpp) & 0xff else 0           // left
+            val bb = if (y > 0) rec(po - strideBytes + x) & 0xff else 0     // up
+            val c = if (y > 0 && x >= bpp) rec(po - strideBytes + x - bpp) & 0xff else 0
+            val recon = ft match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + bb
+              case 3 => cur + (a + bb) / 2
+              case 4 => // Paeth
+                val p = a + bb - c
+                val pa = math.abs(p - a); val pb = math.abs(p - bb)
+                val pc = math.abs(p - c)
+                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
             }
-            yy += 1
+            rec(po + x) = (recon & 0xff).toByte
+            x += 1
           }
-          p
+          y += 1
+        }
+        rawOff += hp * (strideBytes + 1)
+        // depth-normalize this pass's samples and scatter to (x0+i·dx,
+        // y0+j·dy): 16-bit keeps the high byte, sub-8 gray scales to the
+        // full range, palette indexes stay raw
+        var j = 0
+        while (j < hp) {
+          var i2 = 0
+          while (i2 < wp) {
+            val dst = ((y0 + j * dy) * w + (x0 + i2 * dx)) * ch
+            var c2 = 0
+            while (c2 < ch) {
+              val v = bitDepth match {
+                case 8 => rec(j * strideBytes + i2 * ch + c2) & 0xff
+                case 16 => rec(j * strideBytes + (i2 * ch + c2) * 2) & 0xff
+                case d => // 1/2/4-bit: MSB-first packed, single-channel
+                  val bitPos = i2 * d
+                  val b0 = rec(j * strideBytes + (bitPos >> 3)) & 0xff
+                  val raw0 = (b0 >> (8 - d - (bitPos & 7))) & maxV
+                  if (colorType == 0) raw0 * 255 / maxV else raw0
+              }
+              px(dst + c2) = v.toByte
+              c2 += 1
+            }
+            i2 += 1
+          }
+          j += 1
+        }
       }
       // expand to packed RGB
       val out = new Array[Byte](w * h * 3)
@@ -389,9 +413,11 @@ object ImageCodec {
     * DEFLATE there cover the two compression families lossless web images
     * actually use). Supported: global or local color table, 89a extension
     * blocks (skipped — transparency is an alpha concern and this kernel
-    * drops alpha by contract). Interlaced images are rejected, not
-    * misread, like PNG's Adam7. Same totality contract as every decoder
-    * here: malformed, truncated, or overflow-crafted payloads return None.
+    * drops alpha by contract), and INTERLACED images (the four-pass row
+    * order: rows 0 mod 8, 4 mod 8, 2 mod 4, 1 mod 2 — the LZW stream is
+    * identical, only the destination row of each decoded strip changes).
+    * Same totality contract as every decoder here: malformed, truncated,
+    * or overflow-crafted payloads return None.
     */
   def decodeGif(b: Array[Byte]): Option[Raster] = {
     try {
@@ -424,7 +450,7 @@ object ImageCodec {
             val flags = u8(i + 9)
             i += 10
             if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
-            if ((flags & 0x40) != 0) return None // interlaced: reject, don't misread
+            val interlaced = (flags & 0x40) != 0
             var table = gct
             if ((flags & 0x80) != 0) { // local color table wins
               val sz = 2 << (flags & 7)
@@ -448,16 +474,32 @@ object ImageCodec {
             }
             val indices = lzwDecode(data.toByteArray, minCode, w * h)
               .getOrElse(return None)
+            // interlace: strip p of the stream lands on row rowOrder(p)
+            val rowOrder: Int => Int =
+              if (!interlaced) identity
+              else {
+                val order = new Array[Int](h)
+                var r = 0
+                for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                    y <- start until h by step) { order(r) = y; r += 1 }
+                (p: Int) => order(p)
+              }
             val out = new Array[Byte](w * h * 3)
-            var p = 0
             val nColors = table.length / 3
-            while (p < w * h) {
-              val idx = indices(p) & 0xff
-              if (idx >= nColors) return None
-              out(p * 3) = table(idx * 3)
-              out(p * 3 + 1) = table(idx * 3 + 1)
-              out(p * 3 + 2) = table(idx * 3 + 2)
-              p += 1
+            var sy = 0
+            while (sy < h) {
+              val dy = rowOrder(sy)
+              var x = 0
+              while (x < w) {
+                val idx = indices(sy * w + x) & 0xff
+                if (idx >= nColors) return None
+                val d = (dy * w + x) * 3
+                out(d) = table(idx * 3)
+                out(d + 1) = table(idx * 3 + 1)
+                out(d + 2) = table(idx * 3 + 2)
+                x += 1
+              }
+              sy += 1
             }
             return Some(Raster(w, h, out))
           case _ => return None

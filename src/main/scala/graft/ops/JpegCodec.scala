@@ -11,9 +11,12 @@ package graft.ops
   * Scope — the baseline process, which is what cameras and web encoders
   * overwhelmingly emit:
   *
-  *   - SOF0 (baseline) and SOF1 (extended sequential — identical decode
-  *     path at 8-bit precision); SOF2 progressive, lossless, hierarchical
-  *     and arithmetic-coded streams are REJECTED (None), not misread.
+  *   - SOF0 (baseline), SOF1 (extended sequential — identical decode path
+  *     at 8-bit precision), and SOF2 (Huffman PROGRESSIVE: multi-scan
+  *     spectral selection + successive approximation, including EOB runs
+  *     and AC refinement — see [[decodeProgressive]]); lossless,
+  *     hierarchical and arithmetic-coded streams are REJECTED (None), not
+  *     misread.
   *   - 8-bit samples, 1 (grayscale) or 3 (YCbCr) components, any sampling
   *     factors 1..4 — 4:4:4, 4:2:2, 4:2:0 and friends all reduce to the
   *     same per-component replication upsample.
@@ -219,6 +222,88 @@ object JpegCodec {
 
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
 
+  /** Separable IDCT of one dequantized natural-order block into a sample
+    * plane at (ox, oy) — shared by the baseline and progressive paths.
+    * `tmp` is caller-provided 64-double scratch.
+    */
+  private def idctToPlane(coef: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], pw: Int, ox: Int, oy: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += Cos(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var y0 = 0
+    while (y0 < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v2 = 0
+        while (v2 < 8) { acc += Cos(v2)(y0) * tmp(v2 * 8 + x); v2 += 1 }
+        val s0 = Math.round(acc).toInt + 128
+        plane((oy + y0) * pw + ox + x) =
+          (if (s0 < 0) 0 else if (s0 > 255) 255 else s0).toByte
+        x += 1
+      }
+      y0 += 1
+    }
+  }
+
+  /** Upsample (floor-replication on the sampling-factor grids) + YCbCr→RGB
+    * (or gray replication) — shared by the baseline and progressive paths.
+    */
+  private def planesToRgb(planes: Array[Array[Byte]], planeW: Array[Int],
+      comps: Array[Comp], w: Int, h: Int, hMax: Int, vMax: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    if (comps.length == 1) {
+      val plane = planes(0)
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = plane(y * pw + x)
+          val d = (y * w + x) * 3
+          out(d) = g; out(d + 1) = g; out(d + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val py = planes(0); val pwy = planeW(0); val cY = comps(0)
+      val pb = planes(1); val pwb = planeW(1); val cB = comps(1)
+      val pr = planes(2); val pwr = planeW(2); val cR = comps(2)
+      var y = 0
+      while (y < h) {
+        val yY = y * cY.v / vMax; val yB = y * cB.v / vMax; val yR = y * cR.v / vMax
+        var x = 0
+        while (x < w) {
+          val lum = py(yY * pwy + x * cY.h / hMax) & 0xff
+          val cb = (pb(yB * pwb + x * cB.h / hMax) & 0xff) - 128
+          val cr = (pr(yR * pwr + x * cR.h / hMax) & 0xff) - 128
+          // JFIF fixed-point: 1.402, 0.344136, 0.714136, 1.772 at 2^16
+          val r0 = lum + ((91881 * cr + 32768) >> 16)
+          val g0 = lum - ((22554 * cb + 46802 * cr + 32768) >> 16)
+          val b0 = lum + ((116130 * cb + 32768) >> 16)
+          val d = (y * w + x) * 3
+          out(d) = (if (r0 < 0) 0 else if (r0 > 255) 255 else r0).toByte
+          out(d + 1) = (if (g0 < 0) 0 else if (g0 > 255) 255 else g0).toByte
+          out(d + 2) = (if (b0 < 0) 0 else if (b0 > 255) 255 else b0).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
   def looksLikeJpeg(b: Array[Byte]): Boolean = ImageCodec.looksLikeJpeg(b)
 
   /** Decode a baseline JPEG payload to packed RGB. Total: None on anything
@@ -303,9 +388,11 @@ object JpegCodec {
               // a single-component frame is never interleaved: sampling
               // factors carry no meaning, geometry is plain 8×8 blocks
               if (nf == 1) comps = Array(comps(0).copy(h = 1, v = 1))
-            case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            case 0xc2 =>
+              return decodeProgressive(b) // Huffman progressive: own path
+            case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                 0xcd | 0xce | 0xcf | 0xcc | 0xde | 0xdf | 0xdc =>
-              bail() // progressive/lossless/hierarchical/arithmetic/DNL
+              bail() // lossless/hierarchical/arithmetic/DNL
             case 0xda => // SOS
               if (comps == null) bail()
               val ns = u8(s)
@@ -396,36 +483,8 @@ object JpegCodec {
                   }
                 }
                 // ---- IDCT (separable, deterministic double basis)
-                var v = 0
-                while (v < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    var acc = 0.0
-                    var u = 0
-                    while (u < 8) { acc += Cos(u)(x) * coef(v * 8 + u); u += 1 }
-                    tmp(v * 8 + x) = acc
-                    x += 1
-                  }
-                  v += 1
-                }
-                val plane = planes(cIdx)
-                val pw = planeW(cIdx)
-                val ox = (mx * c.h + bx) * 8
-                val oy = (my * c.v + by) * 8
-                var y0 = 0
-                while (y0 < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    var acc = 0.0
-                    var v2 = 0
-                    while (v2 < 8) { acc += Cos(v2)(y0) * tmp(v2 * 8 + x); v2 += 1 }
-                    val s0 = Math.round(acc).toInt + 128
-                    plane((oy + y0) * pw + ox + x) =
-                      (if (s0 < 0) 0 else if (s0 > 255) 255 else s0).toByte
-                    x += 1
-                  }
-                  y0 += 1
-                }
+                idctToPlane(coef, tmp, planes(cIdx), planeW(cIdx),
+                  (mx * c.h + bx) * 8, (my * c.v + by) * 8)
                 bx += 1
               }
               by += 1
@@ -439,51 +498,380 @@ object JpegCodec {
       }
 
       // ---- upsample + color transform to packed RGB
-      val out = new Array[Byte](w * h * 3)
-      if (nc == 1) {
-        val plane = planes(0)
-        val pw = planeW(0)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val g = plane(y * pw + x)
-            val d = (y * w + x) * 3
-            out(d) = g; out(d + 1) = g; out(d + 2) = g
-            x += 1
-          }
-          y += 1
-        }
-      } else {
-        val py = planes(0); val pwy = planeW(0); val cY = comps(0)
-        val pb = planes(1); val pwb = planeW(1); val cB = comps(1)
-        val pr = planes(2); val pwr = planeW(2); val cR = comps(2)
-        var y = 0
-        while (y < h) {
-          val yY = y * cY.v / vMax; val yB = y * cB.v / vMax; val yR = y * cR.v / vMax
-          var x = 0
-          while (x < w) {
-            val lum = py(yY * pwy + x * cY.h / hMax) & 0xff
-            val cb = (pb(yB * pwb + x * cB.h / hMax) & 0xff) - 128
-            val cr = (pr(yR * pwr + x * cR.h / hMax) & 0xff) - 128
-            // JFIF fixed-point: 1.402, 0.344136, 0.714136, 1.772 at 2^16
-            val r0 = lum + ((91881 * cr + 32768) >> 16)
-            val g0 = lum - ((22554 * cb + 46802 * cr + 32768) >> 16)
-            val b0 = lum + ((116130 * cb + 32768) >> 16)
-            val d = (y * w + x) * 3
-            out(d) = (if (r0 < 0) 0 else if (r0 > 255) 255 else r0).toByte
-            out(d + 1) = (if (g0 < 0) 0 else if (g0 > 255) 255 else g0).toByte
-            out(d + 2) = (if (b0 < 0) 0 else if (b0 > 255) 255 else b0).toByte
-            x += 1
-          }
-          y += 1
-        }
-      }
-      Some(Raster(w, h, out))
+      Some(Raster(w, h, planesToRgb(planes, planeW, comps, w, h, hMax, vMax)))
     } catch {
       case _: Bail => None
       case scala.util.control.NonFatal(_) => None
     }
+  }
+
+  /** Huffman PROGRESSIVE JPEG (SOF2): coefficients accumulate across
+    * multiple scans — DC-first (diff, scaled by the successive-
+    * approximation shift), DC-refine (one bit per block), AC-first
+    * (run/size with EOB-run codes over a spectral band of one component),
+    * AC-refine (the T.81 G.1.2.3 correction-bit walk) — then one
+    * dequantize + IDCT pass at EOI. Restart intervals reset DC predictors
+    * AND the EOB run, per scan. Memory: one Int per coefficient
+    * (Long-guarded), the price of progressive's out-of-order delivery;
+    * the baseline path keeps its streaming form untouched. Same totality
+    * and determinism contracts as [[decode]].
+    */
+  private def decodeProgressive(b: Array[Byte]): Option[Raster] = {
+    try {
+      def u8(o: Int): Int = { if (o >= b.length) bail(); b(o) & 0xff }
+      def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+
+      val qt = new Array[Array[Int]](4)
+      val dcTabs = new Array[Huff](4)
+      val acTabs = new Array[Huff](4)
+      var restartInterval = 0
+      var w = 0; var h = 0
+      var comps: Array[Comp] = null
+      var hMax = 0; var vMax = 0
+      var mcusX = 0; var mcusY = 0
+      // per component: padded block grid (interleaved layout), true block
+      // dims (non-interleaved layout), and the coefficient store
+      var bwPad: Array[Int] = null
+      var bhPad: Array[Int] = null
+      var blocksW: Array[Int] = null
+      var blocksH: Array[Int] = null
+      var coefs: Array[Array[Int]] = null
+
+      var pos = 2
+      var seenEoi = false
+      while (!seenEoi) {
+        if (u8(pos) != 0xff) bail()
+        var m = u8(pos + 1)
+        pos += 2
+        while (m == 0xff) { m = u8(pos); pos += 1 }
+        if (m == 0xd9) seenEoi = true
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) bail() // stray TEM/RST
+        else {
+          val len = u16(pos)
+          if (len < 2 || pos.toLong + len > b.length) bail()
+          val s = pos + 2
+          val end = pos + len
+          m match {
+            case 0xdb =>
+              var p = s
+              while (p < end) {
+                val pq = u8(p) >> 4; val tq = u8(p) & 15
+                if (pq > 1 || tq > 3) bail()
+                val t = new Array[Int](64)
+                p += 1
+                var k = 0
+                while (k < 64) {
+                  t(k) = if (pq == 0) u8(p + k) else u16(p + 2 * k)
+                  k += 1
+                }
+                p += (if (pq == 0) 64 else 128)
+                if (p > end) bail()
+                qt(tq) = t
+              }
+            case 0xc4 =>
+              var p = s
+              while (p < end) {
+                val tc = u8(p) >> 4; val th = u8(p) & 15
+                if (tc > 1 || th > 3) bail()
+                val counts = Array.tabulate(16)(i => u8(p + 1 + i))
+                val n = counts.sum
+                if (p + 17 + n > end) bail()
+                val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+                val tab = new Huff(counts, vals)
+                if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+                p += 17 + n
+              }
+            case 0xdd =>
+              if (len != 4) bail()
+              restartInterval = u16(s)
+            case 0xc2 =>
+              if (comps != null) bail()
+              if (u8(s) != 8) bail()
+              h = u16(s + 1); w = u16(s + 3)
+              val nf = u8(s + 5)
+              if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) bail()
+              if (w.toLong * h * 3 > Int.MaxValue) bail()
+              if (len != 8 + 3 * nf) bail()
+              comps = Array.tabulate(nf) { i =>
+                val o = s + 6 + 3 * i
+                val hv = u8(o + 1)
+                val c = Comp(u8(o), hv >> 4, hv & 15, u8(o + 2))
+                if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) bail()
+                c
+              }
+              if (nf == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+              hMax = comps.map(_.h).max; vMax = comps.map(_.v).max
+              mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              bwPad = comps.map(c => mcusX * c.h)
+              bhPad = comps.map(c => mcusY * c.v)
+              blocksW = comps.map(c => ((w.toLong * c.h + hMax - 1) / hMax + 7).toInt / 8)
+              blocksH = comps.map(c => ((h.toLong * c.v + vMax - 1) / vMax + 7).toInt / 8)
+              coefs = comps.indices.map { i =>
+                val n = bwPad(i).toLong * bhPad(i) * 64
+                if (n > Int.MaxValue) bail()
+                new Array[Int](n.toInt)
+              }.toArray
+            case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+                0xcb | 0xcd | 0xce | 0xcf | 0xcc | 0xde | 0xdf | 0xdc =>
+              bail() // a second frame class inside a progressive stream
+            case 0xda =>
+              if (comps == null) bail()
+              val ns = u8(s)
+              if (ns < 1 || ns > comps.length) bail()
+              val sel = Array.tabulate(ns) { i =>
+                val cs = u8(s + 1 + 2 * i)
+                val tt = u8(s + 2 + 2 * i)
+                val ci = comps.indexWhere(_.id == cs)
+                if (ci < 0) bail()
+                (ci, tt >> 4, tt & 15)
+              }
+              val ss = u8(s + 1 + 2 * ns)
+              val se = u8(s + 2 + 2 * ns)
+              val aa = u8(s + 3 + 2 * ns)
+              val ah = aa >> 4; val al = aa & 15
+              if (ss > 63 || se > 63 || se < ss || al > 13 || ah > 14) bail()
+              if (ss == 0 && se != 0) bail() // progressive: DC and AC never share a scan
+              if (ss > 0 && ns != 1) bail() // AC scans are single-component
+              pos = decodeScan(b, end, sel, ss, se, ah, al, restartInterval,
+                comps, dcTabs, acTabs, coefs, bwPad, blocksW, blocksH,
+                mcusX, mcusY)
+              m = -1 // mark: pos already set past the scan
+            case _ => ()
+          }
+          if (m != -1) pos = end
+        }
+      }
+      if (comps == null) bail()
+
+      // ---- dequantize + IDCT every block, then shared upsample/color
+      val scanQt = comps.map(c => { if (qt(c.tq) == null) bail(); qt(c.tq) })
+      val planes = new Array[Array[Byte]](comps.length)
+      val planeW = new Array[Int](comps.length)
+      val block = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var ci = 0
+      while (ci < comps.length) {
+        val pw = bwPad(ci) * 8
+        val ph = bhPad(ci) * 8
+        if (pw.toLong * ph > Int.MaxValue) bail()
+        planes(ci) = new Array[Byte](pw * ph)
+        planeW(ci) = pw
+        val cf = coefs(ci)
+        val q = scanQt(ci)
+        var bi = 0
+        val nBlocks = bwPad(ci) * bhPad(ci)
+        while (bi < nBlocks) {
+          var k = 0
+          while (k < 64) {
+            // coefficient store is ZIGZAG-indexed per block; dequantize
+            // into natural order for the IDCT
+            block(Zigzag(k)) = cf(bi * 64 + k) * q(k)
+            k += 1
+          }
+          idctToPlane(block, tmp, planes(ci), pw,
+            (bi % bwPad(ci)) * 8, (bi / bwPad(ci)) * 8)
+          bi += 1
+        }
+        ci += 1
+      }
+      Some(Raster(w, h, planesToRgb(planes, planeW, comps, w, h, hMax, vMax)))
+    } catch {
+      case _: Bail => None
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Entropy-decode one progressive scan starting at `start`; returns the
+    * position of the first byte after the scan's entropy data (the next
+    * marker's 0xFF). Coefficients accumulate ZIGZAG-indexed into `coefs`.
+    */
+  private def decodeScan(b: Array[Byte], start: Int,
+      sel: Array[(Int, Int, Int)], ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int, comps: Array[Comp],
+      dcTabs: Array[Huff], acTabs: Array[Huff],
+      coefs: Array[Array[Int]], bwPad: Array[Int],
+      blocksW: Array[Int], blocksH: Array[Int],
+      mcusX: Int, mcusY: Int): Int = {
+    val br = new BitReader(b, start)
+    val dcPred = new Array[Int](comps.length)
+    var eobrun = 0
+    var rstIdx = 0
+    var sinceRestart = 0
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        br.align()
+        br.expectRestart(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+        sinceRestart = 0
+      }
+
+    // ---- per-block scan kernels (coef slices are zigzag-indexed)
+    def dcFirst(ci: Int, dc: Huff, cf: Array[Int], off: Int): Unit = {
+      val t = dc.decode(br)
+      if (t > 15) bail()
+      dcPred(ci) += extend(br.receive(t), t)
+      cf(off) = dcPred(ci) << al
+    }
+    def dcRefine(cf: Array[Int], off: Int): Unit =
+      if (br.bit() == 1) cf(off) |= (1 << al)
+    def acFirst(ac: Huff, cf: Array[Int], off: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = ac.decode(br)
+        val r = rs >> 4
+        val sz = rs & 15
+        if (sz == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            return
+          }
+        } else {
+          k += r
+          if (k > se) bail()
+          cf(off + k) = extend(br.receive(sz), sz) << al
+          k += 1
+        }
+      }
+    }
+    def acRefine(ac: Huff, cf: Array[Int], off: Int): Unit = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (k <= se && !done) {
+          val rs = ac.decode(br)
+          var r = rs >> 4
+          val sz = rs & 15
+          var newval = 0
+          if (sz == 0) {
+            if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.receive(r)
+              done = true // fall through to the EOB correction phase
+            } // r == 15: ZRL — skip 16 zero-history coeffs, correcting en route
+          } else {
+            if (sz != 1) bail()
+            newval = if (br.bit() == 1) p1 else m1
+          }
+          if (!done) {
+            var placed = false
+            while (k <= se && !placed) {
+              val c = cf(off + k)
+              if (c != 0) {
+                if (br.bit() == 1 && (c & p1) == 0)
+                  cf(off + k) = c + (if (c >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (newval != 0) cf(off + k) = newval
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val c = cf(off + k)
+          if (c != 0) {
+            if (br.bit() == 1 && (c & p1) == 0)
+              cf(off + k) = c + (if (c >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (ss == 0) {
+      // DC scan. Interleaved (ns > 1): MCU geometry; single-component:
+      // the component's own (unpadded) block grid.
+      val scanDc: Array[Huff] =
+        if (ah == 0) sel.map { case (_, d, _) => if (dcTabs(d) == null) bail(); dcTabs(d) }
+        else sel.map(_ => null) // refinement reads raw bits, no table
+      if (sel.length > 1) {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var si = 0
+            while (si < sel.length) {
+              val ci = sel(si)._1
+              val c = comps(ci)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  val off = ((my * c.v + by) * bwPad(ci) + mx * c.h + bx) * 64
+                  if (ah == 0) dcFirst(ci, scanDc(si), coefs(ci), off)
+                  else dcRefine(coefs(ci), off)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            sinceRestart += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        val ci = sel(0)._1
+        var by = 0
+        while (by < blocksH(ci)) {
+          var bx = 0
+          while (bx < blocksW(ci)) {
+            maybeRestart()
+            val off = (by * bwPad(ci) + bx) * 64
+            if (ah == 0) dcFirst(ci, scanDc(0), coefs(ci), off)
+            else dcRefine(coefs(ci), off)
+            sinceRestart += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else {
+      // AC scan: always one component, its own block grid
+      val ci = sel(0)._1
+      val ac = acTabs(sel(0)._3)
+      if (ac == null) bail()
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          maybeRestart()
+          val off = (by * bwPad(ci) + bx) * 64
+          if (ah == 0) acFirst(ac, coefs(ci), off)
+          else acRefine(ac, coefs(ci), off)
+          sinceRestart += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // locate the next marker after the scan's entropy bytes: skip stuffed
+    // 0xFF00 pairs and any RSTn the loop structure didn't consume exactly
+    // (a conforming stream leaves none, but byte-align slack is legal)
+    br.align()
+    var p = br.pos
+    while (p + 1 < b.length &&
+      !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0x00 &&
+        !((b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))) p += 1
+    if (p + 1 >= b.length) bail()
+    p
   }
 
   // --------------------------------------------------------------- encode

@@ -17,6 +17,7 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // the idiomatic deployment path for the native graft_* expressions —
     // ExpressionsSpec proves they resolve with NO in-session registration
     .config("spark.sql.extensions", "graft.expressions.GraftExtensions")

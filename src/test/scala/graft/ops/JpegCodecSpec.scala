@@ -66,17 +66,33 @@ class JpegCodecSpec extends AnyFunSuite {
   private def imageIoDecode(b: Array[Byte]): Raster =
     fromBuffered(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
 
-  private def imageIoEncodeJpeg(r: Raster, quality: Float): Array[Byte] = {
+  private def imageIoEncodeJpeg(r: Raster, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
+    if (progressive) p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     w.setOutput(ios)
     w.write(null, new javax.imageio.IIOImage(toBuffered(r), null, null), p)
     ios.close(); w.dispose()
     bos.toByteArray
+  }
+
+  private def sofMarker(b: Array[Byte]): Int = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) return m
+        if (m != 0xff && m != 0x00 && m != 0xd8) // skip past the segment
+          i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)) - 1
+      }
+      i += 1
+    }
+    -1
   }
 
   // ------------------------------------------------------------- behavior
@@ -159,6 +175,64 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxDiff(ours, theirs) <= 24)
   }
 
+  test("progressive (SOF2): decodes ImageIO's multi-scan stream compatibly") {
+    val src = gradient(64, 48)
+    val payload = imageIoEncodeJpeg(src, 0.9f, progressive = true)
+    assert(sofMarker(payload) == 0xc2, "fixture must actually be progressive")
+    val ours = JpegCodec.decode(payload).get
+    val theirs = imageIoDecode(payload)
+    assert(ours.width == 64 && ours.height == 48)
+    // the refinement scans must fully reconstruct: same stream, two
+    // decoders, differences are IDCT rounding + chroma upsample choice
+    assert(meanDiff(ours, theirs) <= 2.0)
+    assert(maxDiff(ours, theirs) <= 24)
+  }
+
+  test("progressive: odd dims and a busy image reconstruct like the baseline form") {
+    // same pixels encoded baseline vs progressive by the SAME writer must
+    // decode (by us) to nearly identical rasters — the scan-order
+    // machinery may not change the picture
+    for ((w, h) <- Seq((37, 23), (16, 16), (9, 31))) {
+      val src = Raster(w, h, Array.tabulate(w * h * 3)(i => ((i * 73 + 31) % 256).toByte))
+      val base = imageIoEncodeJpeg(src, 0.95f, progressive = false)
+      val prog = imageIoEncodeJpeg(src, 0.95f, progressive = true)
+      assert(sofMarker(prog) == 0xc2 && sofMarker(base) != 0xc2)
+      val a = JpegCodec.decode(base).get
+      val b = JpegCodec.decode(prog).get
+      assert(a.width == w && b.width == w && a.height == h && b.height == h)
+      assert(meanDiff(a, b) <= 1.0, s"${w}x$h baseline-vs-progressive drift")
+      assert(maxDiff(a, b) <= 8, s"${w}x$h baseline-vs-progressive max drift")
+    }
+  }
+
+  test("progressive grayscale decodes; truncation at any boundary stays total") {
+    val img = new java.awt.image.BufferedImage(
+      24, 17, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 17; x <- 0 until 24)
+      img.getRaster.setSample(x, y, 0, (x * 11 + y * 5) & 0xff)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    val payload = bos.toByteArray
+    assert(sofMarker(payload) == 0xc2)
+    val ours = JpegCodec.decode(payload).get
+    assert(ours.width == 24 && ours.height == 17)
+    assert((0 until 24 * 17).forall { i =>
+      ours.rgb(i * 3) == ours.rgb(i * 3 + 1) && ours.rgb(i * 3 + 1) == ours.rgb(i * 3 + 2)
+    })
+    // totality: every prefix is rejected or decodes without throwing
+    var len = 0
+    while (len < payload.length - 2) {
+      JpegCodec.decode(payload.take(len)) // must not throw
+      len += 7 // stride for speed; boundaries within segments still hit
+    }
+  }
+
   test("grayscale (single-component) JPEG decodes to replicated gray") {
     val img = new java.awt.image.BufferedImage(
       32, 20, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -202,7 +276,7 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("progressive / arithmetic / 12-bit / CMYK markers are rejected, not misread") {
+  test("lossless / arithmetic / 12-bit SOF classes are rejected, not misread") {
     val base = JpegCodec.encode(flat(8, 8, 1, 2, 3), quality = 85)
     // rewrite the SOF0 marker byte (FF C0) to each unsupported SOF class
     val sofAt = {
@@ -210,6 +284,8 @@ class JpegCodecSpec extends AnyFunSuite {
       while (!((base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0)) i += 1
       i + 1
     }
+    // 0xc2 included: a BASELINE scan header relabeled progressive is a
+    // malformed progressive stream (DC+AC in one scan) and must reject
     for (m <- Seq(0xc2, 0xc3, 0xc5, 0xc9, 0xcb, 0xcf)) {
       val mut = base.clone(); mut(sofAt) = m.toByte
       assert(JpegCodec.decode(mut).isEmpty, f"SOF $m%02x accepted")
