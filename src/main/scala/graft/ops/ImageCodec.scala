@@ -147,9 +147,11 @@ object ImageCodec {
   private def u16le(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 
-  /** 24-bit uncompressed BI_RGB only (the uncompressed interchange case);
-    * positive biHeight = bottom-up rows (the common layout), negative =
-    * top-down. Rows are BGR, padded to 4-byte multiples.
+  /** Uncompressed BI_RGB at 24-bit BGR, 32-bit BGRA (alpha dropped, like
+    * the PNG contract), or 8-bit paletted (BGRA color table); positive
+    * biHeight = bottom-up rows (the common layout), negative = top-down.
+    * Rows are padded to 4-byte multiples. RLE and bitfield compressions
+    * are rejected, not misread.
     */
   def decodeBmp(b: Array[Byte]): Option[Raster] = {
     try {
@@ -161,28 +163,57 @@ object ImageCodec {
       val rawH = i32le(b, 22)
       val bpp = u16le(b, 28)
       val compression = i32le(b, 30)
-      if (w <= 0 || rawH == 0 || bpp != 24 || compression != 0) return None
+      if (w <= 0 || rawH == 0 || compression != 0 ||
+        (bpp != 24 && bpp != 32 && bpp != 8)) return None
       val topDown = rawH < 0
       if (rawH == Int.MinValue) return None // abs would stay negative
       val h = math.abs(rawH)
-      // Row stride in Long: 24*w overflows Int at w ≈ 89M, which would
+      // palette (8bpp): BGRA entries right after the info header;
+      // biClrUsed = 0 means the full 256
+      var palette: Array[Byte] = null
+      if (bpp == 8) {
+        val used0 = i32le(b, 46)
+        val used = if (used0 == 0) 256 else used0
+        if (used < 0 || used > 256) return None
+        val po = 14 + hdrSize
+        if (po.toLong + 4L * used > b.length) return None
+        palette = new Array[Byte](used * 3)
+        var i = 0
+        while (i < used) {
+          palette(i * 3) = b(po + i * 4 + 2)     // R
+          palette(i * 3 + 1) = b(po + i * 4 + 1) // G
+          palette(i * 3 + 2) = b(po + i * 4)     // B
+          i += 1
+        }
+      }
+      // Row stride in Long: bpp*w overflows Int at large w, which would
       // corrupt the bounds check below. Once rowSizeL*h fits in b.length,
-      // w*h*3 <= rowSizeL*h necessarily fits in Int.
-      val rowSizeL = ((24L * w + 31) / 32) * 4
+      // w*h*3 <= rowSizeL*h*3 necessarily fits in Int for bpp >= 8.
+      val rowSizeL = ((bpp.toLong * w + 31) / 32) * 4
       if (dataOff < 0 || dataOff.toLong + rowSizeL * h > b.length) return None
+      if (w.toLong * h * 3 > Int.MaxValue) return None
       val rowSize = rowSizeL.toInt
       val out = new Array[Byte](w * h * 3)
+      val step = bpp / 8
       var y = 0
       while (y < h) {
         val srcRow = if (topDown) y else h - 1 - y
         val ro = dataOff + srcRow * rowSize
         var x = 0
         while (x < w) {
-          val so = ro + x * 3
+          val so = ro + x * step
           val do_ = (y * w + x) * 3
-          out(do_) = b(so + 2)     // R
-          out(do_ + 1) = b(so + 1) // G
-          out(do_ + 2) = b(so)     // B
+          if (bpp == 8) {
+            val idx = (b(so) & 0xff) * 3
+            if (idx + 2 >= palette.length) return None
+            out(do_) = palette(idx)
+            out(do_ + 1) = palette(idx + 1)
+            out(do_ + 2) = palette(idx + 2)
+          } else { // 24/32: BGR(A), alpha byte ignored
+            out(do_) = b(so + 2)     // R
+            out(do_ + 1) = b(so + 1) // G
+            out(do_ + 2) = b(so)     // B
+          }
           x += 1
         }
         y += 1

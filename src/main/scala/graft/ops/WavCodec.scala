@@ -2,17 +2,23 @@ package graft.ops
 
 /** Pure-JVM WAV (RIFF) PCM codec — the audio member of the uncompressed
   * codec family next to [[ImageCodec]] (PPM/BMP). Supports the
-  * uncompressed interchange cases: format 1 (integer PCM) at 16-bit signed
-  * and 8-bit unsigned, any channel count, via proper RIFF chunk traversal
-  * (fmt / data chunks in any order, unknown chunks skipped, word-aligned).
+  * uncompressed interchange cases: format 1 (integer PCM) at 8-bit
+  * unsigned and 16/24/32-bit signed, format 3 (IEEE float) at 32/64-bit,
+  * and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either — any channel
+  * count, via proper RIFF chunk traversal (fmt / data chunks in any
+  * order, unknown chunks skipped, word-aligned).
   *
   * Same totality contract as ImageCodec: malformed or truncated payloads
   * return None, never throw — a poison blob degrades, it doesn't kill the
   * task.
   *
-  * Samples are held interleaved as 16-bit signed (8-bit input is widened
-  * exactly: (b - 128) << 8), so every derived statistic is integer-exact
-  * and bit-identical across engines.
+  * Samples are held interleaved as 16-bit signed, normalized
+  * DETERMINISTICALLY: 8-bit widens exactly ((b − 128) << 8); 24/32-bit
+  * keep their high 16 bits (arithmetic shift — the standard narrowing);
+  * floats scale by 32768 with round-half-up and clamp to the int16 range
+  * (NaN rounds to 0 — a poison sample degrades to silence rather than
+  * poisoning the statistic). Every derived statistic downstream is then
+  * integer-exact and bit-identical across engines.
   */
 object WavCodec {
 
@@ -30,6 +36,13 @@ object WavCodec {
   private def u16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def i32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def i64(b: Array[Byte], o: Int): Long =
+    (i32(b, o) & 0xffffffffL) | (i32(b, o + 4).toLong << 32)
+
+  /** (audioFormat, bitsPerSample) pairs this codec decodes. */
+  private def supported(af: Int, bits: Int): Boolean =
+    (af == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+      (af == 3 && (bits == 32 || bits == 64))
 
   def decodeWav(b: Array[Byte]): Option[Pcm] = {
     try {
@@ -47,10 +60,13 @@ object WavCodec {
         }
         id match {
           case "fmt " if size >= 16 =>
-            val audioFormat = u16(b, off + 8)
+            var audioFormat = u16(b, off + 8)
             val channels = u16(b, off + 10)
             val rate = i32(b, off + 12)
             bits = u16(b, off + 22)
+            // WAVE_FORMAT_EXTENSIBLE: the real format code is the first
+            // word of the SubFormat GUID (fmt offset 24)
+            if (audioFormat == 0xfffe && size >= 40) audioFormat = u16(b, off + 8 + 24)
             fmt = Some((audioFormat, channels, rate))
           case "data" => data = Some((off + 8, size))
           case _ => () // LIST, cue, etc. — skip
@@ -58,17 +74,29 @@ object WavCodec {
         off += 8 + size + (size & 1) // chunks are word-aligned
       }
       (fmt, data) match {
-        case (Some((1, ch, rate)), Some((doff, dlen)))
-            if ch > 0 && rate > 0 && (bits == 16 || bits == 8) =>
+        case (Some((af, ch, rate)), Some((doff, dlen)))
+            if ch > 0 && rate > 0 && supported(af, bits) =>
           val bytesPerSample = bits / 8
           val n = dlen / bytesPerSample
           if (n % ch != 0) return None
           val out = new Array[Short](n)
           var i = 0
           while (i < n) {
+            val o = doff + i * bytesPerSample
             out(i) =
-              if (bits == 16) (u16(b, doff + i * 2)).toShort
-              else (((b(doff + i) & 0xff) - 128) << 8).toShort // 8-bit unsigned, widened exactly
+              if (af == 1) bits match {
+                case 16 => u16(b, o).toShort
+                case 8 => (((b(o) & 0xff) - 128) << 8).toShort // unsigned, widened exactly
+                case 24 => // sign via the top byte, keep the high 16 bits
+                  ((((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | (b(o + 2).toInt << 16))) >> 8).toShort
+                case _ => (i32(b, o) >> 16).toShort // 32-bit int
+              } else { // format 3: IEEE float, scaled + clamped; NaN -> 0
+                val x =
+                  if (bits == 32) java.lang.Float.intBitsToFloat(i32(b, o)).toDouble
+                  else java.lang.Double.longBitsToDouble(i64(b, o))
+                val v = Math.round(x * 32768.0)
+                (if (v > 32767L) 32767L else if (v < -32768L) -32768L else v).toShort
+              }
             i += 1
           }
           Some(Pcm(rate, ch, out))

@@ -46,15 +46,80 @@ class WavCodecSpec extends AnyFunSuite {
     assert(back.samples.toSeq == Seq[Short](0, ((255 - 128) << 8).toShort))
   }
 
-  test("rejects: float format, 24-bit, truncated data, garbage — all None") {
+  test("rejects: float@16bit, int@12bit, truncated data, garbage — all None") {
     val good = encodeWav(Pcm(8000, 1, Array[Short](1, 2, 3)))
-    val floatFmt = good.clone(); floatFmt(20) = 3 // audioFormat = IEEE float
+    // float is only legal at 32/64 bits; the header says 16 — reject
+    val floatFmt = good.clone(); floatFmt(20) = 3
     assert(decodeWav(floatFmt).isEmpty)
-    val b24 = good.clone(); b24(34) = 24
-    assert(decodeWav(b24).isEmpty)
+    val b12 = good.clone(); b12(34) = 12 // no 12-bit PCM
+    assert(decodeWav(b12).isEmpty)
     assert(decodeWav(good.dropRight(1)).isEmpty, "truncated data chunk")
     assert(decodeWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty, "no chunks")
     assert(decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  /** Hand-assembled WAV with an arbitrary fmt (plain or EXTENSIBLE). */
+  private def wav(fmtTag: Int, channels: Int, rate: Int, bits: Int,
+      data: Array[Byte], subFormat: Int = 0): Array[Byte] = {
+    val ext = fmtTag == 0xfffe
+    val fmtSize = if (ext) 40 else 16
+    val pad = data.length & 1
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 + fmtSize + 8 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + fmtSize + 8 + data.length + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(fmtSize)
+      .putShort(fmtTag.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * bits / 8).putShort((channels * bits / 8).toShort)
+      .putShort(bits.toShort)
+    if (ext) {
+      buf.putShort(22).putShort(bits.toShort).putInt(0x3) // cbSize, validBits, mask
+      buf.putShort(subFormat.toShort) // GUID word 0 = the real format code
+      buf.put(Array[Byte](0, 0, 0, 0, 0x10, 0, 0x80.toByte, 0, 0,
+        0xaa.toByte, 0, 0x38, 0x9b.toByte, 0x71)) // KSDATAFORMAT remainder
+    }
+    buf.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    if (pad == 1) buf.put(0.toByte)
+    buf.array()
+  }
+
+  test("24/32-bit integer PCM narrows to the high 16 bits, sign-exact") {
+    // 24-bit LE samples 0x018000 (-> 384) and 0xFF0000 (-> -256)
+    val d24 = Array[Byte](0x00, 0x80.toByte, 0x01, 0x00, 0x00, 0xFF.toByte)
+    assert(decodeWav(wav(1, 1, 8000, 24, d24)).get.samples.toSeq ==
+      Seq[Short](384, -256))
+    val d32 = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0x7FFF0000).putInt(0x80000000).array()
+    assert(decodeWav(wav(1, 1, 8000, 32, d32)).get.samples.toSeq ==
+      Seq[Short](32767, -32768))
+  }
+
+  test("IEEE float 32/64 scales by 32768, clamps to int16, NaN -> silence") {
+    val d32 = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putFloat(0.5f).putFloat(1.0f).putFloat(-1.0f).putFloat(Float.NaN).array()
+    assert(decodeWav(wav(3, 1, 8000, 32, d32)).get.samples.toSeq ==
+      Seq[Short](16384, 32767, -32768, 0))
+    val d64 = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(0.25).putDouble(-0.5).array()
+    assert(decodeWav(wav(3, 1, 8000, 64, d64)).get.samples.toSeq ==
+      Seq[Short](8192, -16384))
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE resolves the SubFormat code (PCM and float)") {
+    val data = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(123).putShort(-77).array()
+    assert(decodeWav(wav(0xfffe, 1, 44100, 16, data, subFormat = 1))
+      .get.samples.toSeq == Seq[Short](123, -77))
+    val fd = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(0.5f).array()
+    assert(decodeWav(wav(0xfffe, 1, 44100, 32, fd, subFormat = 3))
+      .get.samples.toSeq == Seq[Short](16384))
+    // an extensible wrapper naming an unknown sub-code still rejects
+    assert(decodeWav(wav(0xfffe, 1, 44100, 16, data, subFormat = 7)).isEmpty)
   }
 
   test("RMS and peak are exact on known signals; stereo mono-mixes by integer average") {
