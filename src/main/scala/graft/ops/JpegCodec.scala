@@ -137,7 +137,11 @@ object JpegCodec {
   // ------------------------------------------------------- Huffman decode
 
   /** Canonical Huffman decode table per T.81 Annex F (MINCODE / MAXCODE /
-    * VALPTR); `maxcode(l) = -1` marks a length with no codes.
+    * VALPTR), fronted by an 8-bit LOOKAHEAD LUT: codes of length ≤ 8 (the
+    * overwhelming majority of symbols in real streams) resolve with one
+    * peek + one table read instead of a bit-by-bit walk; longer codes fall
+    * back to the Annex F walk. `maxcode(l) = -1` marks a length with no
+    * codes.
     */
   private final class Huff(counts: Array[Int], vals: Array[Int]) {
     if (counts.length != 16) bail()
@@ -146,6 +150,10 @@ object JpegCodec {
     private val mincode = new Array[Int](17)
     private val maxcode = new Array[Int](17)
     private val valptr = new Array[Int](17)
+    // (len << 12) | symbol for every 8-bit prefix whose code fits in 8
+    // bits; 0 = long code (walk). Valid entries always have len >= 1, so
+    // 0 is unambiguous.
+    private val lut = new Array[Int](256)
     locally {
       var code = 0
       var k = 0
@@ -162,55 +170,102 @@ object JpegCodec {
         code <<= 1
         l += 1
       }
+      l = 1
+      while (l <= 8) {
+        if (maxcode(l) >= 0) {
+          var c = mincode(l)
+          while (c <= maxcode(l)) {
+            val sym = vals(valptr(l) + c - mincode(l))
+            val base = c << (8 - l)
+            var suffix = 0
+            while (suffix < (1 << (8 - l))) {
+              lut(base | suffix) = (l << 12) | sym
+              suffix += 1
+            }
+            c += 1
+          }
+        }
+        l += 1
+      }
     }
     def decode(br: BitReader): Int = {
-      var code = br.bit()
-      var l = 1
-      while (maxcode(l) < 0 || code > maxcode(l)) {
-        l += 1
-        if (l > 16) bail()
-        code = (code << 1) | br.bit()
+      val e = lut(br.peek8())
+      if (e != 0) { br.consume(e >>> 12); e & 0xfff }
+      else {
+        var code = br.bit()
+        var l = 1
+        while (maxcode(l) < 0 || code > maxcode(l)) {
+          l += 1
+          if (l > 16) bail()
+          code = (code << 1) | br.bit()
+        }
+        vals(valptr(l) + code - mincode(l))
       }
-      vals(valptr(l) + code - mincode(l))
     }
   }
 
   /** MSB-first bit reader over the entropy-coded segment with 0xFF00
-    * un-stuffing. Running out of bytes, or meeting a real marker where
-    * coded bits were expected, bails — truncation is corruption here, by
-    * the totality-strictness contract in the object doc.
+    * un-stuffing, buffered up to 56 bits for the lookahead decode path.
+    * Running out of bytes, or meeting a real marker where coded bits are
+    * CONSUMED, bails — truncation is corruption here, by the
+    * totality-strictness contract in the object doc. `peek8` zero-pads
+    * past the end (harmless: a decode using padding bits would have to
+    * consume them, which bails), so lookahead never weakens strictness.
     */
   private final class BitReader(b: Array[Byte], var pos: Int) {
-    private var acc = 0
+    private var acc = 0L
     private var nbits = 0
-    def bit(): Int = {
-      if (nbits == 0) {
-        if (pos >= b.length) bail()
-        var v = b(pos) & 0xff
-        pos += 1
+    private var ended = false // hit EOF or a marker; cleared by expectRestart
+    /** Buffer 8 more bits; false at EOF/marker (no state consumed). */
+    private def fillByte(): Boolean = {
+      if (ended || pos >= b.length) { ended = true; false }
+      else {
+        val v = b(pos) & 0xff
         if (v == 0xff) {
-          if (pos >= b.length) bail()
-          if ((b(pos) & 0xff) == 0x00) pos += 1 // stuffed literal 0xFF
-          else bail() // unexpected marker mid-entropy-data
-        }
-        acc = v; nbits = 8
+          if (pos + 1 >= b.length || (b(pos + 1) & 0xff) != 0x00) {
+            ended = true; return false // marker (or truncated stuffing)
+          }
+          pos += 2 // stuffed literal 0xFF
+        } else pos += 1
+        acc = (acc << 8) | v
+        nbits += 8
+        true
       }
+    }
+    /** Next 8 bits without consuming, zero-padded past the end. */
+    def peek8(): Int = {
+      while (nbits < 8 && fillByte()) {}
+      if (nbits >= 8) ((acc >>> (nbits - 8)) & 0xff).toInt
+      else ((acc << (8 - nbits)) & 0xff).toInt
+    }
+    def consume(n: Int): Unit = {
+      if (n > nbits) bail()
+      nbits -= n
+    }
+    def bit(): Int = {
+      if (nbits == 0 && !fillByte()) bail()
       nbits -= 1
-      (acc >>> nbits) & 1
+      ((acc >>> nbits) & 1L).toInt
     }
     def receive(n: Int): Int = {
-      var v = 0
-      var i = 0
-      while (i < n) { v = (v << 1) | bit(); i += 1 }
-      v
+      if (n == 0) return 0
+      while (nbits < n && fillByte()) {}
+      if (n > nbits) bail()
+      nbits -= n
+      ((acc >>> nbits) & ((1L << n) - 1)).toInt
     }
-    /** Drop to the next byte boundary (restart-marker alignment). */
-    def align(): Unit = nbits = 0
-    /** Consume an aligned RSTn marker; `n` is the expected index 0..7. */
+    /** Drop the current byte's remaining bits (restart alignment). */
+    def align(): Unit = nbits -= nbits % 8
+    /** Consume an aligned RSTn marker; `n` is the expected index 0..7. A
+      * conforming stream pads only within the final byte, so whole
+      * buffered bytes at a restart point mean corruption.
+      */
     def expectRestart(n: Int): Unit = {
+      if (nbits != 0) bail()
       if (pos + 2 > b.length) bail()
       if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 + n)) bail()
       pos += 2
+      ended = false
     }
   }
 
@@ -228,6 +283,24 @@ object JpegCodec {
     */
   private def idctToPlane(coef: Array[Int], tmp: Array[Double],
       plane: Array[Byte], pw: Int, ox: Int, oy: Int): Unit = {
+    // DC-only fast path (flat blocks dominate 4:2:0 chroma and background
+    // regions): all 64 outputs equal round(c0·(c0·DC)) — BIT-IDENTICAL to
+    // the separable passes, whose zero AC terms only ever add ±0.0
+    var hasAc = false
+    var ci = 1
+    while (ci < 64 && !hasAc) { hasAc = coef(ci) != 0; ci += 1 }
+    if (!hasAc) {
+      val c0 = Cos(0)(0)
+      val s0 = Math.round(c0 * (c0 * coef(0))).toInt + 128
+      val b0 = (if (s0 < 0) 0 else if (s0 > 255) 255 else s0).toByte
+      var y0 = 0
+      while (y0 < 8) {
+        var x = 0
+        while (x < 8) { plane((oy + y0) * pw + ox + x) = b0; x += 1 }
+        y0 += 1
+      }
+      return
+    }
     var v = 0
     while (v < 8) {
       var x = 0
@@ -1020,6 +1093,7 @@ object JpegCodec {
 
     val bw = new BitWriter(out)
     val blk = new Array[Int](64)
+    val blkIn = new Array[Int](64)
     val fdctTmp = new Array[Double](64)
 
     /** Forward DCT + quantize + entropy-code one 8×8 block whose samples
@@ -1027,6 +1101,9 @@ object JpegCodec {
       */
     def codeBlock(sample: (Int, Int) => Int, q: Array[Int], dc: HuffEnc, ac: HuffEnc,
         pred: Int): Int = {
+      // pull the tile once (64 sampler calls) instead of per-basis-term
+      var si = 0
+      while (si < 64) { blkIn(si) = sample(si % 8, si / 8) - 128; si += 1 }
       // FDCT: F(u,v) = Σx Σy Cos(u)(x)·Cos(v)(y)·(s(x,y)−128), separable
       var v = 0
       while (v < 8) {
@@ -1034,7 +1111,7 @@ object JpegCodec {
         while (u < 8) {
           var acc = 0.0
           var x = 0
-          while (x < 8) { acc += Cos(u)(x) * (sample(x, v) - 128); x += 1 }
+          while (x < 8) { acc += Cos(u)(x) * blkIn(v * 8 + x); x += 1 }
           fdctTmp(v * 8 + u) = acc
           u += 1
         }
