@@ -397,6 +397,83 @@ object IvfIncremental {
     (assigned, fire)
   }
 
+  /** Top-k neighbors for EVERY row of a query table in ONE job — the
+    * batch serving form of [[probe]], the shape an embedding pipeline
+    * actually runs (score a whole shard of fresh embeddings against the
+    * index, not one vector at a time):
+    *
+    *   1. per-query cell ranking folds IN-ROW against the bounded
+    *      centroid table (the [[assignTo]] discipline: literal structs +
+    *      sort_array/slice below [[KMeans.MaxLiteralFoldCells]] cells, a
+    *      single-literal transform fold above — zero Exchange over the
+    *      query table);
+    *   2. the UNION of probed cells — bounded by #cells, collected from
+    *      the nq×nprobe probe pairs — prunes the partitioned vector
+    *      store to exactly the directories ANY query needs
+    *      (partition-column IN-list: file-level pruning, no index scan);
+    *   3. one equi-join on `cell` (probe side broadcast — nq×nprobe
+    *      rows, the small side by construction in the
+    *      many-vectors-per-cell regime) + exact integer dots + a
+    *      per-query top-k window. The window shuffles only (q_id, cell,
+    *      dot) triples of the probed cells' members — never the store's
+    *      `q` arrays, and never anything outside the probed cells.
+    *
+    * Output: (q_id, vec_id, cell, dot_q, rnk ≤ k), ordering per query
+    * identical to [[probe]]'s (dot desc, vec_id asc — engine-exact
+    * integer dots, so ranks are deterministic everywhere).
+    */
+  def probeBatch(spark: SparkSession, queries: DataFrame, indexPath: String,
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val centRows = readCentroids(spark, indexPath).collect() // #cells — control plane
+    val q = quantized(queries).select(col("vec_id").as("q_id"), col("q").as("pq"))
+    if (centRows.isEmpty)
+      return q.select(col("q_id"), lit(0L).as("vec_id"), lit(0L).as("cell"),
+        lit(0L).as("dot_q"), lit(1).as("rnk")).limit(0)
+    val cents = centRows.map(r => (r.getAs[Long]("cell"),
+      r.getAs[Seq[Long]]("csum").toArray, r.getAs[Long]("cnt")))
+    val np = math.min(nprobe, cents.length)
+    val probes =
+      if (cents.length <= KMeans.MaxLiteralFoldCells) {
+        val cands = cents.map { case (cell, csum, cnt) =>
+          struct(
+            (-(call_function("graft_dot_i64", col("pq"), typedlit(csum.toSeq)).cast("double")
+              / lit(cnt.toDouble))).as("ns"),
+            lit(cell).as("cell"))
+        }
+        q.select(col("q_id"), col("pq"),
+          explode(slice(sort_array(array(cands.toIndexedSeq: _*)), 1, np)).as("c"))
+          .select(col("q_id"), col("pq"), col("c.cell").as("cell"))
+      } else {
+        val centLit = typedlit(cents.map { case (cell, csum, cnt) => (cell, csum.toSeq, cnt) }.toSeq)
+        q.select(col("q_id"), col("pq"),
+          explode(slice(sort_array(transform(centLit, c =>
+            struct(
+              (-(call_function("graft_dot_i64", col("pq"), c.getField("_2")).cast("double")
+                / c.getField("_3").cast("double"))).as("ns"),
+              c.getField("_1").as("cell")))), 1, np)).as("c"))
+          .select(col("q_id"), col("pq"), col("c.cell").as("cell"))
+      }
+    val probesP = probes.persist()
+    try {
+      val cells = probesP.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)) // ≤ #cells — control plane
+      val hits = readVectors(spark, indexPath)
+        .filter(col("cell").isin(cells: _*))
+        // partition-column read type is directory-inferred (int); pin long
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("q"))
+        .join(broadcast(probesP.withColumnRenamed("cell", "pcell")),
+          col("cell") === col("pcell"))
+        .select(col("q_id"), col("vec_id"), col("cell"),
+          call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("dot_q").desc, col("vec_id").asc)))
+        .filter(col("rnk") <= k)
+      hits
+    } finally { probesP.unpersist(false); () }
+  }
+
   /** Top-k by exact integer dot among the vectors of the `nprobe` cells
     * whose centroids score best against the probe. The cell filter is a
     * partition-column IN-list, so the scan reads nprobe directories.

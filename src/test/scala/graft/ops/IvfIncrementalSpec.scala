@@ -299,6 +299,36 @@ class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(e.columns.toSeq == Seq("vec_id", "q", "cell") && e.count() == 0)
   }
 
+  test("probeBatch answers every query exactly like per-query probe, in one job") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-batch-probe").toString
+    val all = (0 until 120).map(i => (i.toLong, mkVec(i)))
+    IvfIncremental.bootstrap(spark, all.take(60).toDF("vec_id", "embedding"), nCells = 4, dir)
+    IvfIncremental.addBatch(spark, all.drop(60).toDF("vec_id", "embedding"), dir).count()
+
+    val queryIds = Seq(3, 17, 42, 99, 110)
+    val queries = queryIds.map(i => (i.toLong + 1000, mkVec(i))).toDF("vec_id", "embedding")
+    val batch = IvfIncremental.probeBatch(spark, queries, dir, nprobe = 2, k = 5)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rnk")).map(r =>
+          (r.getAs[Long]("vec_id"), r.getAs[Long]("dot_q"))).toSeq
+      }
+    assert(batch.keySet == queryIds.map(_.toLong + 1000).toSet)
+    // ground truth: the single-vector probe, one query at a time
+    for (i <- queryIds) {
+      val one = IvfIncremental.probe(spark, dir, mkVec(i), nprobe = 2, k = 5)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dot_q"))).toSeq
+      assert(batch(i.toLong + 1000) == one, s"query $i diverged from probe()")
+    }
+    // ranks are dense 1..k per query and dots are non-increasing
+    batch.values.foreach { rows =>
+      assert(rows.size == 5)
+      assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
   test("addBatchAuto trigger scales by the persisted cell target, not the caller's nCells") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivf-auto-stale").toString
