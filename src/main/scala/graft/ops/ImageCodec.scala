@@ -439,26 +439,37 @@ object ImageCodec {
     b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
       (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
-  /** GIF87a/89a, first image frame, via a full variable-width LZW decoder —
-    * the third compressed web format next to PNG (the LZW here and the
+  /** First frame of a GIF payload — [[decodeGifFrames]]' head. */
+  def decodeGif(b: Array[Byte]): Option[Raster] = decodeGifFrames(b).map(_.head)
+
+  /** GIF87a/89a, EVERY frame, via a full variable-width LZW decoder — the
+    * third compressed web format next to PNG (the LZW here and the
     * DEFLATE there cover the two compression families lossless web images
-    * actually use). Supported: global or local color table, 89a extension
-    * blocks (skipped — transparency is an alpha concern and this kernel
-    * drops alpha by contract), and INTERLACED images (the four-pass row
-    * order: rows 0 mod 8, 4 mod 8, 2 mod 4, 1 mod 2 — the LZW stream is
-    * identical, only the destination row of each decoded strip changes).
-    * Same totality contract as every decoder here: malformed, truncated,
-    * or overflow-crafted payloads return None.
+    * actually use), and — multi-frame — the second VIDEO container next
+    * to the PPM stream: each frame composites onto the logical-screen
+    * canvas (draw at its (left, top) rect; transparency from the 89a
+    * graphic-control extension leaves the underlying canvas; disposal 0/1
+    * keep the canvas, 2 restores the frame rect to the background color)
+    * and every returned raster is the full screen-sized canvas snapshot,
+    * the animation semantics players implement. Disposal 3
+    * (restore-to-previous) is REJECTED, not misrendered. Supported:
+    * global or local color tables per frame and INTERLACED frames (the
+    * four-pass row order: rows 0 mod 8, 4 mod 8, 2 mod 4, 1 mod 2 — the
+    * LZW stream is identical, only the destination row of each strip
+    * changes). Same totality contract as every decoder here: malformed,
+    * truncated, or overflow-crafted payloads return None.
     */
-  def decodeGif(b: Array[Byte]): Option[Raster] = {
+  def decodeGifFrames(b: Array[Byte]): Option[Vector[Raster]] = {
     try {
       if (!looksLikeGif(b)) return None
       var i = 6
       def u8(o: Int): Int = b(o) & 0xff
       def u16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
       if (i + 7 > b.length) return None
+      val sw = u16(i); val sh = u16(i + 2)
       val gctFlag = (u8(i + 4) & 0x80) != 0
       val gctSize = 2 << (u8(i + 4) & 7)
+      val bgIndex = u8(i + 5)
       i += 7
       var gct: Array[Byte] = null
       if (gctFlag) {
@@ -466,21 +477,53 @@ object ImageCodec {
         gct = java.util.Arrays.copyOfRange(b, i, i + gctSize * 3)
         i += gctSize * 3
       }
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh * 3 > Int.MaxValue) return None
+      // canvas starts as the background color (black without a GCT)
+      val bgR = if (gct != null && bgIndex * 3 + 2 < gct.length) gct(bgIndex * 3) else 0.toByte
+      val bgG = if (gct != null && bgIndex * 3 + 2 < gct.length) gct(bgIndex * 3 + 1) else 0.toByte
+      val bgB = if (gct != null && bgIndex * 3 + 2 < gct.length) gct(bgIndex * 3 + 2) else 0.toByte
+      val canvas = new Array[Byte](sw * sh * 3)
+      def fillRect(x0: Int, y0: Int, w: Int, h: Int): Unit = {
+        var y = y0
+        while (y < y0 + h) {
+          var x = x0
+          while (x < x0 + w) {
+            val d = (y * sw + x) * 3
+            canvas(d) = bgR; canvas(d + 1) = bgG; canvas(d + 2) = bgB
+            x += 1
+          }
+          y += 1
+        }
+      }
+      fillRect(0, 0, sw, sh)
+      var frames = Vector.empty[Raster]
+      var transIdx = -1 // pending graphic-control state for the NEXT frame
+      var disposal = 0
       while (true) {
         if (i >= b.length) return None
         u8(i) match {
-          case 0x3b => return None // trailer before any image
-          case 0x21 => // extension: label + sub-blocks, skip
+          case 0x3b => // trailer
+            return if (frames.nonEmpty) Some(frames) else None
+          case 0x21 if i + 1 < b.length && u8(i + 1) == 0xf9 => // GCE
+            if (i + 8 > b.length || u8(i + 2) != 4) return None
+            val flags = u8(i + 3)
+            disposal = (flags >> 2) & 7
+            if (disposal > 2) return None // restore-to-previous: reject, don't misrender
+            transIdx = if ((flags & 1) != 0) u8(i + 6) else -1
+            if (u8(i + 7) != 0) return None // sub-block terminator
+            i += 8
+          case 0x21 => // other extension: label + sub-blocks, skip
             i += 2
             while (i < b.length && u8(i) != 0) i += 1 + u8(i)
             if (i >= b.length) return None
             i += 1 // block terminator
           case 0x2c => // image descriptor
             if (i + 10 > b.length) return None
+            val left = u16(i + 1); val top = u16(i + 3)
             val w = u16(i + 5); val h = u16(i + 7)
             val flags = u8(i + 9)
             i += 10
-            if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+            if (w <= 0 || h <= 0 || left + w > sw || top + h > sh) return None
             val interlaced = (flags & 0x40) != 0
             var table = gct
             if ((flags & 0x80) != 0) { // local color table wins
@@ -515,24 +558,28 @@ object ImageCodec {
                     y <- start until h by step) { order(r) = y; r += 1 }
                 (p: Int) => order(p)
               }
-            val out = new Array[Byte](w * h * 3)
             val nColors = table.length / 3
             var sy = 0
             while (sy < h) {
-              val dy = rowOrder(sy)
+              val dy = top + rowOrder(sy)
               var x = 0
               while (x < w) {
                 val idx = indices(sy * w + x) & 0xff
                 if (idx >= nColors) return None
-                val d = (dy * w + x) * 3
-                out(d) = table(idx * 3)
-                out(d + 1) = table(idx * 3 + 1)
-                out(d + 2) = table(idx * 3 + 2)
+                if (idx != transIdx) { // transparent pixels keep the canvas
+                  val d = (dy * sw + left + x) * 3
+                  canvas(d) = table(idx * 3)
+                  canvas(d + 1) = table(idx * 3 + 1)
+                  canvas(d + 2) = table(idx * 3 + 2)
+                }
                 x += 1
               }
               sy += 1
             }
-            return Some(Raster(w, h, out))
+            frames :+= Raster(sw, sh, canvas.clone()) // full-canvas snapshot
+            if (disposal == 2) fillRect(left, top, w, h)
+            transIdx = -1
+            disposal = 0
           case _ => return None
         }
       }
@@ -612,24 +659,34 @@ object ImageCodec {
     None // ran out of bits before EOI
   }
 
-  /** Minimal GIF87a encoder (global color table built from the raster's
-    * distinct colors — at most 256, callers quantize beforehand; LZW
-    * stream of literal codes with a CLEAR before the table would overflow)
-    * — exists so specs and the media generator can produce REAL GIF
-    * payloads that exercise the full LZW decode path.
+  /** Minimal single-frame GIF87a encode — [[encodeGifAnimated]] of one. */
+  def encodeGif(r: Raster): Option[Array[Byte]] = encodeGifAnimated(Seq(r))
+
+  /** Minimal multi-frame GIF87a encoder (global color table built from the
+    * UNION of the frames' distinct colors — at most 256, callers quantize
+    * beforehand; per frame one full-canvas image descriptor whose LZW
+    * stream is literal codes with a CLEAR before the table would
+    * overflow) — exists so specs and the media generator can produce REAL
+    * animated-GIF payloads that exercise the full multi-frame LZW decode
+    * + compositing path. All frames must share one size.
     */
-  def encodeGif(r: Raster): Option[Array[Byte]] = {
+  def encodeGifAnimated(framesIn: Seq[Raster]): Option[Array[Byte]] = {
+    if (framesIn.isEmpty) return None
+    val fw = framesIn.head.width; val fh = framesIn.head.height
+    if (!framesIn.forall(f => f.width == fw && f.height == fh)) return None
     val colors = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
-    val nPx = r.width * r.height
-    var p = 0
-    while (p < nPx) {
-      val c = ((r.rgb(p * 3) & 0xff) << 16) | ((r.rgb(p * 3 + 1) & 0xff) << 8) |
-        (r.rgb(p * 3 + 2) & 0xff)
-      if (!colors.contains(c)) {
-        if (colors.size == 256) return None // caller must quantize first
-        colors(c) = colors.size
+    for (r <- framesIn) {
+      val nPx = fw * fh
+      var p = 0
+      while (p < nPx) {
+        val c = ((r.rgb(p * 3) & 0xff) << 16) | ((r.rgb(p * 3 + 1) & 0xff) << 8) |
+          (r.rgb(p * 3 + 2) & 0xff)
+        if (!colors.contains(c)) {
+          if (colors.size == 256) return None // caller must quantize first
+          colors(c) = colors.size
+        }
+        p += 1
       }
-      p += 1
     }
     // color-table size: power of two >= max(2, nColors); minCode >= 2
     var bits = 2
@@ -638,41 +695,44 @@ object ImageCodec {
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF87a".getBytes("US-ASCII"))
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    w16(r.width); w16(r.height)
+    w16(fw); w16(fh)
     out.write(0x80 | (bits - 1)); out.write(0); out.write(0) // GCT flag+size
     for ((c, _) <- colors) { out.write(c >> 16); out.write((c >> 8) & 0xff); out.write(c & 0xff) }
     for (_ <- colors.size until tblSize) { out.write(0); out.write(0); out.write(0) }
-    out.write(0x2c); w16(0); w16(0); w16(r.width); w16(r.height); out.write(0)
-    val minCode = bits
-    out.write(minCode)
-    val clear = 1 << minCode; val eoi = clear + 1
-    // literal-code stream: CLEAR, then every pixel as a literal, re-CLEARing
-    // before the decoder's width would grow past our fixed minCode+1
-    val bitBuf = new java.io.ByteArrayOutputStream()
-    var acc = 0L; var accBits = 0
-    def putCode(c: Int): Unit = {
-      acc |= c.toLong << accBits; accBits += minCode + 1
-      while (accBits >= 8) { bitBuf.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8 }
+    for (r <- framesIn) {
+      out.write(0x2c); w16(0); w16(0); w16(fw); w16(fh); out.write(0)
+      val minCode = bits
+      out.write(minCode)
+      val clear = 1 << minCode; val eoi = clear + 1
+      // literal-code stream: CLEAR, then every pixel as a literal,
+      // re-CLEARing before the decoder's width would grow past minCode+1
+      val bitBuf = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var accBits = 0
+      def putCode(c: Int): Unit = {
+        acc |= c.toLong << accBits; accBits += minCode + 1
+        while (accBits >= 8) { bitBuf.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8 }
+      }
+      putCode(clear)
+      var budget = (1 << (minCode + 1)) - eoi - 2 // codes until width would grow
+      val nPx = fw * fh
+      var p = 0
+      while (p < nPx) {
+        val c = ((r.rgb(p * 3) & 0xff) << 16) | ((r.rgb(p * 3 + 1) & 0xff) << 8) |
+          (r.rgb(p * 3 + 2) & 0xff)
+        if (budget == 0) { putCode(clear); budget = (1 << (minCode + 1)) - eoi - 2 }
+        putCode(colors(c)); budget -= 1
+        p += 1
+      }
+      putCode(eoi)
+      if (accBits > 0) bitBuf.write((acc & 0xff).toInt)
+      val lzw = bitBuf.toByteArray
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0) // block terminator
     }
-    putCode(clear)
-    var budget = (1 << (minCode + 1)) - eoi - 2 // codes until width would grow
-    p = 0
-    while (p < nPx) {
-      val c = ((r.rgb(p * 3) & 0xff) << 16) | ((r.rgb(p * 3 + 1) & 0xff) << 8) |
-        (r.rgb(p * 3 + 2) & 0xff)
-      if (budget == 0) { putCode(clear); budget = (1 << (minCode + 1)) - eoi - 2 }
-      putCode(colors(c)); budget -= 1
-      p += 1
-    }
-    putCode(eoi)
-    if (accBits > 0) bitBuf.write((acc & 0xff).toInt)
-    val lzw = bitBuf.toByteArray
-    var off = 0
-    while (off < lzw.length) {
-      val n = math.min(255, lzw.length - off)
-      out.write(n); out.write(lzw, off, n); off += n
-    }
-    out.write(0) // block terminator
     out.write(0x3b) // trailer
     Some(out.toByteArray)
   }

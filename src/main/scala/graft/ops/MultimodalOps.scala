@@ -66,8 +66,9 @@ object MultimodalOps {
         .map(r => (r.width, r.height, 1))
         .getOrElse(syntheticDecode(payload))
     else if (ImageCodec.looksLikeGif(payload))
-      ImageCodec.decodeGif(payload)
-        .map(r => (r.width, r.height, 1))
+      // multi-frame aware: an animated GIF is a video container here
+      ImageCodec.decodeGifFrames(payload)
+        .map(fs => (fs.head.width, fs.head.height, fs.length))
         .getOrElse(syntheticDecode(payload))
     else syntheticDecode(payload)
 
@@ -330,10 +331,17 @@ object MultimodalOps {
   }
 
   /** Per-envelope frame-sampling kernel — shared with the streaming twin,
-    * same rationale as [[resizeOne]].
+    * same rationale as [[resizeOne]]. Both REAL video containers take the
+    * decode path — back-to-back PPM streams and multi-frame GIF (each
+    * frame a full-canvas composite) — with the same canonical-PPM-bytes
+    * fingerprint, so identical frames dedup across videos regardless of
+    * which container carried them.
     */
-  def sampleOne(e: MediaEnvelope, stride: Int): Iterator[SampledFrame] =
-    ImageCodec.decodePpmStream(e.payload) match {
+  def sampleOne(e: MediaEnvelope, stride: Int): Iterator[SampledFrame] = {
+    val decoded =
+      if (ImageCodec.looksLikeGif(e.payload)) ImageCodec.decodeGifFrames(e.payload)
+      else ImageCodec.decodePpmStream(e.payload)
+    decoded match {
       case Some(frames) =>
         (0 until frames.length by stride).iterator.map { idx =>
           SampledFrame(e.media_id, idx, hex(ImageCodec.encodePpm(frames(idx))))
@@ -345,4 +353,5 @@ object MultimodalOps {
           SampledFrame(e.media_id, idx, hex(s"$base#frame:$idx".getBytes("UTF-8")))
         }
     }
+  }
 }

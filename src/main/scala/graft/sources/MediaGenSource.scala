@@ -74,7 +74,9 @@ object MediaGen {
       case 2 => ("image", "image/jpeg")
     }
     case 2 => ("audio", "audio/wav")
-    case _ => ("video", "video/x-ppm-stream")
+    case _ => // the video slot alternates raw PPM streams and animated GIF
+      if ((mix(contentKey(id) + 19) & 1) == 0) ("video", "video/x-ppm-stream")
+      else ("video", "image/gif")
   }
 
   private def raster(seed: Long): ImageCodec.Raster = {
@@ -117,8 +119,26 @@ object MediaGen {
         WavCodec.encodeWav(WavCodec.Pcm(8000, 1, samples))
       case _ =>
         val frames = 3 + (mix(ck) & 3).toInt
-        (0 until frames).map(f => ImageCodec.encodePpm(raster(ck * 257 + f)))
-          .reduce(_ ++ _)
+        if ((mix(ck + 19) & 1) == 0)
+          (0 until frames).map(f => ImageCodec.encodePpm(raster(ck * 257 + f)))
+            .reduce(_ ++ _)
+        else {
+          // animated GIF: all frames share frame 0's dims (the container
+          // requires one logical screen), pixels quantized to 4 levels per
+          // channel so the union palette always fits (<= 64 colors)
+          val anchor = raster(ck * 257)
+          val qFrames = (0 until frames).map { f =>
+            val rgb = new Array[Byte](anchor.rgb.length)
+            var j = 0
+            while (j < rgb.length) {
+              val m = mix((ck * 257 + f) * 31 + (j >> 3))
+              rgb(j) = (((((m >>> ((j & 7) * 8)) & 0xff) >> 6) * 85)).toByte
+              j += 1
+            }
+            ImageCodec.Raster(anchor.width, anchor.height, rgb)
+          }
+          ImageCodec.encodeGifAnimated(qFrames).get // always Some: 64-color cap
+        }
     }
     if (mix(ck * 3 + 1) % 37 == 0) whole.take(whole.length * 3 / 5) // poison
     else whole
