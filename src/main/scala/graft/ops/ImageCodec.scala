@@ -546,6 +546,7 @@ object ImageCodec {
               if (i >= b.length) return None
               bs = u8(i)
             }
+            i += 1 // consume the 0x00 block terminator
             val indices = lzwDecode(data.toByteArray, minCode, w * h)
               .getOrElse(return None)
             // interlace: strip p of the stream lands on row rowOrder(p)
@@ -565,8 +566,10 @@ object ImageCodec {
               var x = 0
               while (x < w) {
                 val idx = indices(sy * w + x) & 0xff
-                if (idx >= nColors) return None
                 if (idx != transIdx) { // transparent pixels keep the canvas
+                  // some encoders use transparent index == table size; only
+                  // bounds-check indexes that will actually be drawn
+                  if (idx >= nColors) return None
                   val d = (dy * sw + left + x) * 3
                   canvas(d) = table(idx * 3)
                   canvas(d + 1) = table(idx * 3 + 1)
@@ -700,41 +703,99 @@ object ImageCodec {
     for ((c, _) <- colors) { out.write(c >> 16); out.write((c >> 8) & 0xff); out.write(c & 0xff) }
     for (_ <- colors.size until tblSize) { out.write(0); out.write(0); out.write(0) }
     for (r <- framesIn) {
-      out.write(0x2c); w16(0); w16(0); w16(fw); w16(fh); out.write(0)
-      val minCode = bits
-      out.write(minCode)
-      val clear = 1 << minCode; val eoi = clear + 1
-      // literal-code stream: CLEAR, then every pixel as a literal,
-      // re-CLEARing before the decoder's width would grow past minCode+1
-      val bitBuf = new java.io.ByteArrayOutputStream()
-      var acc = 0L; var accBits = 0
-      def putCode(c: Int): Unit = {
-        acc |= c.toLong << accBits; accBits += minCode + 1
-        while (accBits >= 8) { bitBuf.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8 }
-      }
-      putCode(clear)
-      var budget = (1 << (minCode + 1)) - eoi - 2 // codes until width would grow
       val nPx = fw * fh
+      val idx = new Array[Byte](nPx)
       var p = 0
       while (p < nPx) {
         val c = ((r.rgb(p * 3) & 0xff) << 16) | ((r.rgb(p * 3 + 1) & 0xff) << 8) |
           (r.rgb(p * 3 + 2) & 0xff)
-        if (budget == 0) { putCode(clear); budget = (1 << (minCode + 1)) - eoi - 2 }
-        putCode(colors(c)); budget -= 1
+        idx(p) = colors(c).toByte
         p += 1
       }
-      putCode(eoi)
-      if (accBits > 0) bitBuf.write((acc & 0xff).toInt)
-      val lzw = bitBuf.toByteArray
-      var off = 0
-      while (off < lzw.length) {
-        val n = math.min(255, lzw.length - off)
-        out.write(n); out.write(lzw, off, n); off += n
-      }
-      out.write(0) // block terminator
+      val block = gifFrameBlock(0, 0, fw, fh, idx, bits)
+      out.write(block, 0, block.length)
     }
     out.write(0x3b) // trailer
     Some(out.toByteArray)
+  }
+
+  /** Literal-code GIF LZW stream: CLEAR, then every index as a literal,
+    * re-CLEARing before the decoder's code width would grow past
+    * minCode+1; codes pack LSB-first. Valid input for any conformant
+    * decoder (the dictionary is built but never referenced).
+    */
+  private def lzwLiteralStream(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode; val eoi = clear + 1
+    val bitBuf = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << accBits; accBits += minCode + 1
+      while (accBits >= 8) { bitBuf.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8 }
+    }
+    putCode(clear)
+    var budget = (1 << (minCode + 1)) - eoi - 2 // codes until width would grow
+    var p = 0
+    while (p < indices.length) {
+      if (budget == 0) { putCode(clear); budget = (1 << (minCode + 1)) - eoi - 2 }
+      putCode(indices(p) & 0xff); budget -= 1
+      p += 1
+    }
+    putCode(eoi)
+    if (accBits > 0) bitBuf.write((acc & 0xff).toInt)
+    bitBuf.toByteArray
+  }
+
+  /** One hand-packable GIF data block: an optional 89a graphic-control
+    * extension (transparent index, disposal method) followed by an image
+    * descriptor at (left, top) whose LZW stream encodes `indices` as
+    * literal codes ([[lzwLiteralStream]]). Building block for sub-rect /
+    * transparency / disposal fixtures (specs and the `gif_meta` oracle
+    * row) that the full-canvas [[encodeGifAnimated]] cannot express.
+    */
+  def gifFrameBlock(left: Int, top: Int, w: Int, h: Int, indices: Array[Byte],
+                    minCode: Int, transIdx: Int = -1, disposal: Int = 0): Array[Byte] = {
+    require(indices.length == w * h, s"need $w*$h indices, got ${indices.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    if (transIdx >= 0 || disposal > 0) { // graphic-control extension
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((disposal << 2) | (if (transIdx >= 0) 1 else 0))
+      w16(0) // delay
+      out.write(if (transIdx >= 0) transIdx else 0)
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x2c); w16(left); w16(top); w16(w); w16(h); out.write(0)
+    out.write(minCode)
+    val lzw = lzwLiteralStream(indices, minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.toByteArray
+  }
+
+  /** GIF89a container around pre-built data blocks: screen descriptor +
+    * global color table (rgb triples; padded to a power-of-two entry
+    * count) + blocks + trailer. With [[gifFrameBlock]] this hand-packs
+    * any compositing scenario the decoder supports.
+    */
+  def gifContainer(sw: Int, sh: Int, gct: Array[Byte], blocks: Seq[Array[Byte]]): Array[Byte] = {
+    require(gct.length % 3 == 0 && gct.length > 0, "gct must be rgb triples")
+    val nColors = gct.length / 3
+    var bits = 1
+    while ((1 << bits) < nColors) bits += 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(sw); w16(sh)
+    out.write(0x80 | (bits - 1)); out.write(0); out.write(0) // GCT flag+size, bg=0
+    out.write(gct, 0, gct.length)
+    for (_ <- nColors until (1 << bits)) { out.write(0); out.write(0); out.write(0) }
+    blocks.foreach(b => out.write(b, 0, b.length))
+    out.write(0x3b) // trailer
+    out.toByteArray
   }
 
   /** Minimal PNG encoder (color type 2, filter 0 rows, one IDAT) — exists
