@@ -41,12 +41,17 @@ object BitmapIncremental {
     * (computed as popcount(batch & ~state) during the same merge join, so
     * a replayed batch reports n_new = 0 and leaves counts unchanged).
     *
-    * The report is returned PINNED on the driver (one row per key touched
-    * by state or batch — bounded for segment-like keys, the intended use;
-    * a per-user-keyed deployment would write it as a table instead): the
-    * pre-merge state files are deleted by the swap, so a lazy plan over
-    * them could not be consumed late, and the internal caches are
-    * released before returning (the round-6 leak rule).
+    * The report is returned as a lazy scan over a PERSISTED report table
+    * (`statePath + "_report"`, one row per key touched by state or batch,
+    * stage-and-swapped with the same crash-window discipline as the state
+    * itself): the pre-merge state files are deleted by the swap, so a
+    * plan over them could not be consumed late — and a driver
+    * materialization would pin one row per KEY on the driver, unbounded
+    * for per-user-keyed deployments. Both stagings are written from the
+    * same persisted merge before either swap, and the internal caches are
+    * released before returning (the round-6 leak rule). Contract: the
+    * returned report reads the CURRENT report table — consume it before
+    * the next addBatch swaps that table, like any state read here.
     */
   def addBatch(spark: SparkSession, batch: DataFrame, statePath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
@@ -69,24 +74,28 @@ object BitmapIncremental {
       .persist() // consumed by the state write AND the report aggregate
 
     // stage-and-swap (the GramDfIncremental/IvfIncremental crash-window
-    // discipline: a reader never sees a half table)
-    val tmp = statePath + "_staging"
+    // discipline: a reader never sees a half table). Both stagings are
+    // computed from the persisted merge BEFORE either swap so the report
+    // never reads state files the swap is about to delete.
+    def swapInto(target: String): Unit = {
+      val tp = new org.apache.hadoop.fs.Path(target)
+      val op = new org.apache.hadoop.fs.Path(target + "_old")
+      fs.delete(op, true)
+      if (fs.exists(tp)) fs.rename(tp, op)
+      fs.rename(new org.apache.hadoop.fs.Path(target + "_staging"), tp)
+      fs.delete(op, true)
+    }
     merged.select(col("key"), col("chunk"), col("mask"))
-      .write.mode("overwrite").parquet(tmp)
-    val sp = new org.apache.hadoop.fs.Path(statePath)
-    val old = new org.apache.hadoop.fs.Path(statePath + "_old")
-    fs.delete(old, true)
-    if (fs.exists(sp)) fs.rename(sp, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), sp)
-    fs.delete(old, true)
-
-    val rep = merged.groupBy(col("key"))
+      .write.mode("overwrite").parquet(statePath + "_staging")
+    val repPath = statePath + "_report"
+    merged.groupBy(col("key"))
       .agg(sum(expr("bit_count(mask)")).cast("long").as("n_distinct"),
         sum(col("new_bits")).as("n_new"))
-    val pinned = spark.createDataFrame(
-      java.util.Arrays.asList(rep.collect(): _*), rep.schema)
+      .write.mode("overwrite").parquet(repPath + "_staging")
+    swapInto(statePath)
+    swapInto(repPath)
     merged.unpersist(false)
-    pinned
+    spark.read.parquet(repPath)
   }
 
   /** Per-key exact distinct counts from the persisted state alone. */

@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object IvfIncremental {
 
+  /** Probe-side broadcast bound for [[probeBatch]] (nq×nprobe rows). Each
+    * probe row carries the full quantized query vector (~8·dim bytes), so
+    * 64k rows at dim 256 is ≈128 MiB of executor-resident hash table —
+    * the ceiling of sane broadcast territory. Above this the join falls
+    * back to a shuffle equi-join on `cell`: a million-query shard must
+    * never be collected into a broadcast. Same dispatch discipline as
+    * [[KMeans.MaxLiteralFoldCells]]; both shapes are bit-identical
+    * (parity spec in IvfIncrementalSpec).
+    */
+  val MaxBroadcastProbeRows = 65536L
+
   private def vecDir(p: String) = s"$p/vectors"
   private def centDir(p: String) = s"$p/centroids"
   private def markerPath(p: String) = new org.apache.hadoop.fs.Path(s"$p/_recluster_commit")
@@ -55,9 +66,13 @@ object IvfIncremental {
     else {
       val in = fs.open(cellTargetPath(indexPath))
       try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(0, n), "UTF-8").trim.toIntOption
+        // Hadoop streams may legally short-read — loop to EOF, or a
+        // truncated number silently rescales the imbalance trigger
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { acc.write(buf, 0, n); n = in.read(buf) }
+        new String(acc.toByteArray, "UTF-8").trim.toIntOption
       } finally in.close()
     }
   }
@@ -411,19 +426,30 @@ object IvfIncremental {
     *      the nq×nprobe probe pairs — prunes the partitioned vector
     *      store to exactly the directories ANY query needs
     *      (partition-column IN-list: file-level pruning, no index scan);
-    *   3. one equi-join on `cell` (probe side broadcast — nq×nprobe
-    *      rows, the small side by construction in the
-    *      many-vectors-per-cell regime) + exact integer dots + a
-    *      per-query top-k window. The window shuffles only (q_id, cell,
-    *      dot) triples of the probed cells' members — never the store's
-    *      `q` arrays, and never anything outside the probed cells.
+    *   3. one equi-join on `cell` + exact integer dots + a per-query
+    *      top-k window, SIZE-DISPATCHED like the centroid fold: at or
+    *      below [[MaxBroadcastProbeRows]] nq×nprobe probe rows the probe
+    *      side is broadcast (small by construction in the
+    *      many-vectors-per-cell regime); above it — the "score a whole
+    *      shard" regime where each probe row carries the full quantized
+    *      query vector and a broadcast would be GBs — it is a plain
+    *      shuffle equi-join on `cell`. Both shapes are bit-identical
+    *      (parity spec). The window shuffles only (q_id, cell, dot)
+    *      triples of the probed cells' members — never the store's `q`
+    *      arrays, and never anything outside the probed cells.
+    *
+    * The persisted probe subplan serves the two control-plane actions
+    * (the dispatch count and the probed-cells collect) and is released
+    * before return — the returned lazy plan recomputes the centroid
+    * fold, an in-row zero-shuffle map over the query table.
     *
     * Output: (q_id, vec_id, cell, dot_q, rnk ≤ k), ordering per query
     * identical to [[probe]]'s (dot desc, vec_id asc — engine-exact
     * integer dots, so ranks are deterministic everywhere).
     */
   def probeBatch(spark: SparkSession, queries: DataFrame, indexPath: String,
-      nprobe: Int = 2, k: Int = 10): DataFrame = {
+      nprobe: Int = 2, k: Int = 10,
+      maxBroadcastProbeRows: Long = MaxBroadcastProbeRows): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val centRows = readCentroids(spark, indexPath).collect() // #cells — control plane
     val q = quantized(queries).select(col("vec_id").as("q_id"), col("q").as("pq"))
@@ -456,13 +482,15 @@ object IvfIncremental {
       }
     val probesP = probes.persist()
     try {
+      val nProbeRows = probesP.count() // materializes the cache; drives the dispatch
       val cells = probesP.select(col("cell")).distinct()
         .collect().map(_.getLong(0)) // ≤ #cells — control plane
+      val probeSide = probesP.withColumnRenamed("cell", "pcell")
       val hits = readVectors(spark, indexPath)
         .filter(col("cell").isin(cells: _*))
         // partition-column read type is directory-inferred (int); pin long
         .select(col("vec_id"), col("cell").cast("long").as("cell"), col("q"))
-        .join(broadcast(probesP.withColumnRenamed("cell", "pcell")),
+        .join(if (nProbeRows <= maxBroadcastProbeRows) broadcast(probeSide) else probeSide,
           col("cell") === col("pcell"))
         .select(col("q_id"), col("vec_id"), col("cell"),
           call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))

@@ -540,6 +540,10 @@ object JpegCodec {
                 if (t > 11) bail()
                 val diff = extend(br.receive(t), t)
                 dcPred(cIdx) += diff
+                // conforming streams keep the DC predictor in 12-bit range
+                // (T.81 F.1.1.5.1); hostile diffs accumulate toward Int
+                // overflow and garbage pixels — keep them on the reject path
+                if (dcPred(cIdx) < -16384 || dcPred(cIdx) > 16383) bail()
                 coef(0) = dcPred(cIdx) * q(0)
                 var k = 1
                 while (k < 64) {
@@ -787,6 +791,9 @@ object JpegCodec {
       val t = dc.decode(br)
       if (t > 15) bail()
       dcPred(ci) += extend(br.receive(t), t)
+      // same hostile-stream clamp as the baseline path: a conforming DC
+      // predictor stays in 12-bit range, overflow goes to the reject path
+      if (dcPred(ci) < -16384 || dcPred(ci) > 16383) bail()
       cf(off) = dcPred(ci) << al
     }
     def dcRefine(cf: Array[Int], off: Int): Unit =

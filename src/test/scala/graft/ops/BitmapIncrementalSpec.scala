@@ -80,6 +80,23 @@ class BitmapIncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(inc === brute)
   }
 
+  test("the report is a lazy file scan, not a driver pin, and survives the state swap") {
+    import spark.implicits._
+    val state = tmpDir()
+    val rep = BitmapIncremental.addBatch(spark,
+      Seq(("a", 1L), ("a", 2L), ("b", 65L)).toDF("key", "id"), state)
+    // scale contract: one row per key must never be materialized on the
+    // driver — the report plan is a parquet scan of the swapped report
+    // table, not a LocalTableScan over collected rows
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"report is driver-pinned:\n$plan")
+    assert(plan.contains("parquet"), s"report should scan the report table:\n$plan")
+    // the state swap already happened inside addBatch; the report must
+    // still be consumable afterwards (it reads _report, not pre-merge state)
+    assert(report(rep) === Map("a" -> ((2L, 2L)), "b" -> ((1L, 1L))))
+    assert(report(rep) === Map("a" -> ((2L, 2L)), "b" -> ((1L, 1L))), "re-read must hold")
+  }
+
   test("no storage blocks survive addBatch") {
     import spark.implicits._
     val state = tmpDir()

@@ -329,6 +329,34 @@ class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("probeBatch size dispatch: the shuffle shape is broadcast-free and bit-identical to the broadcast shape") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-batch-dispatch").toString
+    val all = (0 until 120).map(i => (i.toLong, mkVec(i)))
+    IvfIncremental.bootstrap(spark, all.toDF("vec_id", "embedding"), nCells = 4, dir)
+    val queries = (0 until 25).map(i => (i.toLong + 1000, mkVec(i * 3))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cell"), r.getAs[Long]("dot_q"), r.getAs[Int]("rnk"))).toSet
+    val small = IvfIncremental.probeBatch(spark, queries, dir, nprobe = 2, k = 5)
+    // sparkPlan predates exchange insertion — the join node is the signal
+    assert(small.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "below the bound the probe side must broadcast")
+    // kill auto-broadcast so the assertion sees the shape the code asked
+    // for, not one the optimizer substituted from tiny test-data stats
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // bound 0 forces the score-a-whole-shard shape on the same input
+      val large = IvfIncremental.probeBatch(spark, queries, dir, nprobe = 2, k = 5,
+        maxBroadcastProbeRows = 0L)
+      val lp = large.queryExecution.sparkPlan.toString
+      assert(!lp.contains("BroadcastHashJoin") && !lp.contains("BroadcastExchange"),
+        "above the bound the probe side must shuffle, never broadcast")
+      assert(rows(large) == rows(small), "dispatch shapes must be bit-identical")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("addBatchAuto trigger scales by the persisted cell target, not the caller's nCells") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivf-auto-stale").toString
