@@ -748,12 +748,16 @@ object ImageCodec {
   /** One hand-packable GIF data block: an optional 89a graphic-control
     * extension (transparent index, disposal method) followed by an image
     * descriptor at (left, top) whose LZW stream encodes `indices` as
-    * literal codes ([[lzwLiteralStream]]). Building block for sub-rect /
-    * transparency / disposal fixtures (specs and the `gif_meta` oracle
-    * row) that the full-canvas [[encodeGifAnimated]] cannot express.
+    * literal codes ([[lzwLiteralStream]]). `indices` is always CANVAS
+    * row order; `interlaced` sets the descriptor flag and emits the rows
+    * in the four-pass stream order, so the decoder must un-permute.
+    * Building block for sub-rect / transparency / disposal / interlace
+    * fixtures (specs and the `gif_meta` oracle row) that the full-canvas
+    * [[encodeGifAnimated]] cannot express.
     */
   def gifFrameBlock(left: Int, top: Int, w: Int, h: Int, indices: Array[Byte],
-                    minCode: Int, transIdx: Int = -1, disposal: Int = 0): Array[Byte] = {
+                    minCode: Int, transIdx: Int = -1, disposal: Int = 0,
+                    interlaced: Boolean = false): Array[Byte] = {
     require(indices.length == w * h, s"need $w*$h indices, got ${indices.length}")
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -764,9 +768,21 @@ object ImageCodec {
       out.write(if (transIdx >= 0) transIdx else 0)
       out.write(0) // sub-block terminator
     }
-    out.write(0x2c); w16(left); w16(top); w16(w); w16(h); out.write(0)
+    out.write(0x2c); w16(left); w16(top); w16(w); w16(h)
+    out.write(if (interlaced) 0x40 else 0)
     out.write(minCode)
-    val lzw = lzwLiteralStream(indices, minCode)
+    val stream =
+      if (!interlaced) indices
+      else { // canvas rows scattered onto the four pass grids
+        val s = new Array[Byte](indices.length)
+        var r = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+             y <- start until h by step) {
+          System.arraycopy(indices, y * w, s, r * w, w); r += 1
+        }
+        s
+      }
+    val lzw = lzwLiteralStream(stream, minCode)
     var off = 0
     while (off < lzw.length) {
       val n = math.min(255, lzw.length - off)
