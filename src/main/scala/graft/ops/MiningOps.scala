@@ -68,19 +68,24 @@ object MiningOps extends Pack {
       // score = (tf * 1e6) div df — tf weighted by inverse document
       // frequency without logs, so the score is an exact integer and the
       // per-doc ranking is engine-identical (log-idf would put a
-      // transcendental float in the sort key). Shape: two map-side
-      // combinable aggregates sharing the explode, a join back on the
-      // term (sort-merge at scale — the df table grows with the
-      // vocabulary, deliberately NOT broadcast), and WindowGroupLimit
-      // per-partition top-3 heaps before the doc_id shuffle.
+      // transcendental float in the sort key). Shape (r16 rewrite): ONE
+      // explode+aggregate builds the distinct (doc, term, tf) table, and
+      // df is an unbounded count window over its term partition — tf rows
+      // are distinct per (doc, term), so count(*) over (partition by w)
+      // IS the document frequency. This replaces the old self-join form,
+      // whose df side recomputed the whole explode+agg subplan when
+      // exchange reuse didn't fire (the round-11 driver bench showed it
+      // 16× inflated under memory pressure) and whose vocabulary-sized df
+      // table sat on a broadcast build side. Every stage stays keyed:
+      // (doc,w) agg -> w window -> doc_id top-3 (WindowGroupLimit heaps
+      // before the shuffle) -> output sort. All spillable operators.
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dfw = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val wn = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("w").asc)
-      tf.join(dfw, "w")
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
         .withColumn("score", expr("(tf * 1000000) div df"))
         .withColumn("rnk", row_number().over(wn))
         .filter(col("rnk") <= 3)
