@@ -814,6 +814,51 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Hand-packable PNG container: IHDR + optional PLTE + one IDAT (every
+    * scanline filter 0) + IEND around raw canvas-order sample bytes
+    * (`scan` excludes filter bytes; rows are byte-padded at the spec's
+    * stride). With depths and color types [[encodePng]] never emits, this
+    * is how the `png_depth_meta` oracle row reaches the gray-16 / sub-8 /
+    * palette normalization paths through REAL deflated bytes.
+    */
+  def pngContainer(w: Int, h: Int, colorType: Int, bitDepth: Int,
+                   scan: Array[Byte], palette: Array[Byte] = null): Array[Byte] = {
+    val ch = channelsOf(colorType)
+    val stride = ((w.toLong * ch * bitDepth + 7) / 8).toInt
+    require(scan.length == stride * h, s"need $stride*$h scan bytes, got ${scan.length}")
+    val raw = new Array[Byte](h * (stride + 1))
+    var y = 0
+    while (y < h) {
+      // raw(y*(stride+1)) stays 0 = filter None
+      System.arraycopy(scan, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(raw); def_.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!def_.finished()) zbuf.write(tmp, 0, def_.deflate(tmp))
+    def_.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(bitDepth.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array())
+    if (palette != null) chunk("PLTE", palette)
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Minimal PNG encoder (color type 2, filter 0 rows, one IDAT) — exists
     * so the media generator and specs can produce REAL compressed payloads
     * that exercise the inflate+unfilter path end-to-end.

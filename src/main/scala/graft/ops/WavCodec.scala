@@ -105,6 +105,27 @@ object WavCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Hand-packable RIFF/WAVE container around pre-encoded sample data —
+    * formats [[encodeWav]] (16-bit-only) can't emit. The `wav_depth_meta`
+    * oracle row reaches the 8/24-bit integer and IEEE-float widening
+    * paths of [[decodeWav]] through it.
+    */
+  def wavContainer(rate: Int, channels: Int, bits: Int, audioFormat: Int,
+                   data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1 // RIFF chunks are word-aligned
+    val buf = java.nio.ByteBuffer.allocate(44 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(audioFormat.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * bits / 8) // byte rate
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(data.length)
+    buf.put(data)
+    buf.array()
+  }
+
   /** Canonical 16-bit PCM encode (the round-trip twin of decodeWav). */
   def encodeWav(p: Pcm): Array[Byte] = {
     val dataLen = p.samples.length * 2
