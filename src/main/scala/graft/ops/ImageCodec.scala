@@ -58,6 +58,7 @@ object ImageCodec {
     else if (looksLikePng(b)) decodePng(b)
     else if (looksLikeGif(b)) decodeGif(b)
     else if (looksLikeJpeg(b)) JpegCodec.decode(b)
+    else if (TiffCodec.looksLikeTiff(b)) TiffCodec.decodeTiff(b)
     else None
 
   // -------------------------------------------------------------------- PPM
@@ -508,7 +509,7 @@ object ImageCodec {
             if (i + 8 > b.length || u8(i + 2) != 4) return None
             val flags = u8(i + 3)
             disposal = (flags >> 2) & 7
-            if (disposal > 2) return None // restore-to-previous: reject, don't misrender
+            if (disposal > 3) return None // 4..7 are undefined: reject, don't misrender
             transIdx = if ((flags & 1) != 0) u8(i + 6) else -1
             if (u8(i + 7) != 0) return None // sub-block terminator
             i += 8
@@ -533,6 +534,9 @@ object ImageCodec {
               i += sz * 3
             }
             if (table == null) return None
+            // disposal 3 (restore-to-previous): the canvas stack is bounded
+            // to ONE saved frame — snapshot before drawing, restore after
+            val saved = if (disposal == 3) canvas.clone() else null
             if (i >= b.length) return None
             val minCode = u8(i); i += 1
             if (minCode < 2 || minCode > 8) return None
@@ -581,6 +585,7 @@ object ImageCodec {
             }
             frames :+= Raster(sw, sh, canvas.clone()) // full-canvas snapshot
             if (disposal == 2) fillRect(left, top, w, h)
+            else if (saved != null) System.arraycopy(saved, 0, canvas, 0, canvas.length)
             transIdx = -1
             disposal = 0
           case _ => return None

@@ -70,6 +70,10 @@ object MultimodalOps {
       ImageCodec.decodeGifFrames(payload)
         .map(fs => (fs.head.width, fs.head.height, fs.length))
         .getOrElse(syntheticDecode(payload))
+    else if (TiffCodec.looksLikeTiff(payload))
+      TiffCodec.decodeTiff(payload)
+        .map(r => (r.width, r.height, 1))
+        .getOrElse(syntheticDecode(payload))
     else syntheticDecode(payload)
 
   private def hex(bytes: Array[Byte]): String = {

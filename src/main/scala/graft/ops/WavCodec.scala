@@ -4,9 +4,10 @@ package graft.ops
   * codec family next to [[ImageCodec]] (PPM/BMP). Supports the
   * uncompressed interchange cases: format 1 (integer PCM) at 8-bit
   * unsigned and 16/24/32-bit signed, format 3 (IEEE float) at 32/64-bit,
-  * and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either — any channel
-  * count, via proper RIFF chunk traversal (fmt / data chunks in any
-  * order, unknown chunks skipped, word-aligned).
+  * the G.711 telephony companders (format 6 A-law, format 7 μ-law, both
+  * 8-bit), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping any of them —
+  * any channel count, via proper RIFF chunk traversal (fmt / data chunks
+  * in any order, unknown chunks skipped, word-aligned).
   *
   * Same totality contract as ImageCodec: malformed or truncated payloads
   * return None, never throw — a poison blob degrades, it doesn't kill the
@@ -42,7 +43,34 @@ object WavCodec {
   /** (audioFormat, bitsPerSample) pairs this codec decodes. */
   private def supported(af: Int, bits: Int): Boolean =
     (af == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
-      (af == 3 && (bits == 32 || bits == 64))
+      (af == 3 && (bits == 32 || bits == 64)) ||
+      ((af == 6 || af == 7) && bits == 8) // G.711 A-law / μ-law
+
+  /** G.711 μ-law expansion (ITU-T G.711, the classic CCITT table as an
+    * integer formula): complement, bias-shift the mantissa by the segment
+    * exponent, re-subtract the bias. Range ±32124; 0xff and 0x7f are the
+    * two zeros.
+    */
+  private[ops] def ulaw2linear(u: Int): Short = {
+    val v = ~u & 0xff
+    val t = (((v & 0xf) << 3) + 0x84) << ((v >> 4) & 7)
+    (if ((v & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law expansion: toggle the even bits, then segment-shift the
+    * mantissa (segment 0 adds the half-step 8, higher segments the 0x108
+    * bias before the shift). Range ±32256; in A-law a SET sign bit means
+    * positive.
+    */
+  private[ops] def alaw2linear(a: Int): Short = {
+    val w = (a ^ 0x55) & 0xff
+    val seg = (w >> 4) & 7
+    val base = (w & 0xf) << 4
+    val t =
+      if (seg == 0) base + 8
+      else (base + 0x108) << (seg - 1)
+    (if ((w & 0x80) != 0) t else -t).toShort
+  }
 
   def decodeWav(b: Array[Byte]): Option[Pcm] = {
     try {
@@ -84,7 +112,9 @@ object WavCodec {
           while (i < n) {
             val o = doff + i * bytesPerSample
             out(i) =
-              if (af == 1) bits match {
+              if (af == 7) ulaw2linear(b(o) & 0xff)
+              else if (af == 6) alaw2linear(b(o) & 0xff)
+              else if (af == 1) bits match {
                 case 16 => u16(b, o).toShort
                 case 8 => (((b(o) & 0xff) - 128) << 8).toShort // unsigned, widened exactly
                 case 24 => // sign via the top byte, keep the high 16 bits

@@ -122,6 +122,35 @@ class WavCodecSpec extends AnyFunSuite {
     assert(decodeWav(wav(0xfffe, 1, 44100, 16, data, subFormat = 7)).isEmpty)
   }
 
+  test("G.711 expansion: classic anchors, monotone segments, format 6/7 RIFF decode") {
+    import WavCodec.{ulaw2linear, alaw2linear}
+    // μ-law anchors from the CCITT table: 0xff/0x7f are the two zeros,
+    // 0x00 is the negative extreme -32124, 0x80 the positive +32124
+    assert(ulaw2linear(0xff) == 0 && ulaw2linear(0x7f) == 0)
+    assert(ulaw2linear(0x00) == -32124 && ulaw2linear(0x80) == 32124)
+    assert(ulaw2linear(0xfe) == 8) // smallest positive step
+    // A-law anchors: sign bit SET is positive; ±8 nearest zero, ±32256 extremes
+    assert(alaw2linear(0xd5) == 8 && alaw2linear(0x55) == -8)
+    assert(alaw2linear(0xaa) == 32256 && alaw2linear(0x2a) == -32256)
+    // each compander is odd-symmetric: flipping the sign bit negates
+    for (c <- 0 until 128) {
+      assert(ulaw2linear(c) == -ulaw2linear(c | 0x80))
+      assert(alaw2linear(c | 0x80) == -alaw2linear(c))
+    }
+    // positive μ-law codes decode monotonically decreasing as the code
+    // rises toward 0xff (larger code = smaller magnitude after complement)
+    val uPos = (0x80 to 0xff).map(ulaw2linear(_).toInt)
+    assert(uPos.zip(uPos.tail).forall { case (a, b) => a > b })
+    // RIFF legs: format 7 / format 6 streams decode through the walk
+    val codes = Array.tabulate(64)(k => (k * 4 + 1).toByte)
+    val pu = decodeWav(wavContainer(8000, 1, 8, 7, codes)).get
+    assert(pu.samples.toSeq == codes.toSeq.map(c => ulaw2linear(c & 0xff)))
+    val pa = decodeWav(wavContainer(8000, 1, 8, 6, codes)).get
+    assert(pa.samples.toSeq == codes.toSeq.map(c => alaw2linear(c & 0xff)))
+    // G.711 at any bits != 8 rejects
+    assert(decodeWav(wavContainer(8000, 1, 16, 7, codes)).isEmpty)
+  }
+
   test("RMS and peak are exact on known signals; stereo mono-mixes by integer average") {
     // constant half-scale square wave: RMS = peak = 16384 -> 500 milli
     val half = Pcm(8000, 1, Array.fill[Short](800)(16384))
