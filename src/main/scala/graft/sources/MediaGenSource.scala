@@ -19,9 +19,9 @@ import graft.ops.{ImageCodec, JpegCodec, WavCodec}
   * the codec kernels) can be exercised and BENCHED at any scale without
   * shipping fixture bytes: payloads are REAL encoded media (PPM, PNG, GIF
   * stills through [[ImageCodec]]'s encoders, entropy-coded baseline JPEG
-  * through [[JpegCodec]], 16-bit PCM WAV through [[WavCodec]], multi-frame
-  * PPM streams as video), generated on the executors as a pure function of
-  * `media_id`.
+  * through [[JpegCodec]], baseline TIFF through [[graft.ops.TiffCodec]],
+  * 16-bit PCM WAV through [[WavCodec]], multi-frame PPM streams as
+  * video), generated on the executors as a pure function of `media_id`.
   *
   * Corpus realism knobs, all deterministic:
   *   - ~10% exact duplicates: ids ending in 9 replay the content of the
@@ -62,16 +62,17 @@ object MediaGen {
   private def mix(z: Long): Long = DocGen.mix(z)
 
   /** (kind, mime) — a pure function of the CONTENT key so duplicate pairs
-    * agree on modality. The compressed-image slot rotates PNG / GIF / JPEG
-    * so all three web image families (DEFLATE, LZW, and lossy DCT) appear
-    * in any realistic slice of the corpus.
+    * agree on modality. The compressed-image slot rotates PNG / GIF /
+    * JPEG / TIFF so all four web image families (DEFLATE, LZW, lossy DCT,
+    * and tag-directory) appear in any realistic slice of the corpus.
     */
   def kindOf(id: Long): (String, String) = (contentKey(id) % 4) match {
     case 0 => ("image", "image/x-portable-pixmap")
-    case 1 => (math.floorMod(mix(contentKey(id) + 11), 3): @unchecked) match {
+    case 1 => (math.floorMod(mix(contentKey(id) + 11), 4): @unchecked) match {
       case 0 => ("image", "image/png")
       case 1 => ("image", "image/gif")
       case 2 => ("image", "image/jpeg")
+      case 3 => ("image", "image/tiff")
     }
     case 2 => ("audio", "audio/wav")
     case _ => // the video slot alternates raw PPM streams and animated GIF
@@ -101,7 +102,7 @@ object MediaGen {
     val ck = contentKey(id)
     val whole = (ck % 4) match {
       case 0 => ImageCodec.encodePpm(raster(ck * 131 + 5))
-      case 1 => (math.floorMod(mix(ck + 11), 3): @unchecked) match {
+      case 1 => (math.floorMod(mix(ck + 11), 4): @unchecked) match {
         case 0 => ImageCodec.encodePng(raster(ck * 131 + 5))
         case 1 =>
           // GIF needs <= 256 colors: quantize each channel to 4 levels
@@ -111,6 +112,8 @@ object MediaGen {
           ImageCodec.encodeGif(q).get // 64 distinct colors max — always Some
         case 2 => // the lossy family: full entropy-coded baseline 4:2:0
           JpegCodec.encode(raster(ck * 131 + 5), quality = 85, subsample420 = true)
+        case 3 => // the tag-directory family: single-strip baseline TIFF
+          graft.ops.TiffCodec.encodeTiff(raster(ck * 131 + 5))
       }
       case 2 =>
         val n = 400 + (mix(ck) & 1023).toInt

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.ops.{ImageCodec, JpegCodec, MultimodalOps, MultimodalPrep, WavCodec}
+import graft.ops.{ImageCodec, JpegCodec, MultimodalOps, MultimodalPrep, TiffCodec, WavCodec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -52,6 +52,7 @@ class MediaGenSourceSpec extends AnyFunSuite with SparkSpec {
         case "image/png" => ImageCodec.decodePng(p).nonEmpty
         case "image/gif" => ImageCodec.decodeGif(p).nonEmpty
         case "image/jpeg" => JpegCodec.decode(p).nonEmpty
+        case "image/tiff" => TiffCodec.decodeTiff(p).nonEmpty
         case "audio/wav" => WavCodec.decodeWav(p).nonEmpty
         case "video/x-ppm-stream" => ImageCodec.decodePpmStream(p).nonEmpty
       }
