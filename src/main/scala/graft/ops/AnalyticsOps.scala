@@ -113,6 +113,48 @@ object AnalyticsOps extends Pack {
         .select(col("rep_a").as("a"), col("rep_b").as("b")))
     }),
 
+    "graph_pagerank" -> ((s, d) => {
+      // PageRank over the near-dup pair graph — link-structure authority
+      // as a keep-which-copy signal (the most-linked representative of a
+      // template family is the canonical one). This row is the ORACLE
+      // GATE for the iterative-rank plane: the production float kernel
+      // ([[GraphOps.pagerank]], spec-gated — float fixed points aren't
+      // hash-comparable across engines) shares its shape; here every
+      // quantity is scaled INTEGER arithmetic (scale 1e12, damping
+      // 85/100, THREE fixed iterations, floor division throughout) so
+      // both engines produce bit-identical ranks. The graph is
+      // symmetrized, so every node has out-edges and the dangling term
+      // vanishes by construction.
+      //
+      // Scale shape (same as the float kernel): per round ONE equi-join
+      // of ranks (a row per node) against the edge list on src — the
+      // only big shuffle, same partitioning every round — plus a dst
+      // hash-agg with map-side combine. Rounds are FIXED (3), so the
+      // lineage is bounded and needs no checkpoint chain.
+      val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
+      val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
+        .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
+        .distinct().persist()
+      val nodes = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+        .select(col("src").as("node"), col("outd")).persist()
+      val n = math.max(nodes.count(), 1L) // one scalar job — control plane
+      val p0 = 1000000000000L / n
+      val base = 15L * p0 / 100L
+      var pr = nodes.withColumn("pr", lit(p0))
+      for (_ <- 1 to 3) {
+        val contrib = pr.as("p")
+          .join(edges.as("e"), col("p.node") === col("e.src"))
+          .select(col("e.dst").as("cn"), expr("pr div outd").as("c"))
+          .groupBy("cn").agg(sum(col("c")).as("s"))
+        pr = nodes.join(contrib, col("node") === col("cn"), "left")
+          .select(col("node"), col("outd"),
+            (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+      }
+      pr.select(col("node").as("doc_id"), col("outd").as("degree"),
+          col("pr").as("pr_scaled"))
+        .orderBy("doc_id")
+    }),
+
     "prep_split" -> ((s, d) => {
       // Deterministic train/val/test split by content-free key hash — the
       // way a 100 TB corpus splits WITHOUT a global shuffle, a rand() seed
@@ -319,6 +361,36 @@ object AnalyticsOps extends Pack {
            |SELECT n_nodes, n_edges, n_wedges, n_triangles,
            |       (n_triangles * 3000 // n_wedges)::BIGINT AS cc_permille
            |FROM base, tri""".stripMargin),
+
+    // integer fixed-point twin: scale//n seed, floor-div contributions,
+    // (15*p0)//100 + (85*S)//100 per round — every op truncating on
+    // nonnegative values, so both engines agree bit-for-bit
+    "graph_pagerank" ->
+      (pairCte +
+        s""",
+           |edges AS (
+           |  SELECT rep_a AS src, rep_b AS dst FROM pairs
+           |  UNION SELECT rep_b, rep_a FROM pairs),
+           |nodes AS (SELECT src AS node, count(*)::BIGINT AS outd FROM edges GROUP BY src),
+           |c AS (SELECT (1000000000000 // count(*))::BIGINT AS p0 FROM nodes),
+           |pr0 AS (SELECT node, outd, p0 AS pr FROM nodes, c),
+           |s1 AS (SELECT e.dst AS node, sum(p.pr // p.outd)::BIGINT AS s
+           |       FROM pr0 p JOIN edges e ON p.node = e.src GROUP BY e.dst),
+           |pr1 AS (SELECT nd.node, nd.outd,
+           |          ((15 * c.p0) // 100 + (85 * coalesce(s1.s, 0)) // 100)::BIGINT AS pr
+           |        FROM nodes nd LEFT JOIN s1 ON nd.node = s1.node, c),
+           |s2 AS (SELECT e.dst AS node, sum(p.pr // p.outd)::BIGINT AS s
+           |       FROM pr1 p JOIN edges e ON p.node = e.src GROUP BY e.dst),
+           |pr2 AS (SELECT nd.node, nd.outd,
+           |          ((15 * c.p0) // 100 + (85 * coalesce(s2.s, 0)) // 100)::BIGINT AS pr
+           |        FROM nodes nd LEFT JOIN s2 ON nd.node = s2.node, c),
+           |s3 AS (SELECT e.dst AS node, sum(p.pr // p.outd)::BIGINT AS s
+           |       FROM pr2 p JOIN edges e ON p.node = e.src GROUP BY e.dst),
+           |pr3 AS (SELECT nd.node, nd.outd,
+           |          ((15 * c.p0) // 100 + (85 * coalesce(s3.s, 0)) // 100)::BIGINT AS pr
+           |        FROM nodes nd LEFT JOIN s3 ON nd.node = s3.node, c)
+           |SELECT node AS doc_id, outd AS degree, pr AS pr_scaled
+           |FROM pr3 ORDER BY doc_id""".stripMargin),
 
     "prep_split" ->
       """SELECT CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'
