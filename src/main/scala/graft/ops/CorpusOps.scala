@@ -269,6 +269,39 @@ object CorpusOps extends Pack {
         .orderBy("event_id")
     }),
 
+    "join_asof_nearest" -> ((s, d) => {
+      // NEAREST as-of join, completing the family: each click picks the
+      // view event with the smallest |Δt| in EITHER direction (ties go
+      // backward — the prior view wins, the attribution convention).
+      // Still the single-window shape: ONE user_id shuffle computing the
+      // carry-forward (last prior view) and carry-backward (first later
+      // view) in the same pass, then an in-row arbitration — never the
+      // quadratic-per-user range self-join. Both the view's second and
+      // id are carried so the pick and its distance come from the same
+      // row in both engines.
+      val byU = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      val wPrev = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = byU.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("es"))
+        .withColumn("v_es", when(col("event_type") === "view", col("es")))
+        .withColumn("v_eid", when(col("event_type") === "view", col("event_id")))
+        .withColumn("p_es", last(col("v_es"), ignoreNulls = true).over(wPrev))
+        .withColumn("p_eid", last(col("v_eid"), ignoreNulls = true).over(wPrev))
+        .withColumn("n_es", first(col("v_es"), ignoreNulls = true).over(wNext))
+        .withColumn("n_eid", first(col("v_eid"), ignoreNulls = true).over(wNext))
+        .filter(col("event_type") === "click")
+        .withColumn("takePrev", col("n_es").isNull ||
+          (col("p_es").isNotNull && (col("es") - col("p_es")) <= (col("n_es") - col("es"))))
+        .select(col("event_id"), col("user_id"),
+          when(col("takePrev"), col("p_eid")).otherwise(col("n_eid")).as("nearest_view"),
+          when(col("takePrev"), col("es") - col("p_es"))
+            .otherwise(col("n_es") - col("es")).as("dist_s"))
+        .orderBy("event_id")
+    }),
+
     "events_conversion_lag" -> ((s, d) => {
       // Conversion-latency profile: for every click that converts (first
       // purchase at-or-after it, the join_asof_fwd rule), the per-day
@@ -835,6 +868,33 @@ object CorpusOps extends Pack {
         |      PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT, event_id
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
         |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH cv AS (
+        |  SELECT event_id, user_id, event_type, floor(epoch(ts))::BIGINT AS s
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |w AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN s END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_es,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_eid,
+        |    FIRST_VALUE(CASE WHEN event_type = 'view' THEN s END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_es,
+        |    FIRST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_eid
+        |  FROM cv)
+        |SELECT event_id, user_id,
+        |  CASE WHEN takePrev THEN p_eid ELSE n_eid END AS nearest_view,
+        |  CASE WHEN takePrev THEN s - p_es ELSE n_es - s END AS dist_s
+        |FROM (SELECT *,
+        |        (n_es IS NULL OR (p_es IS NOT NULL AND (s - p_es) <= (n_es - s))) AS takePrev
+        |      FROM w)
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "events_conversion_lag" ->

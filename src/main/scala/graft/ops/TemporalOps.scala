@@ -180,6 +180,30 @@ object TemporalOps extends Pack {
         .orderBy("bucket")
     }),
 
+    "events_bursts" -> ((s, d) => {
+      // burst detection by gaps-and-islands: hourly counts per event
+      // type, hours at >= 6 events are "hot", CONSECUTIVE hot hours
+      // merge into one burst (island id = hour − row_number, the
+      // classic trick — no self-join, no iteration). Per type: burst
+      // count, longest run, peak hour, total burst volume. Scale shape:
+      // the raw stream collapses to (type, hour) counts in one map-side
+      // combined agg — everything after operates on bounded calendar
+      // cardinality, so the window's per-type partition is hours, not
+      // events.
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("hh"))
+      t(s, d, "events")
+        .groupBy(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hh"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 6)
+        .withColumn("grp", col("hh") - row_number().over(byType))
+        .groupBy(col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("len"), max(col("n")).as("peak"), sum(col("n")).as("vol"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_bursts"), max(col("len")).as("max_len"),
+          max(col("peak")).as("peak_n"), sum(col("vol")).as("burst_events"))
+        .orderBy("event_type")
+    }),
+
     "join_temporal" -> ((s, d) => {
       // point-in-time (dim-snapshot) join: each purchase picks up the
       // user's value-tier AS OF the purchase instant, against the SCD2-style
@@ -380,6 +404,22 @@ object TemporalOps extends Pack {
         |       min(gap)::BIGINT AS min_gap, max(gap)::BIGINT AS max_gap
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "events_bursts" ->
+      """WITH h AS (
+        |  SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS hh, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |hot AS (
+        |  SELECT event_type, hh, n,
+        |         hh - row_number() OVER (PARTITION BY event_type ORDER BY hh) AS grp
+        |  FROM h WHERE n >= 6),
+        |runs AS (
+        |  SELECT event_type, grp, count(*)::BIGINT AS len, max(n)::BIGINT AS peak,
+        |         sum(n)::BIGINT AS vol
+        |  FROM hot GROUP BY 1, 2)
+        |SELECT event_type, count(*)::BIGINT AS n_bursts, max(len)::BIGINT AS max_len,
+        |       max(peak)::BIGINT AS peak_n, sum(vol)::BIGINT AS burst_events
+        |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_temporal" ->
       """WITH ev AS (
