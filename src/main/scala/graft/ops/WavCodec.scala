@@ -78,6 +78,9 @@ object WavCodec {
       var off = 12
       var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, sampleRate, bits) packed below
       var bits = 0
+      var blockAlign = 0
+      var spb = -1 // IMA ADPCM samples-per-block (fmt extension)
+      var factFrames = -1L // fact chunk: total frames (trims ADPCM pad)
       var data: Option[(Int, Int)] = None // (offset, length)
       while (off + 8 <= b.length) {
         val id = new String(b, off, 4, "US-ASCII")
@@ -91,17 +94,23 @@ object WavCodec {
             var audioFormat = u16(b, off + 8)
             val channels = u16(b, off + 10)
             val rate = i32(b, off + 12)
+            blockAlign = u16(b, off + 20)
             bits = u16(b, off + 22)
             // WAVE_FORMAT_EXTENSIBLE: the real format code is the first
             // word of the SubFormat GUID (fmt offset 24)
             if (audioFormat == 0xfffe && size >= 40) audioFormat = u16(b, off + 8 + 24)
+            else if (audioFormat == 0x11 && size >= 20) spb = u16(b, off + 26)
             fmt = Some((audioFormat, channels, rate))
+          case "fact" if size >= 4 => factFrames = i32(b, off + 8) & 0xffffffffL
           case "data" => data = Some((off + 8, size))
           case _ => () // LIST, cue, etc. — skip
         }
         off += 8 + size + (size & 1) // chunks are word-aligned
       }
       (fmt, data) match {
+        case (Some((af, ch, rate)), Some((doff, dlen)))
+            if af == 0x11 && (ch == 1 || ch == 2) && rate > 0 && bits == 4 =>
+          decodeImaAdpcm(b, doff, dlen, ch, rate, blockAlign, spb, factFrames)
         case (Some((af, ch, rate)), Some((doff, dlen)))
             if ch > 0 && rate > 0 && supported(af, bits) =>
           val bytesPerSample = bits / 8
@@ -133,6 +142,195 @@ object WavCodec {
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** IMA/DVI ADPCM tables (public IMA ADPCM specification / RFC 3551's
+    * DVI4 description): 89-entry step sizes, 8-entry index adaptation.
+    */
+  private val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Mutable (predictor, step index) decode/encode state, advanced one
+    * nibble at a time with the canonical bit-decomposed delta
+    * (step>>3 + conditional step/step>>1/step>>2 terms — NOT a float
+    * multiply), int16-clamped predictor, 0..88-clamped index.
+    */
+  private final class AdpcmState(var pred: Int, var idx: Int) {
+    def decode(n: Int): Short = {
+      val st = StepTable(idx)
+      var diff = st >> 3
+      if ((n & 1) != 0) diff += st >> 2
+      if ((n & 2) != 0) diff += st >> 1
+      if ((n & 4) != 0) diff += st
+      pred = if ((n & 8) != 0) pred - diff else pred + diff
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      idx += IndexTable(n & 7)
+      if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+      pred.toShort
+    }
+    /** Quantize `sample` against the current state, advance, return the nibble. */
+    def encode(sample: Int): Int = {
+      val st = StepTable(idx)
+      var diff = sample - pred
+      var n = 0
+      if (diff < 0) { n = 8; diff = -diff }
+      if (diff >= st) { n |= 4; diff -= st }
+      if (diff >= (st >> 1)) { n |= 2; diff -= st >> 1 }
+      if (diff >= (st >> 2)) n |= 1
+      decode(n)
+      n
+    }
+  }
+
+  /** IMA ADPCM (WAV format 0x11) block decode: per block, a 4-byte header
+    * per channel (int16 predictor = the block's first sample, step index,
+    * reserved byte) then nibble data — mono packs low-nibble-first;
+    * stereo interleaves 4-byte words (8 samples) per channel. `spb` from
+    * the fmt extension when present (validated against blockAlign),
+    * derived otherwise; a `fact` chunk trims the encoder's final-block
+    * padding. Whole blocks only — a truncated tail is a malformed file.
+    */
+  private def decodeImaAdpcm(b: Array[Byte], doff: Int, dlen: Int, ch: Int,
+      rate: Int, blockAlign: Int, spb: Int, factFrames: Long): Option[Pcm] = {
+    if (blockAlign < 4 * ch + 4 * ch || blockAlign % (4 * ch) != 0) return None
+    val derived = (blockAlign - 4 * ch) * 2 / ch + 1
+    if (spb > 0 && spb != derived) return None
+    val perBlock = derived
+    if (dlen <= 0 || dlen % blockAlign != 0) return None
+    val nBlocks = dlen / blockAlign
+    val totalFrames = nBlocks.toLong * perBlock
+    if (totalFrames * ch > Int.MaxValue / 2) return None
+    val keep = if (factFrames >= 0) {
+      if (factFrames > totalFrames || totalFrames - factFrames >= perBlock) return None
+      factFrames.toInt
+    } else totalFrames.toInt
+    val out = new Array[Short](keep * ch)
+    var blk = 0
+    while (blk < nBlocks) {
+      val bo = doff + blk * blockAlign
+      val states = Array.tabulate(ch) { c =>
+        val ho = bo + c * 4
+        val pred = u16(b, ho).toShort.toInt
+        val idx = b(ho + 2) & 0xff
+        if (idx > 88 || b(ho + 3) != 0) return None
+        new AdpcmState(pred, idx)
+      }
+      val baseFrame = blk * perBlock
+      // frame 0 of the block is the header predictor itself
+      var c = 0
+      while (c < ch) {
+        val f = baseFrame
+        if (f < keep) out(f * ch + c) = states(c).pred.toShort
+        c += 1
+      }
+      // nibble data: mono = a flat low-first stream; stereo = 4-byte
+      // words alternating channels, each word 8 samples for its channel
+      val dataOff = bo + 4 * ch
+      val words = (blockAlign - 4 * ch) / 4 // 4-byte groups
+      var wordI = 0
+      while (wordI < words) {
+        val wc = if (ch == 1) 0 else wordI % ch
+        val chunkIdx = if (ch == 1) wordI else wordI / ch // per-channel word position
+        var byteI = 0
+        while (byteI < 4) {
+          val byte = b(dataOff + wordI * 4 + byteI) & 0xff
+          var half = 0
+          while (half < 2) {
+            val n = if (half == 0) byte & 0xf else byte >> 4
+            val sampleIdx = chunkIdx * 8 + byteI * 2 + half // within channel, after frame 0
+            val f = baseFrame + 1 + sampleIdx
+            val v = states(wc).decode(n)
+            if (f < keep && f < baseFrame + perBlock) out(f * ch + wc) = v
+            half += 1
+          }
+          byteI += 1
+        }
+        wordI += 1
+      }
+      blk += 1
+    }
+    Some(Pcm(rate, ch, out))
+  }
+
+  /** IMA ADPCM (format 0x11) encoder twin: the standard bit-decomposed
+    * quantizer with (predictor, index) state carried ACROSS blocks (each
+    * block header re-materializes the running state, so blocks remain
+    * independently decodable). The final partial block is zero-nibble
+    * padded and a `fact` chunk records the true frame count, which
+    * [[decodeWav]] trims back. Mono or stereo.
+    */
+  def encodeImaAdpcm(p: Pcm, samplesPerBlock: Int = 505): Array[Byte] = {
+    require(p.channels == 1 || p.channels == 2, "mono or stereo only")
+    require(samplesPerBlock > 1 && (samplesPerBlock - 1) % 8 == 0,
+      "samplesPerBlock - 1 must be a multiple of 8")
+    val ch = p.channels
+    val blockAlign = 4 * ch + (samplesPerBlock - 1) / 2 * ch
+    val frames = p.nFrames
+    val nBlocks = math.max(1, (frames + samplesPerBlock - 1) / samplesPerBlock)
+    val data = new Array[Byte](nBlocks * blockAlign)
+    val states = Array.fill(ch)(new AdpcmState(0, 0))
+    def sampleAt(f: Int, c: Int): Int =
+      if (f < frames) p.samples(f * ch + c).toInt else states(c).pred
+    var blk = 0
+    while (blk < nBlocks) {
+      val bo = blk * blockAlign
+      val baseFrame = blk * samplesPerBlock
+      var c = 0
+      while (c < ch) {
+        // header: running predictor snaps to the block's first sample
+        states(c).pred = sampleAt(baseFrame, c)
+        val ho = bo + c * 4
+        data(ho) = (states(c).pred & 0xff).toByte
+        data(ho + 1) = ((states(c).pred >> 8) & 0xff).toByte
+        data(ho + 2) = states(c).idx.toByte
+        data(ho + 3) = 0
+        c += 1
+      }
+      val dataOff = bo + 4 * ch
+      val words = (blockAlign - 4 * ch) / 4
+      var wordI = 0
+      while (wordI < words) {
+        val wc = if (ch == 1) 0 else wordI % ch
+        val chunkIdx = if (ch == 1) wordI else wordI / ch
+        var byteI = 0
+        while (byteI < 4) {
+          var byte = 0
+          var half = 0
+          while (half < 2) {
+            val f = baseFrame + 1 + chunkIdx * 8 + byteI * 2 + half
+            val n = states(wc).encode(sampleAt(f, wc))
+            byte |= (if (half == 0) n else n << 4)
+            half += 1
+          }
+          data(dataOff + wordI * 4 + byteI) = byte.toByte
+          byteI += 1
+        }
+        wordI += 1
+      }
+      blk += 1
+    }
+    // container: fmt (20 bytes, cbSize=2 + samplesPerBlock) + fact + data
+    val pad = data.length & 1
+    val buf = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 12 + 8 + data.length + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(ch.toShort).putInt(p.sampleRate)
+      .putInt(p.sampleRate * blockAlign / samplesPerBlock) // avg byte rate
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(samplesPerBlock.toShort)
+    buf.put("fact".getBytes("US-ASCII")).putInt(4).putInt(frames)
+    buf.put("data".getBytes("US-ASCII")).putInt(data.length)
+    buf.put(data)
+    buf.array()
   }
 
   /** Hand-packable RIFF/WAVE container around pre-encoded sample data —

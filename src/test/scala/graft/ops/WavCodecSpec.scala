@@ -151,6 +151,75 @@ class WavCodecSpec extends AnyFunSuite {
     assert(decodeWav(wavContainer(8000, 1, 16, 7, codes)).isEmpty)
   }
 
+  test("IMA ADPCM: hand-decoded nibble anchors through a packed mono block") {
+    // one mono block, blockAlign 12: header (pred=1000, idx=0) + 8 data
+    // bytes = 17 samples. First data byte 0x00 (two zero nibbles: step 7
+    // gives diff 7>>3 = 0, predictor holds, index clamps at 0), then
+    // 0x77: nibble 7 at step 7 -> diff 0+1+3+7 = 11, pred 1011, idx 8;
+    // nibble 7 at step 16 -> diff 2+4+8+16 = 30, pred 1041, idx 16.
+    val blk = new Array[Byte](12)
+    blk(0) = (1000 & 0xff).toByte; blk(1) = (1000 >> 8).toByte
+    blk(2) = 0; blk(3) = 0
+    blk(4) = 0x00; blk(5) = 0x77
+    // remaining bytes 0x00: at idx 16 step 34 -> diff 34>>3 = 4 each
+    val riff = java.nio.ByteBuffer.allocate(12 + 28 + 8 + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes).putInt(4 + 28 + 8 + 12).put("WAVE".getBytes)
+    riff.put("fmt ".getBytes).putInt(20).putShort(0x11).putShort(1).putInt(8000)
+      .putInt(8000 * 12 / 17).putShort(12).putShort(4).putShort(2).putShort(17)
+    riff.put("data".getBytes).putInt(12).put(blk)
+    val p = decodeWav(riff.array()).get
+    assert(p.channels == 1 && p.nFrames == 17)
+    assert(p.samples(0) == 1000) // header predictor is frame 0
+    assert(p.samples(1) == 1000 && p.samples(2) == 1000) // 0x00 byte
+    assert(p.samples(3) == 1011 && p.samples(4) == 1041) // 0x77 byte
+    // idx is now 16 (step 34): each zero nibble adds 34>>3 = 4, idx decays
+    assert(p.samples(5) == 1045)
+  }
+
+  test("IMA ADPCM: encoder round-trip tracks the signal, fact trims, stereo interleaves") {
+    // gentle ramp + sine: slope well under the minimum step, so the
+    // quantizer stays locked and the reconstruction error stays tiny
+    val n = 1203 // not a multiple of samplesPerBlock-1: exercises fact trim
+    val mono = Pcm(8000, 1, Array.tabulate[Short](n)(i =>
+      (i * 4 + (800 * math.sin(i / 40.0)).toInt).toShort))
+    val dec = decodeWav(encodeImaAdpcm(mono, samplesPerBlock = 505)).get
+    assert(dec.nFrames == n, "fact chunk must trim the final-block pad")
+    val maxErr = mono.samples.zip(dec.samples).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 127, s"ADPCM tracking error $maxErr too large for a gentle signal")
+    // stereo: two independent channels survive the word interleave
+    val st = Pcm(8000, 2, Array.tabulate[Short](600 * 2) { i =>
+      val f = i / 2
+      if (i % 2 == 0) (f * 3).toShort else (20000 - f * 5).toShort
+    })
+    val sdec = decodeWav(encodeImaAdpcm(st, samplesPerBlock = 201)).get
+    assert(sdec.channels == 2 && sdec.nFrames == 600)
+    val errL = (0 until 600).map(f => math.abs(st.samples(f * 2) - sdec.samples(f * 2))).max
+    val errR = (0 until 600).map(f => math.abs(st.samples(f * 2 + 1) - sdec.samples(f * 2 + 1))).max
+    assert(errL <= 127 && errR <= 127, s"stereo tracking errors $errL/$errR")
+  }
+
+  test("IMA ADPCM rejects: ragged data, bad index, reserved byte, spb mismatch") {
+    val good = encodeImaAdpcm(Pcm(8000, 1, Array.tabulate[Short](504)(_.toShort)))
+    assert(decodeWav(good).isDefined)
+    // data length not a whole number of blocks
+    assert(decodeWav(java.util.Arrays.copyOf(good, good.length - 2)).isEmpty)
+    // step index > 88 in the block header
+    val badIdx = good.clone()
+    val dataOff = good.length - 256 // one block of blockAlign 256 at the tail
+    badIdx(dataOff + 2) = 89.toByte
+    assert(decodeWav(badIdx).isEmpty)
+    // non-zero reserved header byte
+    val badRes = good.clone(); badRes(dataOff + 3) = 1
+    assert(decodeWav(badRes).isEmpty)
+    // fmt-extension samplesPerBlock contradicting blockAlign
+    val badSpb = good.clone()
+    // fmt chunk: "fmt " at 12, samplesPerBlock is the u16 at offset 38
+    assert(badSpb(12) == 'f' && badSpb(38) == (505 & 0xff).toByte)
+    badSpb(38) = (401 & 0xff).toByte; badSpb(39) = (401 >> 8).toByte
+    assert(decodeWav(badSpb).isEmpty)
+  }
+
   test("RMS and peak are exact on known signals; stereo mono-mixes by integer average") {
     // constant half-scale square wave: RMS = peak = 16384 -> 500 milli
     val half = Pcm(8000, 1, Array.fill[Short](800)(16384))
