@@ -119,7 +119,11 @@ object MediaGen {
         val n = 400 + (mix(ck) & 1023).toInt
         val samples = Array.tabulate(n)(i =>
           ((mix(ck * 17 + i / 64) >>> ((i % 64 / 4) * 4)) & 0x7ff).toShort)
-        WavCodec.encodeWav(WavCodec.Pcm(8000, 1, samples))
+        val pcm = WavCodec.Pcm(8000, 1, samples)
+        // half the audio corpus is IMA ADPCM (format 0x11), half PCM16 —
+        // both are WAV containers, so the mime doesn't split
+        if ((mix(ck + 23) & 1) == 0) WavCodec.encodeWav(pcm)
+        else WavCodec.encodeImaAdpcm(pcm)
       case _ =>
         val frames = 3 + (mix(ck) & 3).toInt
         if ((mix(ck + 19) & 1) == 0)
