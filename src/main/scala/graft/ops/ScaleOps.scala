@@ -136,6 +136,41 @@ object ScaleOps extends Pack {
         .orderBy("lang")
     }),
 
+    "agg_count_min" -> ((s, d) => {
+      // Count-Min sketch (Cormode–Muthukrishnan), the MERGEABLE
+      // frequency summary next to SpaceSaving: a depth-4 × width-32
+      // counter matrix under fixed universal hashes, deliberately
+      // UNDERSIZED for the 150-user stream so collisions are real and
+      // the depth-wise min visibly tightens the overestimate (est >=
+      // true always; the report carries the slack). Scale shape: the
+      // matrix build is ONE map-side-combined aggregate to 128 cells —
+      // state is O(d*w) no matter the stream length, and two sketches
+      // merge by cell-wise add (the property heavy_hitters' counters
+      // lack). The estimate pass explodes each key into d (row, cell)
+      // probes and joins the 128-row matrix — broadcast-sized by
+      // construction. Hashes are ((a_r*u + b_r) mod 2^31−1) mod 32 with
+      // pinned odd multipliers, so both engines index identical cells.
+      val a = Seq(131L, 137L, 139L, 149L); val b = Seq(17L, 29L, 41L, 59L)
+      def cellOf(r: Int, u: Column): Column =
+        pmod(lit(a(r)) * u + lit(b(r)), lit(2147483647L)) % 32
+      val ev = t(s, d, "events").select(col("user_id"))
+      val cells = ev
+        .select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"), cellOf(r, col("user_id")).as("w"))): _*)).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.w").as("w"))
+        .agg(count(lit(1)).as("cell_n"))
+      val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+      truth
+        .select(col("user_id"), col("true_n"),
+          explode(array((0 until 4).map(r =>
+            struct(lit(r).as("r"), cellOf(r, col("user_id")).as("w"))): _*)).as("p"))
+        .join(broadcast(cells), col("p.r") === col("r") && col("p.w") === col("w"))
+        .groupBy(col("user_id"), col("true_n"))
+        .agg(min(col("cell_n")).as("est_n"))
+        .withColumn("over", col("est_n") - col("true_n"))
+        .orderBy("user_id")
+    }),
+
     "agg_heavy_hitters" -> ((s, d) => {
       // top-10 corpus words from the native SpaceSaving aggregate
       // (graft.expressions.HeavyHitters): ONE two-phase hash aggregate
@@ -347,6 +382,26 @@ object ScaleOps extends Pack {
         |  ((sum(CASE WHEN pm < tgt THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT
         |    AS achieved_permille
         |FROM a GROUP BY lang ORDER BY lang""").stripMargin,
+
+    // symbolic twin: rebuild the 4x32 matrix and probe it with the same
+    // pinned hashes; min over the 4 probed cells is the estimate
+    "agg_count_min" ->
+      """WITH par AS (SELECT [131, 137, 139, 149] AS a, [17, 29, 41, 59] AS b),
+        |probes AS (
+        |  SELECT user_id, r, ((a[r + 1] * user_id + b[r + 1]) % 2147483647) % 32 AS w
+        |  FROM events, par, (SELECT unnest(range(0, 4)) AS r)),
+        |cells AS (
+        |  SELECT r, w, count(*)::BIGINT AS cell_n FROM probes GROUP BY r, w),
+        |truth AS (
+        |  SELECT user_id, count(*)::BIGINT AS true_n FROM events GROUP BY user_id),
+        |keyprobe AS (
+        |  SELECT t.user_id, t.true_n, p.r,
+        |         ((p.a[p.r + 1] * t.user_id + p.b[p.r + 1]) % 2147483647) % 32 AS w
+        |  FROM truth t, (SELECT a, b, unnest(range(0, 4)) AS r FROM par) p)
+        |SELECT k.user_id, k.true_n, min(c.cell_n)::BIGINT AS est_n,
+        |       (min(c.cell_n) - k.true_n)::BIGINT AS over
+        |FROM keyprobe k JOIN cells c ON k.r = c.r AND k.w = c.w
+        |GROUP BY k.user_id, k.true_n ORDER BY k.user_id""".stripMargin,
 
     "agg_heavy_hitters" ->
       """SELECT w AS word, count(*) AS cnt, 0::BIGINT AS err
