@@ -136,6 +136,38 @@ object ScaleOps extends Pack {
         .orderBy("lang")
     }),
 
+    "prep_pack_sequences" -> ((s, d) => {
+      // GPT-style sequence packing: documents CONCATENATE into one
+      // per-source stream chopped into fixed 2048-char context windows,
+      // docs spanning window boundaries (the thing shard_pack's
+      // whole-doc assignment never does). Per window: docs touching it,
+      // docs carried over an opening boundary, and the char fill
+      // (= 2048 everywhere but each source's ragged tail — pinned by
+      // the oracle). Scale shape: packing is inherently serial, so it
+      // runs PER SOURCE (the practical sharding unit): one shuffle for
+      // the per-source running total, then the span explode is in-row
+      // (a doc lands in (len div ctx) + 1 windows, bounded by doc
+      // size), and the window report is a map-side-combined agg on
+      // (source, seq).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ctx = 2048L
+      t(s, d, "documents")
+        .withColumn("cum_after", sum(col("n_chars")).over(w))
+        .withColumn("cum_before", col("cum_after") - col("n_chars"))
+        .withColumn("start_seq", expr("cum_before div 2048"))
+        .withColumn("end_seq", expr("(cum_after - 1) div 2048"))
+        .select(col("source"), col("cum_before"), col("cum_after"),
+          col("start_seq"), explode(expr("sequence(start_seq, end_seq)")).as("seq"))
+        .groupBy(col("source"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("start_seq") < col("seq"), 1L).otherwise(0L)).as("n_open"),
+          sum(least(col("cum_after"), (col("seq") + 1) * ctx)
+            - greatest(col("cum_before"), col("seq") * ctx)).as("n_fill"))
+        .orderBy("source", "seq")
+    }),
+
     "agg_count_min" -> ((s, d) => {
       // Count-Min sketch (Cormode–Muthukrishnan), the MERGEABLE
       // frequency summary next to SpaceSaving: a depth-4 × width-32
@@ -382,6 +414,22 @@ object ScaleOps extends Pack {
         |  ((sum(CASE WHEN pm < tgt THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT
         |    AS achieved_permille
         |FROM a GROUP BY lang ORDER BY lang""").stripMargin,
+
+    "prep_pack_sequences" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    (SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_after
+        |  FROM documents),
+        |spans AS (
+        |  SELECT source, cum_after - n_chars AS cum_before, cum_after,
+        |    (cum_after - n_chars) // 2048 AS start_seq,
+        |    unnest(range((cum_after - n_chars) // 2048, (cum_after - 1) // 2048 + 1)) AS seq
+        |  FROM c)
+        |SELECT source, seq, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN start_seq < seq THEN 1 ELSE 0 END)::BIGINT AS n_open,
+        |  sum(least(cum_after, (seq + 1) * 2048) - greatest(cum_before, seq * 2048))::BIGINT AS n_fill
+        |FROM spans GROUP BY source, seq ORDER BY source, seq""".stripMargin,
 
     // symbolic twin: rebuild the 4x32 matrix and probe it with the same
     // pinned hashes; min over the 4 probed cells is the estimate
