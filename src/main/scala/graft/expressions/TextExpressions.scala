@@ -1,0 +1,114 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature kernel.
+  *
+  * The declarative signature build (explode tokens → project the shared
+  * 60-bit hash → groupBy(doc_id) with 16 min() columns) is ONE
+  * hash-aggregate, but it still inflates every document into |tokens|
+  * rows and shuffles them on doc_id before the aggregate runs. A document
+  * is already one row — the 16 slot minima are a pure per-row fold, so
+  * this expression computes them IN-ROW: a single pass over the text
+  * bytes, tokenizing on the same single-space rule as `split(text, ' ')`,
+  * MD5-hashing each token (top-60-bits, the h60 the DuckDB oracle
+  * shares), and min-folding the 16 affine permutations
+  * `(97+13j)·(h mod P) + (31+7j) mod P` (P = 2^31−1) as it goes. Zero
+  * row inflation, zero pre-join shuffle; the band self-join becomes the
+  * FIRST exchange of the whole dedup query.
+  *
+  * Returns null for a document with no nonempty tokens — mirroring the
+  * aggregate form, where such a doc simply has no group — so callers
+  * filter nulls exactly where the old shape dropped empty docs.
+  *
+  * The heavy lifting lives in a static JVM method; `doGenCode` emits a
+  * direct call, keeping the surrounding projection inside whole-stage
+  * codegen without inlining the MD5 loop into generated Java.
+  */
+case class MinhashSigs16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash16 requires string, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSigs16.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MinhashSigs16.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp = $cls.compute($c);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs16 =
+    copy(child = newChild)
+}
+
+object MinhashSigs16 {
+  private val P = 2147483647L // 2^31 - 1, shared with the oracle SQL
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One pass: tokenize on single spaces (the `split(text, ' ')` rule —
+    * other whitespace stays inside tokens), skip empties, fold each
+    * token's h60 into the 16 minima. Null when no token survives.
+    */
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val md = digests.get()
+    val mins = new Array[Long](16)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var start = 0
+    val n = bytes.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        if (i > start) { // nonempty token [start, i)
+          md.reset()
+          md.update(bytes, start, i - start)
+          val dig = md.digest()
+          // first 15 hex chars = top 60 bits of the digest
+          var h = 0L
+          var b = 0
+          while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+          val hp = (h >>> 4) % P
+          var j = 0
+          while (j < 16) {
+            val v = ((97 + 13 * j) * hp + (31 + 7 * j)) % P
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+          any = true
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (!any) null else new GenericArrayData(mins)
+  }
+}

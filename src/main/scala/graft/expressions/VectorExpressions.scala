@@ -246,7 +246,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => BitmapDistinct(cs(0)).toAggregateExpression()),
     (FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters", "graft_heavy_hitters(item, m) - SpaceSaving top items by count with at most m bounded-error counters"),
-      (cs: Seq[Expression]) => HeavyHitters(cs(0), cs(1)).toAggregateExpression()))
+      (cs: Seq[Expression]) => HeavyHitters(cs(0), cs(1)).toAggregateExpression()),
+    (FunctionIdentifier("graft_minhash16"),
+      info("graft_minhash16", "graft_minhash16(text) - 16-slot MinHash signature of single-space-tokenized text, in one in-row pass"),
+      (cs: Seq[Expression]) => MinhashSigs16(cs(0))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
