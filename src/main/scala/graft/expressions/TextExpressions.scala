@@ -65,6 +65,89 @@ case class MinhashSigs16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** In-row 32-bit SimHash twin of [[MinhashSigs16]]: the per-bit balance
+  * bal_i = Σ_token-instances ±1 is a plain per-row fold, so the whole
+  * fingerprint computes in one pass over the text bytes — no explode, no
+  * 32-sum hash-aggregate, no pre-banding shuffle. Same tokenize rule and
+  * h60 hash as the aggregate form (and the DuckDB oracle); null for a
+  * document with no nonempty tokens.
+  */
+case class Simhash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash32 requires string, got ${t.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash32"
+
+  override def nullSafeEval(input: Any): Any =
+    Simhash32.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Simhash32.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("fp")
+      s"""
+         |Object $tmp = $cls.compute($c);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Long) $tmp).longValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
+object Simhash32 {
+  /** One pass: ±1 per (token instance, bit) into 32 counters, fingerprint
+    * bit set iff its balance is positive. Boxed Long or null (no tokens).
+    */
+  def compute(text: UTF8String): java.lang.Long = {
+    val bytes = text.getBytes
+    val md = MinhashSigs16.digest()
+    val bal = new Array[Int](32)
+    var any = false
+    var start = 0
+    val n = bytes.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        if (i > start) {
+          md.reset()
+          md.update(bytes, start, i - start)
+          val dig = md.digest()
+          var h = 0L
+          var b = 0
+          while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+          val h60 = h >>> 4
+          var j = 0
+          while (j < 32) {
+            if (((h60 >> j) & 1L) == 1L) bal(j) += 1 else bal(j) -= 1
+            j += 1
+          }
+          any = true
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (!any) return null
+    var fp = 0L
+    var j = 0
+    while (j < 32) { if (bal(j) > 0) fp |= 1L << j; j += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+}
+
 object MinhashSigs16 {
   private val P = 2147483647L // 2^31 - 1, shared with the oracle SQL
 
@@ -72,6 +155,8 @@ object MinhashSigs16 {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  private[expressions] def digest(): java.security.MessageDigest = digests.get()
 
   /** One pass: tokenize on single spaces (the `split(text, ' ')` rule —
     * other whitespace stays inside tokens), skip empties, fold each

@@ -249,7 +249,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => HeavyHitters(cs(0), cs(1)).toAggregateExpression()),
     (FunctionIdentifier("graft_minhash16"),
       info("graft_minhash16", "graft_minhash16(text) - 16-slot MinHash signature of single-space-tokenized text, in one in-row pass"),
-      (cs: Seq[Expression]) => MinhashSigs16(cs(0))))
+      (cs: Seq[Expression]) => MinhashSigs16(cs(0))),
+    (FunctionIdentifier("graft_simhash32"),
+      info("graft_simhash32", "graft_simhash32(text) - 32-bit SimHash fingerprint of single-space-tokenized text, in one in-row pass"),
+      (cs: Seq[Expression]) => Simhash32(cs(0))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, inf, builder)

@@ -49,6 +49,38 @@ class MinhashSigs16Spec extends AnyFunSuite with SparkSpec {
     assert(!got(2).isNullAt(1) && got(2).getSeq[Long](1).length == 16)
   }
 
+  test("graft_simhash32 equals the 32-sum aggregate form; empty docs are null") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    val docs = Seq(
+      (1L, "the quick brown fox the quick brown fox slightly different"),
+      (2L, "the the the unbalanced weight case"),
+      (3L, "naïve café 東京"),
+      (4L, "  "), // all spaces -> null
+      (5L, "z")
+    ).toDF("doc_id", "text")
+    val inRow = docs.select(col("doc_id"),
+      call_function("graft_simhash32", col("text")).as("simhash"))
+    val balAggs = (0 until 32).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) % 2) = 1"), 1L).otherwise(-1L)).as(s"bal$i")
+    }
+    val fp = (0 until 32)
+      .map(i => when(col(s"bal$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val agg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id")).agg(balAggs.head, balAggs.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+    val a = inRow.filter(col("simhash").isNotNull).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = agg.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    assert(inRow.filter(col("simhash").isNull).select("doc_id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("kernel survives whole-stage codegen and the interpreted path identically") {
     val s = spark
     import s.implicits._
