@@ -16,6 +16,26 @@ import Tables._
   *   - ratios are exact integers (permille) — never float accumulation;
   *   - every query ends in a deterministic ORDER BY over a unique key.
   */
+/** Count-Min sketch plumbing shared by the batch oracle row
+  * (`agg_count_min`) and the streaming twin
+  * ([[graft.streaming.StreamingAggs.streamingCountMin]]): depth-4
+  * universal hashes with pinned odd multipliers, mirrored verbatim in the
+  * oracle SQL. `probeArray` explodes a key into its (row, cell) probes.
+  */
+private[graft] object CountMin {
+  val Depth = 4
+  val A = Seq(131L, 137L, 139L, 149L)
+  val B = Seq(17L, 29L, 41L, 59L)
+  val P = 2147483647L
+
+  def cellOf(r: Int, key: Column, width: Int): Column =
+    pmod(lit(A(r)) * key + lit(B(r)), lit(P)) % width
+
+  def probeArray(key: Column, width: Int): Column =
+    array((0 until Depth).map(r =>
+      struct(lit(r).as("r"), cellOf(r, key, width).as("w"))): _*)
+}
+
 object ScaleOps extends Pack {
 
   /** 60-bit deterministic hash shared with the DuckDB oracle (TextOps twin). */
@@ -182,20 +202,15 @@ object ScaleOps extends Pack {
       // probes and joins the 128-row matrix — broadcast-sized by
       // construction. Hashes are ((a_r*u + b_r) mod 2^31−1) mod 32 with
       // pinned odd multipliers, so both engines index identical cells.
-      val a = Seq(131L, 137L, 139L, 149L); val b = Seq(17L, 29L, 41L, 59L)
-      def cellOf(r: Int, u: Column): Column =
-        pmod(lit(a(r)) * u + lit(b(r)), lit(2147483647L)) % 32
       val ev = t(s, d, "events").select(col("user_id"))
       val cells = ev
-        .select(explode(array((0 until 4).map(r =>
-          struct(lit(r).as("r"), cellOf(r, col("user_id")).as("w"))): _*)).as("p"))
+        .select(explode(CountMin.probeArray(col("user_id"), 32)).as("p"))
         .groupBy(col("p.r").as("r"), col("p.w").as("w"))
         .agg(count(lit(1)).as("cell_n"))
       val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
       truth
         .select(col("user_id"), col("true_n"),
-          explode(array((0 until 4).map(r =>
-            struct(lit(r).as("r"), cellOf(r, col("user_id")).as("w"))): _*)).as("p"))
+          explode(CountMin.probeArray(col("user_id"), 32)).as("p"))
         .join(broadcast(cells), col("p.r") === col("r") && col("p.w") === col("w"))
         .groupBy(col("user_id"), col("true_n"))
         .agg(min(col("cell_n")).as("est_n"))

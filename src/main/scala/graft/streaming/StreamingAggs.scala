@@ -119,6 +119,22 @@ object StreamingAggs {
         col("e.cnt").as("cnt"), col("e.err").as("err"))
   }
 
+  /** Continuous Count-Min maintenance: the depth-4 × `width` matrix of
+    * [[graft.ops.CountMin]] kept live over an UNBOUNDED key stream with
+    * NO watermark — the sketch is the point: state is the d·w cell
+    * counters forever, never the key set, so this is the streaming
+    * frequency summary that works when `runningUserTotals`-style per-key
+    * state would grow without bound. Cells are additive, so the streamed
+    * matrix equals the batch matrix over the same rows (spec-pinned) and
+    * two matrices merge cell-wise. Emit in update/complete mode;
+    * estimates read `min` over a key's probed cells downstream.
+    */
+  def streamingCountMin(ids: DataFrame, width: Int = 32): DataFrame =
+    ids
+      .select(explode(graft.ops.CountMin.probeArray(col("user_id"), width)).as("p"))
+      .groupBy(col("p.r").as("r"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("cell_n"))
+
   /** Stream-stream INTERVAL join: each click pairs with the view it
     * followed within `horizonSec` for the same user — the canonical
     * attribution join. BOTH sides are watermarked and the join condition

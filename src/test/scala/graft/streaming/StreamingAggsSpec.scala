@@ -61,6 +61,37 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Count-Min matrix equals the batch sketch over the same keys") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val ids = mem.toDF.toDF("user_id")
+    val q = StreamingAggs.streamingCountMin(ids, width = 8)
+      .writeStream.format("memory").queryName("cmstream").outputMode("complete").start()
+    try {
+      // keys split across micro-batches: cells must ACCUMULATE
+      mem.addData(1L, 2L, 3L, 1L)
+      q.processAllAvailable()
+      mem.addData(1L, 4L, 2L)
+      q.processAllAvailable()
+      val streamed = spark.table("cmstream").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      val batch = StreamingAggs.streamingCountMin(
+          Seq(1L, 2L, 3L, 1L, 1L, 4L, 2L).toDF("user_id"), width = 8)
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // the matrix never stores keys: exactly depth x width cells at most
+      assert(streamed.size <= 4 * 8)
+      // estimate for key 1 (min over its probed cells) >= its true count 3
+      val est = (0 until 4).map { r =>
+        val w = ((graft.ops.CountMin.A(r) * 1L + graft.ops.CountMin.B(r))
+          % graft.ops.CountMin.P) % 8
+        streamed((r, w))
+      }.min
+      assert(est >= 3L)
+    } finally q.stop()
+  }
+
   test("sliding windows emit one finalized row per overlapping window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
