@@ -188,6 +188,30 @@ object ScaleOps extends Pack {
         .orderBy("source", "seq")
     }),
 
+    "agg_fm_sketch" -> ((s, d) => {
+      // Flajolet–Martin PCSA, the third classic sketch next to
+      // SpaceSaving and Count-Min: 16 buckets, each a BIT_OR bitmap of
+      // trailing-zero indicators — (v & -v) IS 2^(trailing zeros), so
+      // the bitmap accumulates without any log/loop, and the estimator's
+      // first-zero register is ((~bm) & (bm+1)), all integer, all
+      // hash-comparable (the float 2^(R̄)/φ estimate is deliberately NOT
+      // a column — engines would round it differently; a spec pins the
+      // magnitude instead). State is 16 longs regardless of stream
+      // length and two sketches merge by cell-wise OR — the
+      // distinct-count analogue of Count-Min's additivity. One map-side
+      // combined aggregate to 16 rows; h60 over the decimal key string
+      // is the engine-shared hash.
+      t(s, d, "events")
+        .withColumn("h", h60(col("user_id").cast("string").cast("binary")))
+        .select((col("h") % 16).as("bucket"), expr("h div 16").as("v"))
+        .withColumn("term", when(col("v") === 0L, lit(1L << 44))
+          .otherwise(col("v").bitwiseAND(-col("v"))))
+        .groupBy(col("bucket"))
+        .agg(expr("bit_or(term)").as("bitmap"))
+        .withColumn("first_zero", expr("(~bitmap) & (bitmap + 1)"))
+        .orderBy("bucket")
+    }),
+
     "agg_count_min" -> ((s, d) => {
       // Count-Min sketch (Cormode–Muthukrishnan), the MERGEABLE
       // frequency summary next to SpaceSaving: a depth-4 × width-32
@@ -429,6 +453,20 @@ object ScaleOps extends Pack {
         |  ((sum(CASE WHEN pm < tgt THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT
         |    AS achieved_permille
         |FROM a GROUP BY lang ORDER BY lang""").stripMargin,
+
+    // symbolic twin: same h60 over the decimal key, same (v & -v)
+    // trailing-zero indicator, BIT_OR per bucket, first-zero register
+    "agg_fm_sketch" ->
+      """WITH hx AS (
+        |  SELECT ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h FROM events),
+        |terms AS (
+        |  SELECT h % 16 AS bucket,
+        |    CASE WHEN h // 16 = 0 THEN (1::BIGINT << 44)
+        |         ELSE (h // 16) & (-(h // 16)) END AS term
+        |  FROM hx),
+        |bm AS (SELECT bucket, bit_or(term)::BIGINT AS bitmap FROM terms GROUP BY bucket)
+        |SELECT bucket, bitmap, ((~bitmap) & (bitmap + 1))::BIGINT AS first_zero
+        |FROM bm ORDER BY bucket""".stripMargin,
 
     "prep_pack_sequences" ->
       """WITH c AS (

@@ -77,4 +77,29 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
       assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
     }
   }
+
+  test("FM/PCSA sketch: registers estimate distinct count within the method's error band") {
+    // the oracle row pins the integer registers; this pins that they MEAN
+    // something — the float estimator (kept out of the hash surface)
+    // lands within the ~1/sqrt(m) band of the true distinct count
+    val n = 5000
+    val rnd = new scala.util.Random(42) // pinned: the band check must be reproducible
+    val keys = (0 until 20000).map(_ => rnd.nextInt(n).toLong)
+    val h = keys.map { k =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(k.toString.getBytes("UTF-8"))
+      var x = 0L; (0 until 8).foreach(b => x = (x << 8) | (dig(b) & 0xffL))
+      x >>> 4
+    }
+    val bitmaps = new Array[Long](16)
+    h.foreach { x =>
+      val b = (x % 16).toInt; val v = x / 16
+      bitmaps(b) |= (if (v == 0) 1L << 44 else v & -v)
+    }
+    val rSum = bitmaps.map(bm => java.lang.Long.numberOfTrailingZeros(~bm)).sum
+    val est = 16.0 / 0.77351 * math.pow(2.0, rSum / 16.0)
+    val trueDistinct = keys.distinct.size
+    assert(math.abs(est - trueDistinct) / trueDistinct < 0.35,
+      s"FM estimate $est vs true $trueDistinct out of band")
+  }
 }
