@@ -164,8 +164,9 @@ object ImageCodec {
       val rawH = i32le(b, 22)
       val bpp = u16le(b, 28)
       val compression = i32le(b, 30)
-      if (w <= 0 || rawH == 0 || compression != 0 ||
-        (bpp != 24 && bpp != 32 && bpp != 8)) return None
+      if (w <= 0 || rawH == 0 || (bpp != 24 && bpp != 32 && bpp != 8)) return None
+      // compression 1 = BI_RLE8 (8bpp, bottom-up only per spec)
+      if (compression != 0 && !(compression == 1 && bpp == 8 && rawH > 0)) return None
       val topDown = rawH < 0
       if (rawH == Int.MinValue) return None // abs would stay negative
       val h = math.abs(rawH)
@@ -187,12 +188,49 @@ object ImageCodec {
           i += 1
         }
       }
+      if (w.toLong * h * 3 > Int.MaxValue) return None
+      // BI_RLE8: decode the run stream into a FILE-row-order index plane
+      // first (row 0 = bottom); escapes: 0,0 = end-of-line, 0,1 =
+      // end-of-bitmap, 0,2 = delta (skipped pixels stay index 0 — the
+      // spec leaves them undefined, 0 is the convention), 0,k>=3 =
+      // absolute run padded to a word boundary. Runs never cross rows.
+      var rleIdx: Array[Byte] = null
+      if (compression == 1) {
+        rleIdx = new Array[Byte](w * h)
+        var i = dataOff
+        var x = 0; var r = 0
+        var done = false
+        while (!done) {
+          if (i + 2 > b.length) return None
+          val n = b(i) & 0xff; val v = b(i + 1) & 0xff
+          i += 2
+          if (n > 0) {
+            if (r >= h || x + n > w) return None
+            var k = 0
+            while (k < n) { rleIdx(r * w + x) = v.toByte; x += 1; k += 1 }
+          } else v match {
+            case 0 => x = 0; r += 1; if (r > h) return None
+            case 1 => done = true
+            case 2 =>
+              if (i + 2 > b.length) return None
+              x += b(i) & 0xff; r += b(i + 1) & 0xff
+              i += 2
+              if (x > w || r > h) return None
+            case k =>
+              if (r >= h || x + k > w) return None
+              if (i + k + (k & 1) > b.length) return None
+              var j = 0
+              while (j < k) { rleIdx(r * w + x) = b(i + j); x += 1; j += 1 }
+              i += k + (k & 1)
+          }
+        }
+      }
       // Row stride in Long: bpp*w overflows Int at large w, which would
       // corrupt the bounds check below. Once rowSizeL*h fits in b.length,
       // w*h*3 <= rowSizeL*h*3 necessarily fits in Int for bpp >= 8.
       val rowSizeL = ((bpp.toLong * w + 31) / 32) * 4
-      if (dataOff < 0 || dataOff.toLong + rowSizeL * h > b.length) return None
-      if (w.toLong * h * 3 > Int.MaxValue) return None
+      if (compression == 0 &&
+        (dataOff < 0 || dataOff.toLong + rowSizeL * h > b.length)) return None
       val rowSize = rowSizeL.toInt
       val out = new Array[Byte](w * h * 3)
       val step = bpp / 8
@@ -202,15 +240,18 @@ object ImageCodec {
         val ro = dataOff + srcRow * rowSize
         var x = 0
         while (x < w) {
-          val so = ro + x * step
           val do_ = (y * w + x) * 3
           if (bpp == 8) {
-            val idx = (b(so) & 0xff) * 3
+            val raw =
+              if (compression == 1) rleIdx(srcRow * w + x) & 0xff
+              else b(ro + x) & 0xff
+            val idx = raw * 3
             if (idx + 2 >= palette.length) return None
             out(do_) = palette(idx)
             out(do_ + 1) = palette(idx + 1)
             out(do_ + 2) = palette(idx + 2)
           } else { // 24/32: BGR(A), alpha byte ignored
+            val so = ro + x * step
             out(do_) = b(so + 2)     // R
             out(do_ + 1) = b(so + 1) // G
             out(do_ + 2) = b(so)     // B
@@ -221,6 +262,32 @@ object ImageCodec {
       }
       Some(Raster(w, h, out))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Hand-packable BI_RLE8 BMP: 54-byte headers + a BGRA palette of
+    * `pal` rgb triples + the caller's raw RLE stream (runs, escapes, and
+    * the final 0,1 end-of-bitmap included). Fixture builder for the RLE
+    * path of [[decodeBmp]] (specs and the `bmp_meta` oracle row) — there
+    * is deliberately no RLE compressor; the stream IS the test vector.
+    */
+  def bmpRle8Container(w: Int, h: Int, pal: Array[Byte], rle: Array[Byte]): Array[Byte] = {
+    require(pal.length % 3 == 0 && pal.length > 0, "pal must be rgb triples")
+    val used = pal.length / 3
+    val dataOff = 54 + 4 * used
+    val buf = java.nio.ByteBuffer.allocate(dataOff + rle.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(dataOff + rle.length)
+      .putShort(0).putShort(0).putInt(dataOff)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(8)
+      .putInt(1) // biCompression = BI_RLE8
+      .putInt(rle.length).putInt(0).putInt(0).putInt(used).putInt(0)
+    var i = 0
+    while (i < used) { // BGRA entries
+      buf.put(pal(i * 3 + 2)).put(pal(i * 3 + 1)).put(pal(i * 3)).put(0.toByte)
+      i += 1
+    }
+    buf.put(rle)
+    buf.array()
   }
 
   // -------------------------------------------------------------------- PNG

@@ -5,10 +5,12 @@ package graft.ops
   * Decodes the baseline interchange set a scraped-corpus pipeline
   * actually meets for TIFF: 8-bit grayscale (both photometric polarities
   * — WhiteIsZero inverts) and 8-bit RGB, chunky planar layout, strips in
-  * any count, uncompressed (tag 259 = 1) or PackBits (= 32773), BOTH
-  * byte orders ("II" little / "MM" big endian). Everything else —
-  * tiled layout, planar = 2, LZW/deflate/fax compressions, non-8-bit
-  * samples, palette color — returns None, never a misrender.
+  * any count, uncompressed (tag 259 = 1), TIFF-flavor LZW (= 5, the
+  * MSB-first early-change variant, optional horizontal-differencing
+  * predictor tag 317 = 2) or PackBits (= 32773), BOTH byte orders ("II"
+  * little / "MM" big endian). Everything else — tiled layout,
+  * planar = 2, deflate/fax compressions, non-8-bit samples, palette
+  * color — returns None, never a misrender.
   *
   * Same totality contract as the siblings: malformed, truncated, or
   * unsupported payloads return None, never throw — a poison blob
@@ -83,7 +85,7 @@ object TiffCodec {
       var compression = 1L; var photometric = -1L
       var stripOffs: Array[Long] = null; var stripCnts: Array[Long] = null
       var spp = 1L; var rowsPerStrip = Long.MaxValue
-      var planar = 1L; var sampleFormat = 1L
+      var planar = 1L; var sampleFormat = 1L; var predictor = 1L
       var e = 0
       while (e < nEntries) {
         val eOff = base + e * 12
@@ -99,6 +101,7 @@ object TiffCodec {
           case 278 => rowsPerStrip = values(eOff).flatMap(_.headOption).getOrElse(return None)
           case 279 => stripCnts = values(eOff).getOrElse(return None)
           case 284 => planar = values(eOff).flatMap(_.headOption).getOrElse(return None)
+          case 317 => predictor = values(eOff).flatMap(_.headOption).getOrElse(return None)
           case 339 => sampleFormat = values(eOff).flatMap(_.headOption).getOrElse(return None)
           case _ => () // orientation, resolution, software, ... — ignored
         }
@@ -106,7 +109,8 @@ object TiffCodec {
       }
       if (width <= 0 || height <= 0 || width * height * 3 > Int.MaxValue) return None
       if (planar != 1 || sampleFormat != 1) return None
-      if (compression != 1 && compression != 32773) return None
+      if (compression != 1 && compression != 5 && compression != 32773) return None
+      if (predictor != 1 && predictor != 2) return None
       val gray = photometric == 0 || photometric == 1
       val rgbOk = photometric == 2 && spp >= 3 // extra samples (alpha) rejected below
       if (!gray && !rgbOk) return None
@@ -134,6 +138,10 @@ object TiffCodec {
         if (compression == 1L) {
           if (sc != need) return None
           System.arraycopy(b, so.toInt, raw, filled, need)
+        } else if (compression == 5L) { // TIFF-flavor LZW, per strip
+          val dec = lzwDecodeTiffStrip(b, so.toInt, sc.toInt, need)
+            .getOrElse(return None)
+          System.arraycopy(dec, 0, raw, filled, need)
         } else { // PackBits, per strip
           var i = so.toInt; val end = (so + sc).toInt
           var o = filled
@@ -157,6 +165,24 @@ object TiffCodec {
         s += 1
       }
       if (filled != raw.length) return None
+
+      if (predictor == 2L) { // horizontal differencing: rows re-accumulate left
+        var y = 0
+        while (y < h) {
+          val ro = y * w * ch
+          var x = 1
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              raw(ro + x * ch + c) =
+                ((raw(ro + x * ch + c) + raw(ro + (x - 1) * ch + c)) & 0xff).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      }
 
       val rgb = new Array[Byte](w * h * 3)
       if (ch == 3) System.arraycopy(raw, 0, rgb, 0, rgb.length)
@@ -219,10 +245,10 @@ object TiffCodec {
     */
   def tiffContainer(w: Int, h: Int, spp: Int, photometric: Int, compression: Int,
                     rowsPerStrip: Int, strips: Seq[Array[Byte]],
-                    bigEndian: Boolean = false): Array[Byte] = {
+                    bigEndian: Boolean = false, predictor: Int = 1): Array[Byte] = {
     require(spp == 1 || spp == 3, "spp must be 1 or 3")
     val nStrips = strips.length
-    val nTags = 9
+    val nTags = if (predictor != 1) 10 else 9
     val ifdOff = 8
     val ifdSize = 2 + nTags * 12 + 4
     // value arrays that don't fit inline: bits (spp==3), strip offs/cnts (n>1)
@@ -259,6 +285,7 @@ object TiffCodec {
     tag(278, 3, 1, rowsPerStrip)
     if (nStrips > 1) tag(279, 4, nStrips, stripCntsOff)
     else tag(279, 4, 1, strips.head.length)
+    if (predictor != 1) tag(317, 3, 1, predictor)
     out.putInt(0)
     if (spp == 3) out.putShort(8).putShort(8).putShort(8)
     if (nStrips > 1) {
@@ -268,6 +295,106 @@ object TiffCodec {
     }
     strips.foreach(out.put)
     out.array()
+  }
+
+  /** TIFF-flavor LZW strip decode (TIFF 6.0 Section 13): 8-bit data
+    * alphabet (codes 0–255), Clear = 256, EOI = 257, MSB-FIRST bit
+    * packing starting at 9 bits, and the famous EARLY CHANGE — the code
+    * width bumps when the next free entry reaches 2^width − 1 (510, 1022,
+    * 2046), one code earlier than the GIF rule. Returns exactly
+    * `expected` bytes or None.
+    */
+  private def lzwDecodeTiffStrip(b: Array[Byte], off: Int, len: Int,
+      expected: Int): Option[Array[Byte]] = {
+    val Clear = 256; val Eoi = 257
+    val out = new Array[Byte](expected)
+    var outN = 0
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var next = Eoi + 1
+    var width = 9
+    var bitPos = 0
+    val totalBits = len * 8
+    var prev = -1
+    def emit(code: Int): Boolean = {
+      var stack = List.empty[Byte]
+      var c = code
+      while (c >= Clear) { stack = append(c) :: stack; c = prefix(c) }
+      stack = c.toByte :: stack
+      for (byte <- stack) {
+        if (outN >= expected) return false
+        out(outN) = byte; outN += 1
+      }
+      true
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= Clear) c = prefix(c)
+      c.toByte
+    }
+    while (bitPos + width <= totalBits) {
+      var code = 0
+      var k = 0
+      while (k < width) { // MSB-first
+        val bp = bitPos + k
+        code = (code << 1) | ((b(off + (bp >> 3)) >> (7 - (bp & 7))) & 1)
+        k += 1
+      }
+      bitPos += width
+      if (code == Eoi) return if (outN == expected) Some(out) else None
+      else if (code == Clear) {
+        next = Eoi + 1; width = 9; prev = -1
+      } else {
+        if (code > next || (code == next && prev == -1)) return None
+        if (prev == -1) {
+          if (code >= Clear) return None
+          if (!emit(code)) return None
+        } else if (code == next) { // KwKwK
+          if (next >= 4096) return None
+          prefix(next) = prev; append(next) = firstByte(prev); next += 1
+          if (!emit(code)) return None
+        } else {
+          if (!emit(code)) return None
+          if (next < 4096) {
+            prefix(next) = prev; append(next) = firstByte(code); next += 1
+          }
+        }
+        prev = code
+        // early change: bump WIDTH one entry before the table fills it
+        if (next == (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    None // ran out of bits before EOI
+  }
+
+  /** Literal-code TIFF LZW stream for fixtures (the decoder's inverse on
+    * never-compressing input): Clear, 9-bit literals MSB-first, re-Clear
+    * before the early-change width bump would fire, EOI.
+    */
+  def lzwTiffLiteralStream(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def putCode(c: Int): Unit = {
+      acc = (acc << 9) | c; accBits += 9
+      while (accBits >= 8) {
+        out.write(((acc >> (accBits - 8)) & 0xff).toInt); accBits -= 8
+      }
+    }
+    putCode(256)
+    // n literals after a Clear add n-1 table entries (the first adds
+    // none); keep next <= 510 so the early-change bump never fires and
+    // every code in the stream stays 9 bits
+    var inSeg = 0
+    var p = 0
+    while (p < data.length) {
+      if (inSeg == 253) { putCode(256); inSeg = 0 }
+      putCode(data(p) & 0xff)
+      inSeg += 1
+      p += 1
+    }
+    putCode(257)
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xff).toInt)
+    out.toByteArray
   }
 
   /** TIFF 6.0 Section-9 PackBits compressor (used by fixtures; the

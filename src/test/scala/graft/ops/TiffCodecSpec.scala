@@ -105,6 +105,42 @@ class TiffCodecSpec extends AnyFunSuite {
       assert(img.getRaster.getSample(x, y, 0) == (ours.rgb((y * w + x) * 3) & 0xff), s"($x,$y)")
   }
 
+  test("TIFF-LZW strips decode: literal stream, early-change re-clear, predictor 2") {
+    // gray literal stream through the real MSB-first 9-bit walk
+    val w = 19; val h = 7
+    val g = grayBytes(w, h)
+    val lzw = decodeTiff(tiffContainer(w, h, 1, 1, 5, h, Seq(lzwTiffLiteralStream(g)))).get
+    val flat = decodeTiff(tiffContainer(w, h, 1, 1, 1, h, Seq(g))).get
+    assert(lzw.rgb.toSeq == flat.rgb.toSeq)
+    // a stream long enough to force the mid-stream re-Clear (253+ bytes)
+    val long = Array.tabulate[Byte](600)(i => ((i * 31 + 7) % 256).toByte)
+    val dec = decodeTiff(tiffContainer(600, 1, 1, 1, 5, 1, Seq(lzwTiffLiteralStream(long)))).get
+    assert(dec.rgb.grouped(3).map(_(0)).toSeq == long.toSeq)
+    // predictor 2: encode row-differences, decoder re-accumulates
+    val rgb = raster(9, 4)
+    val diffed = rgb.rgb.clone()
+    for (y <- 3 to 0 by -1; x <- (9 - 1) to 1 by -1; c <- 0 until 3) {
+      val p = (y * 9 + x) * 3 + c
+      diffed(p) = ((rgb.rgb(p) - rgb.rgb(p - 3)) & 0xff).toByte
+    }
+    val rows = diffed.grouped(9 * 3).map(r => lzwTiffLiteralStream(r.toArray)).toSeq
+    val pred = decodeTiff(tiffContainer(9, 4, 3, 2, 5, 1, rows, predictor = 2)).get
+    assert(pred.rgb.toSeq == rgb.rgb.toSeq, "horizontal differencing must re-accumulate")
+    // ImageIO cross-check on the LZW gray container
+    val bytes = tiffContainer(w, h, 1, 1, 5, h, Seq(lzwTiffLiteralStream(g)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO must accept our TIFF-LZW stream")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == (g(y * w + x) & 0xff), s"($x,$y)")
+    // truncated LZW stream (EOI missing) rejects
+    val cut = lzwTiffLiteralStream(g)
+    assert(decodeTiff(tiffContainer(w, h, 1, 1, 5, h,
+      Seq(java.util.Arrays.copyOf(cut, cut.length - 2)))).isEmpty)
+    // predictor 3 (floating-point) rejects
+    assert(decodeTiff(tiffContainer(w, h, 1, 1, 5, h,
+      Seq(lzwTiffLiteralStream(g)), predictor = 3)).isEmpty)
+  }
+
   test("unsupported layouts reject: depth, planar, palette, LZW, alpha, truncation, magic") {
     val ok = encodeTiff(raster(4, 4))
     assert(decodeTiff(ok).isDefined)
@@ -120,8 +156,10 @@ class TiffCodecSpec extends AnyFunSuite {
     assert(c16(e258) == 2 && c16(e258 + 1) == 1, "entry 2 is tag 258 (0x0102, LE)")
     c16(e258 + 8) = 16
     assert(decodeTiff(c16).isEmpty)
-    // palette color (photometric 3) / LZW (compression 5)
+    // palette color (photometric 3) / deflate (compression 8)
     assert(decodeTiff(tiffContainer(3, 3, 1, 3, 1, 3, Seq(g))).isEmpty)
+    assert(decodeTiff(tiffContainer(3, 3, 1, 1, 8, 3, Seq(g))).isEmpty)
+    // raw bytes masquerading as an LZW strip reject, not misrender
     assert(decodeTiff(tiffContainer(3, 3, 1, 1, 5, 3, Seq(g))).isEmpty)
     // truncated strip data
     val short = tiffContainer(4, 4, 1, 1, 1, 4, Seq(grayBytes(4, 4)))
