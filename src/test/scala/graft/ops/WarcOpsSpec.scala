@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def rec(t: String, uri: String, pay: Array[Byte]): Array[Byte] =
+    WarcOps.buildRecord(t, uri, "2024-01-01T00:00:00Z", pay)
+
+  test("build -> parse round trip: multi-record, payload bytes exact, types kept") {
+    val p1 = Array.tabulate[Byte](30)(i => (i * 7).toByte)
+    val p2 = Array[Byte]() // zero-length payload is legal
+    val p3 = "GET / HTTP/1.1\r\nHost: x\r\n\r\n".getBytes("UTF-8")
+    val blob = rec("response", "https://a.test/1", p1) ++
+      rec("warcinfo", "", p2) ++ rec("request", "https://a.test/2", p3)
+    val rs = WarcOps.parseAll(blob).get
+    assert(rs.length == 3)
+    assert(rs(0).warcType == "response" && rs(0).targetUri == "https://a.test/1")
+    assert(rs(0).payload.toSeq == p1.toSeq && rs(0).contentLength == 30)
+    assert(rs(1).contentLength == 0 && rs(1).targetUri == "")
+    assert(rs(2).payload.toSeq == p3.toSeq, "CRLFs inside a payload must not confuse framing")
+  }
+
+  test("header names fold case-insensitively; unknown headers ride along") {
+    val body = "hello".getBytes
+    val manual = ("WARC/1.1\r\n" +
+      "warc-TYPE: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:x>\r\n" + // unknown to the parser: skipped
+      "warc-target-uri: https://b.test/\r\n" +
+      "CONTENT-length: 5\r\n" +
+      "\r\n").getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes
+    val rs = WarcOps.parseAll(manual).get
+    assert(rs.length == 1 && rs(0).warcType == "response")
+    assert(rs(0).targetUri == "https://b.test/" && rs(0).payload.toSeq == body.toSeq)
+  }
+
+  test("framing violations reject: version, content-length, truncation, separator") {
+    val good = rec("response", "https://c.test/", "abcdef".getBytes)
+    assert(WarcOps.parseAll(good).isDefined)
+    // wrong version line
+    val badV = good.clone(); badV(5) = '2'
+    assert(WarcOps.parseAll(badV).isEmpty)
+    // truncated payload (file ends early)
+    assert(WarcOps.parseAll(java.util.Arrays.copyOf(good, good.length - 6)).isEmpty)
+    // broken record separator
+    val badSep = good.clone(); badSep(good.length - 1) = 'X'
+    assert(WarcOps.parseAll(badSep).isEmpty)
+    // missing Content-Length entirely
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n" + "xx\r\n\r\n").getBytes
+    assert(WarcOps.parseAll(noLen).isEmpty)
+    // empty input
+    assert(WarcOps.parseAll(Array.emptyByteArray).isEmpty)
+  }
+
+  test("records() explodes archives per file; poison files surface as parsed=false rows") {
+    val s = spark
+    import s.implicits._
+    val okBlob = rec("response", "https://d.test/0", "aaaa".getBytes) ++
+      rec("request", "https://d.test/1", "bb".getBytes)
+    val df = Seq((1L, okBlob), (2L, "not a warc".getBytes)).toDF("file_id", "content")
+    val rows = WarcOps.records(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5), r.getBoolean(6)))
+      .toSet
+    assert(rows.contains((1L, 0L, "response", 4L, true)))
+    assert(rows.contains((1L, 1L, "request", 2L, true)))
+    assert(rows.contains((2L, -1L, "", 0L, false)), "poison archives stay observable")
+    assert(rows.size == 3)
+  }
+}
