@@ -80,6 +80,40 @@ object WarcOps {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Parse a `.warc.gz` image: per-record (or multi-record) gzip members
+    * concatenated back to back — the Common-Crawl storage layout.
+    * `GZIPInputStream` consumes ALL members of a concatenated stream, so
+    * decompress-then-frame is one pass; gzip-level corruption or a
+    * framing violation inside returns None like everything else. The
+    * decompressed size is bounded to 64 MiB per archive — a zip-bomb
+    * member degrades, it doesn't OOM the task.
+    */
+  def parseGz(b: Array[Byte], maxBytes: Int = 64 << 20): Option[Vector[WarcRecord]] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        if (out.size > maxBytes) return None
+        n = in.read(buf)
+      }
+      in.close()
+      parseAll(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One gzip member around `raw` (the writer twin of [[parseGz]]'s
+    * per-record-member layout when called once per record).
+    */
+  def gzipMember(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
   private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
     var i = from
     while (i + 1 < b.length) {

@@ -53,6 +53,41 @@ class WarcOpsSpec extends AnyFunSuite with SparkSpec {
     assert(WarcOps.parseAll(Array.emptyByteArray).isEmpty)
   }
 
+  test(".warc.gz: concatenated per-record gzip members parse identically to the flat file") {
+    val p1 = Array.tabulate[Byte](40)(i => (i * 3).toByte)
+    val p2 = "HTTP/1.1 200 OK\r\n\r\nbody".getBytes
+    val r1 = rec("response", "https://gz.test/1", p1)
+    val r2 = rec("response", "https://gz.test/2", p2)
+    val gz = WarcOps.gzipMember(r1) ++ WarcOps.gzipMember(r2) // member per record
+    val viaGz = WarcOps.parseGz(gz).get
+    val flat = WarcOps.parseAll(r1 ++ r2).get
+    assert(viaGz.map(_.targetUri) == flat.map(_.targetUri))
+    assert(viaGz.map(_.payload.toSeq) == flat.map(_.payload.toSeq))
+    // one member holding both records also parses (multi-record members are legal)
+    assert(WarcOps.parseGz(WarcOps.gzipMember(r1 ++ r2)).get.length == 2)
+    // corrupt gzip rejects; truncated member rejects; non-gzip rejects
+    val bad = gz.clone(); bad(gz.length / 2) = (bad(gz.length / 2) ^ 0x55).toByte
+    WarcOps.parseGz(bad) // corrupt DEFLATE data: Some or None, never a throw
+    assert(WarcOps.parseGz(java.util.Arrays.copyOf(gz, gz.length - 3)).isEmpty)
+    assert(WarcOps.parseGz("plainly not gzip".getBytes).isEmpty)
+  }
+
+  test("totality fuzz: random corruption and truncation never throw") {
+    val rnd = new scala.util.Random(7)
+    val base = rec("response", "https://f.test/", Array.tabulate[Byte](64)(i => i.toByte)) ++
+      rec("request", "https://f.test/2", "\r\n\r\nWARC/1.0\r\n".getBytes)
+    assert(WarcOps.parseAll(base).get.length == 2)
+    for (_ <- 1 to 300) {
+      val mutated = base.clone()
+      val flips = 1 + rnd.nextInt(4)
+      for (_ <- 1 to flips)
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      WarcOps.parseAll(mutated) // Some or None, never a throw
+      WarcOps.parseAll(java.util.Arrays.copyOf(mutated, rnd.nextInt(mutated.length + 1)))
+      ()
+    }
+  }
+
   test("records() explodes archives per file; poison files surface as parsed=false rows") {
     val s = spark
     import s.implicits._
