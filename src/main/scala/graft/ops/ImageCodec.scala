@@ -264,6 +264,43 @@ object ImageCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** 64-bit perceptual average-hash — the image near-dup signal (a
+    * re-encoded/resized copy keeps a close hash while content-fp exact
+    * dedup misses it). All INTEGER: pixels land on an 8×8 block grid by
+    * `(x*8)/w` floor division, a bit is set iff its block's luma mean
+    * exceeds the global mean, compared CROSS-MULTIPLIED
+    * (blockSum·w·h > totalSum·blockN) so no division ever rounds —
+    * bit-identical across engines and hash-comparable in the
+    * `image_ahash` oracle row. Hamming distance over these is the
+    * banding key for perceptual dedup, same pigeonhole scheme as
+    * dedup_simhash_near.
+    */
+  def aHash64(r: Raster): Long = {
+    val w = r.width; val h = r.height
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        val g = (r.rgb(p) & 0xff) + (r.rgb(p + 1) & 0xff) + (r.rgb(p + 2) & 0xff)
+        val b = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(b) += g; cnts(b) += 1; total += g
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (cnts(b) > 0 && sums(b) * w * h > total * cnts(b)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
   /** Hand-packable BI_RLE8 BMP: 54-byte headers + a BGRA palette of
     * `pal` rgb triples + the caller's raw RLE stream (runs, escapes, and
     * the final 0,1 end-of-bitmap included). Fixture builder for the RLE
