@@ -129,6 +129,38 @@ object MultimodalOps {
     }
   }
 
+  /** PERCEPTUAL near-dup pairs over the image slice — the dedup content
+    * fingerprints can't do: a re-encoded (PNG vs lossy JPEG) or resized
+    * copy has different bytes but a near-identical
+    * [[ImageCodec.aHash64]]. Candidates come from banding the 64-bit
+    * hash into 4×16-bit slices — by pigeonhole a pair within hamming 3
+    * shares an intact band, so the (band, value) equi-join has EXACT
+    * recall, the dedup_simhash_near scheme transposed to pixels — and
+    * verification is one in-row bit_count(xor). Distinct hashes join, so
+    * exact-dup clusters can't square the candidate volume; only
+    * (media_id, 8-byte hash) rows ever shuffle, pixels never do.
+    */
+  def ahashNearDups(envelopes: Dataset[MediaEnvelope], maxHamming: Int = 3): DataFrame = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    val hashes = envelopes.flatMap { e =>
+      ImageCodec.decodeImage(e.payload).map(r => (e.media_id, ImageCodec.aHash64(r)))
+    }.toDF("media_id", "ahash")
+    val reps = hashes.groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("rep_id"), count(lit(1)).as("n_exact"))
+    val bands = reps.select(col("ahash"), col("rep_id"), col("n_exact"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("(ahash >> (band * 16)) & 65535"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+          && col("x.ahash") < col("y.ahash"))
+      .select(col("x.rep_id").as("rep_a"), col("y.rep_id").as("rep_b"),
+        col("x.n_exact").as("n_a"), col("y.n_exact").as("n_b"),
+        expr("bit_count(x.ahash ^ y.ahash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   case class ResizedMedia(
       media_id: Long,
       kind: String,

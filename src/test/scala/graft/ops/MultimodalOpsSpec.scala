@@ -197,4 +197,48 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(frames.map(_.frame_fp).distinct.length == frames.length,
       "frame fingerprints are unique across (media, idx)")
   }
+
+  test("ahashNearDups: cross-codec copies collapse by hash, near-misses pair, noise doesn't") {
+    import ImageCodec.Raster
+    // 32x32 canvas of 4px hash blocks on a 100/150 checkerboard: block
+    // means sit >=20 luma away from the global mean, so JPEG ringing
+    // can't flip a bit, and nudging ONE block to 200 moves hamming by
+    // exactly one
+    def board(bumps: Set[(Int, Int)]): Raster =
+      Raster(32, 32, Array.tabulate(32 * 32 * 3) { i =>
+        val x = (i / 3) % 32; val y = i / 3 / 32
+        val b = (x / 4, y / 4)
+        (if (bumps(b)) 200 else 100 + ((x / 4 + y / 4) % 2) * 50).toByte
+      })
+    def noise(seed: Int): Raster =
+      Raster(32, 32, Array.tabulate(32 * 32 * 3)(i => ((i * 31 + seed * 97) % 256).toByte))
+    val a = board(Set())
+    val env = envelopes(Seq(
+      MultimodalOps.MediaEnvelope(1L, "image", ImageCodec.encodePng(a), "image/png"),
+      // same content through the LOSSY codec: identical hash -> same rep
+      MultimodalOps.MediaEnvelope(2L, "image", JpegCodec.encode(a, quality = 85), "image/jpeg"),
+      MultimodalOps.MediaEnvelope(3L, "image",
+        ImageCodec.encodePng(board(Set((0, 0)))), "image/png"), // hamming 1 from a
+      MultimodalOps.MediaEnvelope(4L, "image",
+        ImageCodec.encodePng(board(Set((2, 0), (4, 0)))), "image/png"), // hamming 2
+      MultimodalOps.MediaEnvelope(5L, "image", ImageCodec.encodePng(noise(1)), "image/png"),
+      MultimodalOps.MediaEnvelope(6L, "image", ImageCodec.encodePng(a), "image/png")))
+    val rows = MultimodalOps.ahashNearDups(env, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ids = rows.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 3L)) || ids.contains((3L, 1L)), s"hamming-1 pair missing: $ids")
+    assert(ids.contains((1L, 4L)) || ids.contains((4L, 1L)), s"hamming-2 pair missing: $ids")
+    assert(ids.contains((3L, 4L)) || ids.contains((4L, 3L)), s"hamming-3 pair missing: $ids")
+    assert(!rows.exists(p => p._1 == 5L || p._2 == 5L), s"noise image paired: $ids")
+    assert(!rows.exists(p => Set(2L, 6L)(p._1) || Set(2L, 6L)(p._2)),
+      "hash-identical copies must collapse into the rep, not pair")
+    // the rep of {png, jpeg, exact copy} carries its exact-cluster size
+    val repSide = rows.collect {
+      case (1L, _, na, _, _) => na
+      case (_, 1L, _, nb, _) => nb
+    }
+    assert(repSide.nonEmpty && repSide.forall(_ == 3L),
+      s"rep must count its 3 hash-identical members, got ${repSide.toSeq}")
+    assert(rows.forall(_._5 <= 3), "hamming bound must hold")
+  }
 }
