@@ -269,6 +269,48 @@ object CorpusOps extends Pack {
         .orderBy("event_id")
     }),
 
+    "url_robots_filter" -> ((s, d) => {
+      // The crawl-pipeline URL gate as a relational pattern: per host a
+      // robots ruleset (Allow/Disallow path prefixes, both generated
+      // from doc_id identically in both engines), per URL the REP
+      // resolution — LONGEST matching prefix wins, Allow wins
+      // length ties, no match = allowed. Prefix matching is
+      // substr(path, 1, len(prefix)) = prefix (portable — no LIKE
+      // wildcard escaping), resolution is one row_number window over
+      // the matched (url, rule) pairs. Scale shape: rules join URLs on
+      // the host key (a broadcast-sized dim in practice); the window
+      // partitions per URL over its handful of matching rules.
+      val urls = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("path", concat(lit("/p"), pmod(col("doc_id") + col("j"), lit(7)),
+          lit("/x"), col("j")))
+      val rules = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("i", explode(expr("sequence(0, 1 + cast(doc_id % 3 as int))")))
+        .withColumn("prefix", when(col("i") % 2 === 0,
+            concat(lit("/p"), pmod(col("doc_id") + col("i") * 3, lit(7))))
+          .otherwise(concat(lit("/p"), pmod(col("doc_id") + col("i") * 3, lit(7)),
+            lit("/x"), col("i"))))
+        .withColumn("allow", (pmod(col("doc_id") + col("i"), lit(4)) === 0).cast("int"))
+      // match predicate INSIDE the left join, so a URL matching no rule
+      // keeps one null-rule row (= allowed) instead of vanishing
+      val matched = urls.as("u").join(rules.as("r"),
+        col("u.doc_id") === col("r.doc_id") &&
+          expr("substr(u.path, 1, length(r.prefix)) = r.prefix"), "left")
+      val byUrl = Window.partitionBy(col("u.doc_id"), col("u.j"))
+        .orderBy(length(col("r.prefix")).desc_nulls_last,
+          col("r.allow").desc_nulls_last, col("r.i").asc_nulls_last)
+      matched
+        .withColumn("rn", row_number().over(byUrl))
+        .filter(col("rn") === 1)
+        .withColumn("verdict_allow",
+          when(col("r.prefix").isNull, lit(1)).otherwise(col("r.allow")))
+        .groupBy(col("u.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("verdict_allow")).cast("long").as("n_allowed"),
+          (count(lit(1)) - sum(col("verdict_allow"))).cast("long").as("n_blocked"))
+        .orderBy("doc_id")
+    }),
+
     "join_asof_nearest" -> ((s, d) => {
       // NEAREST as-of join, completing the family: each click picks the
       // view event with the smallest |Δt| in EITHER direction (ties go
@@ -869,6 +911,31 @@ object CorpusOps extends Pack {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
         |  FROM events WHERE event_type IN ('click', 'purchase'))
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "url_robots_filter" ->
+      """WITH urls AS (
+        |  SELECT doc_id, j, '/p' || (doc_id + j) % 7 || '/x' || j AS path
+        |  FROM (SELECT doc_id, unnest(range(0, 4)) AS j FROM documents)),
+        |rules AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i % 2 = 0 THEN '/p' || (doc_id + i * 3) % 7
+        |         ELSE '/p' || (doc_id + i * 3) % 7 || '/x' || i END AS prefix,
+        |    CASE WHEN (doc_id + i) % 4 = 0 THEN 1 ELSE 0 END AS allow
+        |  FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS i FROM documents)),
+        |m AS (
+        |  SELECT u.doc_id, u.j, r.prefix, r.allow, r.i
+        |  FROM urls u LEFT JOIN rules r
+        |    ON u.doc_id = r.doc_id AND substr(u.path, 1, length(r.prefix)) = r.prefix),
+        |best AS (
+        |  SELECT doc_id, j, prefix, allow,
+        |    row_number() OVER (PARTITION BY doc_id, j
+        |      ORDER BY length(prefix) DESC NULLS LAST, allow DESC NULLS LAST,
+        |               i ASC NULLS LAST) AS rn
+        |  FROM m)
+        |SELECT doc_id, count(*)::BIGINT AS n_urls,
+        |  sum(CASE WHEN prefix IS NULL THEN 1 ELSE allow END)::BIGINT AS n_allowed,
+        |  (count(*) - sum(CASE WHEN prefix IS NULL THEN 1 ELSE allow END))::BIGINT AS n_blocked
+        |FROM best WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "join_asof_nearest" ->
       """WITH cv AS (
