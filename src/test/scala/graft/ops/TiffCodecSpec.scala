@@ -141,6 +141,23 @@ class TiffCodecSpec extends AnyFunSuite {
       Seq(lzwTiffLiteralStream(g)), predictor = 3)).isEmpty)
   }
 
+  test("totality fuzz: corrupted and truncated TIFFs (incl. LZW/PackBits strips) never throw") {
+    val rnd = new scala.util.Random(19)
+    val bases = Seq(
+      encodeTiff(raster(9, 7)),
+      tiffContainer(11, 5, 1, 0, 32773, 2,
+        grayBytes(11, 5).grouped(22).map(s => packBits(s.toArray)).toSeq, bigEndian = true),
+      tiffContainer(8, 6, 1, 1, 5, 6, Seq(lzwTiffLiteralStream(grayBytes(8, 6)))))
+    for (base <- bases; _ <- 1 to 120) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(3))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      decodeTiff(m) // Some or None, never a throw
+      decodeTiff(java.util.Arrays.copyOf(m, rnd.nextInt(m.length + 1)))
+      ()
+    }
+  }
+
   test("unsupported layouts reject: depth, planar, palette, LZW, alpha, truncation, magic") {
     val ok = encodeTiff(raster(4, 4))
     assert(decodeTiff(ok).isDefined)
