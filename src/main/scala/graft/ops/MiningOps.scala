@@ -29,6 +29,47 @@ object MiningOps extends Pack {
   private val tokSql = "string_split(text, ' ')"
 
   val queries: Map[String, Q] = Map(
+    "dedup_spans_rebuild" -> ((s, d) => {
+      // dedup_spans DETECTS boilerplate blocks; this row REMOVES them —
+      // the CCNet-style cleaning step that actually ships: each doc is
+      // rebuilt from its blocks whose exact text is unique to it
+      // (cross-doc duplicated blocks drop), plus the sub-8-token tail
+      // (never block-counted, always kept). Blocks rejoin IN ORIGINAL
+      // ORDER, and the oracle compares the md5 OF THE REBUILT TEXT, so
+      // ordering, tail handling, and the empty-vs-null seam are all
+      // load-bearing. Scale shape mirrors dedup_spans: text rides only
+      // doc-local paths; the cross-doc frequency table shuffles 8-byte
+      // hashes.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), toks(col("text")).as("ws"))
+      val blocks = base
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ws) div 8), i -> array_join(slice(ws, (i-1)*8 + 1, 8), ' '))"
+        )).as(Seq("i", "blk")))
+        .select(col("doc_id"), col("i"), col("blk"), h60(col("blk")).as("b"))
+        .persist()
+      val docFreq = blocks.select(col("doc_id"), col("b")).distinct()
+        .groupBy(col("b")).agg(count(lit(1)).as("n_docs_with"))
+      val kept = blocks.join(docFreq, "b")
+        .filter(col("n_docs_with") === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(i, blk))), e -> e.blk), ' ')")
+            .as("kept_text"))
+      base
+        .join(kept, Seq("doc_id"), "left")
+        .withColumn("n_blocks", expr("size(ws) div 8").cast("long"))
+        .withColumn("tail_text",
+          expr("array_join(slice(ws, (size(ws) div 8) * 8 + 1, size(ws) % 8), ' ')"))
+        .withColumn("rebuilt", concat_ws(" ",
+          when(length(coalesce(col("kept_text"), lit(""))) > 0, col("kept_text")),
+          when(length(col("tail_text")) > 0, col("tail_text"))))
+        .select(col("doc_id"), col("n_blocks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(col("rebuilt").cast("binary")).as("rebuilt_md5"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_spans" -> ((s, d) => {
       // C4-style span-level dedup: documents are chopped into ALIGNED
       // non-overlapping 8-token blocks (the "line" unit of a corpus whose
@@ -279,6 +320,27 @@ object MiningOps extends Pack {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans_rebuild" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS ws FROM documents),
+         |blk AS (
+         |  SELECT doc_id, i, array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') AS blk
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) // 8)) AS i FROM base)),
+         |dfb AS (SELECT blk AS b, count(DISTINCT doc_id) AS n_docs_with FROM blk GROUP BY 1),
+         |kept AS (
+         |  SELECT blk.doc_id, count(*)::BIGINT AS n_kept,
+         |         string_agg(blk.blk, ' ' ORDER BY blk.i) AS kept_text
+         |  FROM blk JOIN dfb ON blk.blk = dfb.b
+         |  WHERE dfb.n_docs_with = 1
+         |  GROUP BY blk.doc_id)
+         |SELECT b.doc_id, (len(b.ws) // 8)::BIGINT AS n_blocks,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  md5(concat_ws(' ',
+         |    nullif(coalesce(k.kept_text, ''), ''),
+         |    nullif(array_to_string(b.ws[(len(b.ws) // 8) * 8 + 1 : len(b.ws)], ' '), '')))
+         |    AS rebuilt_md5
+         |FROM base b LEFT JOIN kept k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_spans" ->
       s"""WITH base AS (
          |  SELECT doc_id, $tokSql AS ws FROM documents WHERE len($tokSql) >= 8),
