@@ -156,6 +156,34 @@ object ScaleOps extends Pack {
         .orderBy("lang")
     }),
 
+    "prep_mixture_temp" -> ((s, d) => {
+      // Temperature-flattened mixture weighting (the multilingual-LLM
+      // sampling trick: p_i ∝ m_i^α with α < 1 so small sources are
+      // UP-sampled relative to proportional): α = 1/2 via floor(√mass),
+      // mass = the source's char volume — EXACT integer arithmetic end
+      // to end (isqrt of a non-square never sits on a rounding boundary,
+      // perfect squares are exact, allocation is integer
+      // cross-multiplication), so the row is hash-comparable where a
+      // float m^0.7 would diverge in the last ulp. Per source:
+      // allocation of a 10k budget under proportional AND flattened
+      // weights — flattening shows as below-average sources gaining.
+      // The two totals are one #sources-row aggregate collected as
+      // DRIVER SCALARS (the pagerank control-plane pattern) and folded
+      // back as literals — the per-source plan is join-free.
+      val bySource = t(s, d, "documents")
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("mass"))
+        .withColumn("w_sqrt", expr("cast(floor(sqrt(cast(mass as double))) as bigint)"))
+        .persist()
+      val totRow = bySource.agg(sum(col("mass")), sum(col("w_sqrt"))).head()
+      val (tn, tw) = (totRow.getLong(0), totRow.getLong(1))
+      bySource
+        .select(col("source"), col("mass"), col("w_sqrt"),
+          expr(s"(10000 * mass) div ${tn}L").as("alloc_prop"),
+          expr(s"(10000 * w_sqrt) div ${tw}L").as("alloc_temp"))
+        .withColumn("upsampled", (col("alloc_temp") > col("alloc_prop")).cast("int"))
+        .orderBy("source")
+    }),
+
     "prep_pack_sequences" -> ((s, d) => {
       // GPT-style sequence packing: documents CONCATENATE into one
       // per-source stream chopped into fixed 2048-char context windows,
@@ -467,6 +495,19 @@ object ScaleOps extends Pack {
         |bm AS (SELECT bucket, bit_or(term)::BIGINT AS bitmap FROM terms GROUP BY bucket)
         |SELECT bucket, bitmap, ((~bitmap) & (bitmap + 1))::BIGINT AS first_zero
         |FROM bm ORDER BY bucket""".stripMargin,
+
+    "prep_mixture_temp" ->
+      """WITH s AS (
+        |  SELECT source, sum(n_chars)::BIGINT AS mass,
+        |         floor(sqrt(sum(n_chars)))::BIGINT AS w_sqrt
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(mass)::BIGINT AS tn, sum(w_sqrt)::BIGINT AS tw FROM s)
+        |SELECT source, mass, w_sqrt,
+        |  ((10000 * mass) // tn)::BIGINT AS alloc_prop,
+        |  ((10000 * w_sqrt) // tw)::BIGINT AS alloc_temp,
+        |  CASE WHEN (10000 * w_sqrt) // tw > (10000 * mass) // tn
+        |       THEN 1 ELSE 0 END AS upsampled
+        |FROM s, t ORDER BY source""".stripMargin,
 
     "prep_pack_sequences" ->
       """WITH c AS (
