@@ -59,6 +59,7 @@ object ImageCodec {
     else if (looksLikeGif(b)) decodeGif(b)
     else if (looksLikeJpeg(b)) JpegCodec.decode(b)
     else if (TiffCodec.looksLikeTiff(b)) TiffCodec.decodeTiff(b)
+    else if (QoiCodec.looksLikeQoi(b)) QoiCodec.decodeQoi(b)
     else None
 
   // -------------------------------------------------------------------- PPM
