@@ -104,6 +104,41 @@ object MiningOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "dedup_substring" -> ((s, d) => {
+      // NON-ALIGNED span dedup: every 8-token window at EVERY offset
+      // (stride 1), the exact-substring-match regime — a duplicated
+      // passage that straddles dedup_spans' aligned block boundaries is
+      // invisible there (shifted by one token, every aligned block
+      // differs) but lights up every window position it covers here.
+      // A window POSITION counts as duplicated iff its exact 8-token text
+      // occurs in >= 2 distinct docs. Per-doc: window count, duplicated
+      // positions, permille.
+      //
+      // Scale shape: same kernel as dedup_spans with the honest stride-1
+      // cost made explicit — ~8x the shuffled (doc, hash) pairs of the
+      // aligned form for ~1-token detection granularity; windows generate
+      // in-row, text never shuffles, both aggregates map-side combine.
+      // Production corpora pick stride by that 8x: aligned blocks to
+      // TRIAGE, stride-1 on the suspicious tail.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 8)
+      val wins = base
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 7), i -> array_join(slice(ws, i, 8), ' '))"
+        )).as("win"))
+        .select(col("doc_id"), h60(col("win")).as("b"))
+        .persist() // feeds the window-frequency agg AND the per-doc rollup
+      val docFreq = wins.distinct()
+        .groupBy(col("b")).agg(count(lit(1)).as("n_docs_with"))
+      wins.join(docFreq, "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(when(col("n_docs_with") >= 2, 1)).as("n_dup_pos"))
+        .withColumn("dup_permille", expr("(n_dup_pos * 1000) div n_windows"))
+        .orderBy("doc_id")
+    }),
+
     "text_tfidf" -> ((s, d) => {
       // top-3 characteristic terms per document by an integer tf-idf:
       // score = (tf * 1e6) div df — tf weighted by inverse document
@@ -353,6 +388,22 @@ object MiningOps extends Pack {
          |  ((count(*) FILTER (WHERE dfb.n_docs_with >= 2)) * 1000 // count(*))::BIGINT AS dup_permille
          |FROM blk JOIN dfb USING (b)
          |GROUP BY blk.doc_id ORDER BY doc_id""".stripMargin,
+
+    // stride-1 twin of the dedup_spans oracle: windows at every offset,
+    // raw window strings as the join key (the Spark side shuffles h60
+    // hashes — a collision would surface here as a count mismatch)
+    "dedup_substring" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $tokSql AS ws FROM documents WHERE len($tokSql) >= 8),
+         |win AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+         |    i -> array_to_string(ws[i:i+7], ' '))) AS b FROM base),
+         |dfb AS (SELECT b, count(DISTINCT doc_id) AS n_docs_with FROM win GROUP BY b)
+         |SELECT win.doc_id, count(*)::BIGINT AS n_windows,
+         |  (count(*) FILTER (WHERE dfb.n_docs_with >= 2))::BIGINT AS n_dup_pos,
+         |  ((count(*) FILTER (WHERE dfb.n_docs_with >= 2)) * 1000 // count(*))::BIGINT AS dup_permille
+         |FROM win JOIN dfb USING (b)
+         |GROUP BY win.doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tf AS (

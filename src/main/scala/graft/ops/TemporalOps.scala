@@ -140,6 +140,89 @@ object TemporalOps extends Pack {
         .orderBy("o_orderkey")
     }),
 
+    "merge_ivm" -> ((s, d) => {
+      // INCREMENTAL VIEW MAINTENANCE: a per-customer (count, sum)
+      // aggregate view absorbs a ±multiplicity delta — retractions of
+      // existing rows (mult −1) and insertions (mult +1, including rows
+      // for keys the view has never seen) — WITHOUT re-touching base
+      // rows: the maintained view merges with the AGGREGATED delta in
+      // one full-outer join, groups whose count reaches zero drop out.
+      // The classic delta rule dV = γ(Δ) applied to a distributive
+      // aggregate; the oracle recomputes from the modified base, so the
+      // merge arithmetic (coalesce seams, zero-count deletion, brand-new
+      // keys) is all hash-gated. Delta derived deterministically from
+      // orders: %9 keys retract, %11 keys insert a half-price echo
+      // (%33 of those under a brand-new +1e6 customer).
+      //
+      // Scale shape: the base view is maintained state (at rest it's a
+      // table, not a recompute); per refresh only |delta| rows shuffle
+      // into one pre-aggregate + one key-partitioned outer join — the
+      // whole point of IVM at 100 TB is that refresh cost tracks the
+      // delta, never the corpus.
+      val base = t(s, d, "orders").select(col("o_custkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      val view = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("n0"), sum("cents").as("s0"))
+      val delta = base.filter(col("o_orderkey") % 9 === 0)
+        .select(col("k"), col("cents"), lit(-1L).as("mult"))
+        .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+          .select(
+            when(col("o_orderkey") % 33 === 0, col("k") + 1000000L)
+              .otherwise(col("k")).as("k"),
+            expr("cents div 2 + 50").as("cents"), lit(1L).as("mult")))
+      val dAgg = delta.groupBy(col("k"))
+        .agg(sum("mult").as("dn"), sum(expr("mult * cents")).as("ds"))
+      view.join(dAgg, Seq("k"), "full_outer")
+        .select(col("k").as("o_custkey"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("cents_sum"),
+          when(col("dn").isNotNull, 1L).otherwise(0L).as("touched"))
+        .filter(col("n_orders") > 0)
+        .orderBy("o_custkey")
+    }),
+
+    "events_cusum" -> ((s, d) => {
+      // CUSUM change-point detection over per-type daily volumes, fully
+      // relational and integer-exact: the textbook recursion
+      // S_d = max(0, S_{d-1} + (x_d − k)) is the prefix identity
+      // S_d = P_d − min(0, min_{j<=d} P_j) with P the running sum of
+      // deviations — so the "recursive" detector is two ordinary
+      // cumulative windows, no iteration, no fold. Deviations are scaled
+      // by the day count (dev = x·nd − total) to keep the drift term k =
+      // mean exact without division. Alarm threshold is self-normalizing
+      // (S >= 3/4 of the type's own max S) so both alarm classes appear
+      // at every scale factor. Per type: days, alarms, peak S, first
+      // alarm day.
+      //
+      // Scale shape: ONE hash agg collapses event volume to (type, day)
+      // cells before any window; every window partitions by type over
+      // calendar-bounded rows. The sequential dependence lives entirely
+      // in per-type cumulative windows — the spillable WindowExec path,
+      // never a driver fold.
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val byType = Window.partitionBy(col("event_type"))
+      val cum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("total", sum("x").over(byType))
+        .withColumn("nd", count(lit(1)).over(byType))
+        .withColumn("p", sum(col("x") * col("nd") - col("total")).over(cum))
+        .withColumn("s_val", col("p") - least(lit(0L), min("p").over(cum)))
+        .withColumn("peak", max("s_val").over(byType))
+        .withColumn("alarm",
+          (col("peak") > 0 && col("s_val") * 4 >= col("peak") * 3).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max("nd").as("n_days"), sum("alarm").as("n_alarms"),
+          max("s_val").as("max_s"),
+          coalesce(min(when(col("alarm") === 1L, col("day"))), lit(-1L))
+            .as("first_alarm_day"))
+        .orderBy("event_type")
+    }),
+
     "events_forecast" -> ((s, d) => {
       // naive-baseline forecast audit: predict each day's count as the
       // trailing-7-observed-day mean, report per-type absolute-error
@@ -376,6 +459,62 @@ object TemporalOps extends Pack {
         |            WHEN version = 1 THEN 'updated'
         |            ELSE 'unchanged' END AS op
         |FROM latest ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle recomputes the view FROM THE MODIFIED BASE (kept rows +
+    // inserted rows) — the Spark side never touches base rows, so the
+    // incremental merge arithmetic is what the hash gate checks
+    "merge_ivm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS k, round(o_totalprice * 100)::BIGINT AS cents,
+        |         o_orderkey
+        |  FROM orders),
+        |modified AS (
+        |  SELECT k, cents FROM base WHERE o_orderkey % 9 <> 0
+        |  UNION ALL
+        |  SELECT CASE WHEN o_orderkey % 33 = 0 THEN k + 1000000 ELSE k END,
+        |         cents // 2 + 50
+        |  FROM base WHERE o_orderkey % 11 = 0),
+        |touched AS (
+        |  SELECT DISTINCT k FROM (
+        |    SELECT k FROM base WHERE o_orderkey % 9 = 0
+        |    UNION ALL
+        |    SELECT CASE WHEN o_orderkey % 33 = 0 THEN k + 1000000 ELSE k END
+        |    FROM base WHERE o_orderkey % 11 = 0))
+        |SELECT m.k AS o_custkey, count(*)::BIGINT AS n_orders,
+        |       sum(m.cents)::BIGINT AS cents_sum,
+        |       (CASE WHEN t.k IS NULL THEN 0 ELSE 1 END)::BIGINT AS touched
+        |FROM modified m LEFT JOIN touched t ON m.k = t.k
+        |GROUP BY m.k, t.k ORDER BY m.k""".stripMargin,
+
+    // prefix-identity CUSUM: S = P − min(0, running min P); threshold is
+    // 3/4 of the per-type max so alarms exist at every scale factor
+    "events_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, floor(epoch(ts))::BIGINT // 86400 AS day,
+        |         count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, x,
+        |         sum(x) OVER (PARTITION BY event_type) AS total,
+        |         count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM daily),
+        |p AS (
+        |  SELECT event_type, day, total, nd,
+        |         sum(x * nd - total) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+        |  FROM w),
+        |s AS (
+        |  SELECT event_type, day, total, nd,
+        |         pv - least(0, min(pv) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_val
+        |  FROM p),
+        |s2 AS (
+        |  SELECT *, max(s_val) OVER (PARTITION BY event_type) AS peak FROM s)
+        |SELECT event_type, max(nd)::BIGINT AS n_days,
+        |       sum(CASE WHEN peak > 0 AND s_val * 4 >= peak * 3 THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+        |       max(s_val)::BIGINT AS max_s,
+        |       coalesce(min(CASE WHEN peak > 0 AND s_val * 4 >= peak * 3 THEN day END), -1)::BIGINT AS first_alarm_day
+        |FROM s2 GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_forecast" ->
       """WITH daily AS (

@@ -185,6 +185,37 @@ object VectorOps extends Pack {
         .limit(10)
     }),
 
+    "sim_matryoshka" -> ((s, d) => {
+      // PREFIX-DIMENSION two-stage retrieval (the Matryoshka-embedding
+      // serving trick): models trained with nested-dimension objectives
+      // put most of the signal in the leading coordinates, so stage 1
+      // ranks the corpus by the dot over the FIRST 16 of 64 dims — a 4x
+      // cheaper scan that needs no codebook, no quantizer, no training
+      // artifact at all (sim_sq8 buys the same scan reduction with a
+      // per-vector scale; this buys it with slice()) — keeps 100
+      // candidates via TakeOrderedAndProject, then stage 2 reranks only
+      // those with the exact full-width dot. At rest the leading slice
+      // would be a separate (16-dim) column family so stage 1 reads
+      // 1/4 of the bytes; integers end to end, both stages
+      // engine-identical.
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .withColumn("head", expr("slice(q, 1, 16)"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("q").as("pq"), col("head").as("ph"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("q"), col("pq"),
+          call_function("graft_dot_i64", col("head"), col("ph")).as("head_dot"))
+        .orderBy(col("head_dot").desc, col("vec_id").asc)
+        .limit(100)
+      cand.select(col("vec_id"), col("head_dot"),
+          call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))
+        .orderBy(col("dot_q").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     "sim_radius" -> ((s, d) => {
       // radius (threshold) search: every corpus vector within cosine >= 0.3
       // of each of 4 probe vectors. The cosine test is INTEGER-EXACT — no
@@ -423,6 +454,21 @@ object VectorOps extends Pack {
         |  FROM bq, probe WHERE vec_id <> 0
         |  ORDER BY approx DESC, vec_id LIMIT 100)
         |SELECT vec_id, approx,
+        |  list_sum(list_transform(qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
+        |FROM cand ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |h AS (SELECT vec_id, qe, qe[1:16] AS head FROM q),
+        |probe AS (SELECT qe AS pq, head AS ph FROM h WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, qe, pq,
+        |    list_sum(list_transform(head, (x, i) -> x * ph[i]))::BIGINT AS head_dot
+        |  FROM h, probe WHERE vec_id <> 0
+        |  ORDER BY head_dot DESC, vec_id LIMIT 100)
+        |SELECT vec_id, head_dot,
         |  list_sum(list_transform(qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
         |FROM cand ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
 

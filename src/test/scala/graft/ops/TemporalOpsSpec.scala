@@ -98,4 +98,66 @@ class TemporalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(13L) == (("O", cents(13), 0L, "unchanged")))
     assert(got(1L) == (("O", cents(1), 0L, "unchanged")))
   }
+
+  test("merge_ivm: retractions, inserts, zero-count deletion, brand-new keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("temporal").toString
+    val ts = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    // custkey 1 owns orders 9 and 18 (both retracted: %9==0) -> count hits
+    // zero -> the view row must DISAPPEAR, not survive as (1, 0, 0).
+    // custkey 2 owns 11 (insert echo) and 5 (kept). order 33 inserts under
+    // a brand-new custkey 3+1000000. custkey 4 owns 99 (%9 AND %11 AND
+    // %33: its one row is retracted AND echoes under a brand-new key, so
+    // cust 4 drops while 1000004 appears).
+    val rows = Seq(
+      (9L, 1L, 100.0), (18L, 1L, 200.0),
+      (11L, 2L, 300.0), (5L, 2L, 400.0),
+      (33L, 3L, 500.0), (99L, 4L, 600.0))
+    rows.map { case (k, c, p) => (k, c, "O", p, ts, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = TemporalOps.queries("merge_ivm")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains(1L), "fully-retracted customer must drop from the view")
+    // cust 2: kept 40000 + original 30000 + echo 15050 = 3 orders
+    assert(got(2L) == ((3L, 85050L, 1L)))
+    // cust 3: order 33 kept (33 % 9 != 0); its echo lands under 1000003
+    assert(got(3L) == ((1L, 50000L, 0L)), "untouched except its own base row")
+    assert(got(1000003L) == ((1L, 25050L, 1L)), "brand-new key from the insert leg")
+    // cust 4: order 99 retracted (count -> 0, drops) AND echoes under
+    // 1000004 (99 % 33 == 0)
+    assert(!got.contains(4L), "retract + new-key echo must leave the old key empty")
+    assert(got(1000004L) == ((1L, 30050L, 1L)))
+  }
+
+  test("events_cusum: prefix identity matches the direct recursion; alarm classes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("temporal").toString
+    // one type, crafted daily counts: quiet, then a sustained level shift
+    val cnts = Seq(10, 10, 10, 9, 11, 10, 30, 32, 31, 10, 10)
+    var id = 0L
+    val rows = cnts.zipWithIndex.flatMap { case (c, day) =>
+      (1 to c).map { _ => id += 1; (id, day * 86400L * G + (id % 100) * G, id % 5, "click", 1.0) }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TemporalOps.queries("events_cusum")(spark, dir).collect()
+    assert(r.length == 1)
+    val (nDays, nAlarms, maxS, firstDay) =
+      (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    // direct recursion S_d = max(0, S_{d-1} + x_d*nd - total) on the driver
+    val nd = cnts.length.toLong
+    val total = cnts.map(_.toLong).sum
+    var sRec = 0L
+    val sSeq = cnts.map { x => sRec = math.max(0L, sRec + x * nd - total); sRec }
+    assert(nDays == nd)
+    assert(maxS == sSeq.max, "prefix identity must equal the recursion")
+    val peak = sSeq.max
+    val alarms = sSeq.zipWithIndex.filter { case (s, _) => peak > 0 && s * 4 >= peak * 3 }
+    assert(nAlarms == alarms.length && nAlarms >= 1)
+    assert(firstDay == alarms.head._2.toLong)
+    // both classes exercised: some days alarm, some don't
+    assert(nAlarms < nd)
+  }
 }

@@ -20,7 +20,7 @@ import sys, re
 # list in round 10: its centroid candidates fold in-row (flat least() over
 # literal structs), so any join in its assignment stage is a regression.
 BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim_ann_ivf",
-                "sim_radius", "sim_sq8", "agg_sketch_merge", "graph_triangles",
+                "sim_radius", "sim_sq8", "sim_matryoshka", "agg_sketch_merge", "graph_triangles",
                 "events_grid",
                 # scalar corpus-max (1-row aggregate) broadcast back onto the
                 # per-user frame — the standard scalar-subquery join shape
