@@ -247,6 +247,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters", "graft_heavy_hitters(item, m) - SpaceSaving top items by count with at most m bounded-error counters"),
       (cs: Seq[Expression]) => HeavyHitters(cs(0), cs(1)).toAggregateExpression()),
+    (FunctionIdentifier("graft_qdigest"),
+      info("graft_qdigest", "graft_qdigest(value, bits, k) - q-digest quantile sketch over [0, 2^bits): quartile estimates with rank error <= bits/k * n"),
+      (cs: Seq[Expression]) => QDigest(cs(0), cs(1), cs(2)).toAggregateExpression()),
     (FunctionIdentifier("graft_minhash16"),
       info("graft_minhash16", "graft_minhash16(text) - 16-slot MinHash signature of single-space-tokenized text, in one in-row pass"),
       (cs: Seq[Expression]) => MinhashSigs16(cs(0))),

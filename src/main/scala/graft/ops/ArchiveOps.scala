@@ -434,6 +434,58 @@ object ArchiveOps extends Tables.Pack {
       }.toDF("doc_id", "n_members", "total_size", "names_len", "pay_sum",
           "n_blocks", "n_gz_members")
         .orderBy("doc_id")
+    }),
+
+    "ico_meta" -> ((s, d) => {
+      // The ICO favicon container under the DUCKDB gate: per doc a
+      // 24bpp BMP member (doubled-height header, bottom-up rows, 1bpp
+      // AND mask APPLIED — masked pixels composite to black) and, for
+      // even ids, a second member that is a complete PNG file inside the
+      // directory — both through the REAL writer and walker
+      // ([[IcoCodec]]). A directory-offset, stride/padding, bottom-up,
+      // BGR-order, or mask-bit defect moves a sum. Per-row kernel,
+      // bytes never leave the task.
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w0 = (4 + id % 6).toInt; val h0 = (4 + (id * 5) % 6).toInt
+        val rgb0 = new Array[Byte](w0 * h0 * 3)
+        var p = 0
+        while (p < w0 * h0) {
+          val v = ((id * 7 + p.toLong * 13) % 256).toByte
+          rgb0(p * 3) = v; rgb0(p * 3 + 1) = v; rgb0(p * 3 + 2) = v
+          p += 1
+        }
+        val members = scala.collection.mutable.ArrayBuffer(
+          ImageCodec.Raster(w0, h0, rgb0))
+        if (id % 2 == 0) {
+          val w1 = (3 + id % 4).toInt; val h1 = (3 + (id * 3) % 4).toInt
+          val rgb1 = new Array[Byte](w1 * h1 * 3)
+          p = 0
+          while (p < w1 * h1) {
+            val v = ((id + p.toLong * 29) % 256).toByte
+            rgb1(p * 3) = v; rgb1(p * 3 + 1) = v; rgb1(p * 3 + 2) = v
+            p += 1
+          }
+          members += ImageCodec.Raster(w1, h1, rgb1)
+        }
+        val ico = IcoCodec.buildIco(members.toSeq, asPng = _ == 1,
+            masked = (k, x, y) => k == 0 && (x + y + id) % 5 == 0)
+          .getOrElse(sys.error(s"ico build failed for doc $id"))
+        val dec = IcoCodec.decodeIco(ico)
+          .getOrElse(sys.error(s"ico decode failed for doc $id"))
+        if (dec.length != members.length) sys.error(s"ico member count for doc $id")
+        def sumOf(r: ImageCodec.Raster): Long = {
+          var s0 = 0L; r.rgb.foreach(b => s0 += (b & 0xff)); s0
+        }
+        val sum1 = if (dec.length > 1) {
+          // the PNG member must round-trip exactly (no mask on it)
+          if (!java.util.Arrays.equals(dec(1).rgb, members(1).rgb))
+            sys.error(s"ico png member divergence for doc $id")
+          sumOf(dec(1))
+        } else 0L
+        (id, dec.length.toLong, sumOf(dec(0)), sum1)
+      }.toDF("doc_id", "n_members", "sum_bmp", "sum_png")
+        .orderBy("doc_id")
     })
   )
 
@@ -475,6 +527,30 @@ object ArchiveOps extends Tables.Pack {
         |       (2 + sum(1 + (m.plen + 511) // 512))::BIGINT AS n_blocks,
         |       count(*)::BIGINT AS n_gz_members
         |FROM mem m JOIN pays p USING (doc_id)
-        |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin
+        |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin,
+
+    // symbolic twin of the ICO legs: the BMP member's gray ramp with the
+    // (x+y+id)%5 mask pixels blacked, and the even-id PNG member's ramp
+    "ico_meta" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (4 + doc_id % 6)::BIGINT AS w0, (4 + (doc_id * 5) % 6)::BIGINT AS h0,
+        |         (3 + doc_id % 4)::BIGINT AS w1, (3 + (doc_id * 3) % 4)::BIGINT AS h1
+        |  FROM documents),
+        |bmp AS (
+        |  SELECT doc_id,
+        |    (3 * sum(CASE WHEN (p % w0 + p // w0 + doc_id) % 5 = 0 THEN 0
+        |                  ELSE (doc_id * 7 + p * 13) % 256 END))::BIGINT AS s
+        |  FROM (SELECT doc_id, w0, unnest(range(0, w0 * h0)) AS p FROM dims)
+        |  GROUP BY doc_id),
+        |png AS (
+        |  SELECT doc_id, (3 * sum((doc_id + p * 29) % 256))::BIGINT AS s
+        |  FROM (SELECT doc_id, unnest(range(0, w1 * h1)) AS p
+        |        FROM dims WHERE doc_id % 2 = 0)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       (CASE WHEN d.doc_id % 2 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_members,
+        |       b.s AS sum_bmp, coalesce(g.s, 0)::BIGINT AS sum_png
+        |FROM dims d JOIN bmp b USING (doc_id) LEFT JOIN png g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

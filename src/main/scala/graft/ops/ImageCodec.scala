@@ -60,6 +60,8 @@ object ImageCodec {
     else if (looksLikeJpeg(b)) JpegCodec.decode(b)
     else if (TiffCodec.looksLikeTiff(b)) TiffCodec.decodeTiff(b)
     else if (QoiCodec.looksLikeQoi(b)) QoiCodec.decodeQoi(b)
+    // ICO last: its 00 00 01 00 magic is the weakest of the family
+    else if (IcoCodec.looksLikeIco(b)) IcoCodec.decodeIco(b).map(_.head)
     else None
 
   // -------------------------------------------------------------------- PPM

@@ -293,6 +293,50 @@ object ScaleOps extends Pack {
         .limit(10)
     }),
 
+    "agg_qdigest" -> ((s, d) => {
+      // the QUANTILE sketch completing the classic-summary plane
+      // (SpaceSaving = top-k, Count-Min = frequency, FM/bitmap = distinct,
+      // q-digest = quantiles): per-group quartiles of l_quantity from the
+      // native mergeable q-digest (graft.expressions.QDigest) — ONE
+      // two-phase ObjectHashAggregate whose partial state is O(k·bits)
+      // dyadic counters, where the exact form needs a per-group sort.
+      // Like approx_percentile/HLL, the estimate value is legal-run
+      // dependent (merge order changes which in-bound value surfaces), so
+      // the oracle gates the DETERMINISTIC RANK BOUND: a value whose rank
+      // interval [#(v < est)+1, #(v <= est)] must intersect
+      // target ± (bits·n/k + 1) — computed in-plan from a second pass,
+      // tie-safe on this heavily-tied column. With bits=8, k=512 the
+      // bound is ~1.6 % of n. The exact regime (n < k → no compression →
+      // exact order statistics) and merge-split invariance are pinned in
+      // QDigestSpec.
+      graft.expressions.GraftFunctions.register(s)
+      val base = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+      val sk = base.groupBy(col("l_returnflag"))
+        .agg(call_function("graft_qdigest", col("v"), lit(8), lit(512)).as("est"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          col("est")(0).as("e25"), col("est")(1).as("e50"), col("est")(2).as("e75"))
+      base.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max("n").as("n"),
+          count(when(col("v") <= col("e25"), 1)).as("le25"),
+          count(when(col("v") < col("e25"), 1)).as("lt25"),
+          count(when(col("v") <= col("e50"), 1)).as("le50"),
+          count(when(col("v") < col("e50"), 1)).as("lt50"),
+          count(when(col("v") <= col("e75"), 1)).as("le75"),
+          count(when(col("v") < col("e75"), 1)).as("lt75"))
+        .withColumn("err", expr("(8 * n) div 512 + 1"))
+        .select(col("l_returnflag"), col("n"),
+          (col("lt25") <= expr("(n + 3) div 4") + col("err") &&
+            col("le25") >= expr("(n + 3) div 4") - col("err")).as("ok25"),
+          (col("lt50") <= expr("(n + 1) div 2") + col("err") &&
+            col("le50") >= expr("(n + 1) div 2") - col("err")).as("ok50"),
+          (col("lt75") <= expr("(3 * n + 3) div 4") + col("err") &&
+            col("le75") >= expr("(3 * n + 3) div 4") - col("err")).as("ok75"))
+        .orderBy("l_returnflag")
+    }),
+
     "sample_weighted" -> ((s, d) => {
       // size-weighted sample of 25 documents: priority = h60(salted id)
       // div weight, keep the k smallest. One narrow map + one
@@ -550,6 +594,14 @@ object ScaleOps extends Pack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |WHERE w <> ''
         |GROUP BY w ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+
+    // the q-digest bound verdict: any correct implementation satisfies it
+    // on every group, so the oracle emits the constant-true verdict next
+    // to the exact group counts (the approx_percentile/HLL adjudication)
+    "agg_qdigest" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |       TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sample_weighted" ->
       (s"""SELECT doc_id, n_chars,
