@@ -63,16 +63,19 @@ object MediaGen {
 
   /** (kind, mime) — a pure function of the CONTENT key so duplicate pairs
     * agree on modality. The compressed-image slot rotates PNG / GIF /
-    * JPEG / TIFF so all four web image families (DEFLATE, LZW, lossy DCT,
-    * and tag-directory) appear in any realistic slice of the corpus.
+    * JPEG / TIFF / QOI / ICO so every image family in the codec plane
+    * (DEFLATE, LZW, lossy DCT, tag-directory, byte-oriented, and the
+    * favicon container) appears in any realistic slice of the corpus.
     */
   def kindOf(id: Long): (String, String) = (contentKey(id) % 4) match {
     case 0 => ("image", "image/x-portable-pixmap")
-    case 1 => (math.floorMod(mix(contentKey(id) + 11), 4): @unchecked) match {
+    case 1 => (math.floorMod(mix(contentKey(id) + 11), 6): @unchecked) match {
       case 0 => ("image", "image/png")
       case 1 => ("image", "image/gif")
       case 2 => ("image", "image/jpeg")
       case 3 => ("image", "image/tiff")
+      case 4 => ("image", "image/qoi")
+      case 5 => ("image", "image/vnd.microsoft.icon")
     }
     case 2 => ("audio", "audio/wav")
     case _ => // the video slot alternates raw PPM streams and animated GIF
@@ -102,7 +105,7 @@ object MediaGen {
     val ck = contentKey(id)
     val whole = (ck % 4) match {
       case 0 => ImageCodec.encodePpm(raster(ck * 131 + 5))
-      case 1 => (math.floorMod(mix(ck + 11), 4): @unchecked) match {
+      case 1 => (math.floorMod(mix(ck + 11), 6): @unchecked) match {
         case 0 => ImageCodec.encodePng(raster(ck * 131 + 5))
         case 1 =>
           // GIF needs <= 256 colors: quantize each channel to 4 levels
@@ -114,6 +117,12 @@ object MediaGen {
           JpegCodec.encode(raster(ck * 131 + 5), quality = 85, subsample420 = true)
         case 3 => // the tag-directory family: single-strip baseline TIFF
           graft.ops.TiffCodec.encodeTiff(raster(ck * 131 + 5))
+        case 4 => // the byte-oriented family
+          graft.ops.QoiCodec.encodeQoi(raster(ck * 131 + 5))
+        case 5 => // the favicon container: BMP member + PNG member
+          graft.ops.IcoCodec.buildIco(
+            Seq(raster(ck * 131 + 5), raster(ck * 131 + 6)),
+            asPng = _ == 1).get // rasters cap at 47 px — always Some
       }
       case 2 =>
         val n = 400 + (mix(ck) & 1023).toInt

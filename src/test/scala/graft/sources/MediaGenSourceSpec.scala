@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.ops.{ImageCodec, JpegCodec, MultimodalOps, MultimodalPrep, TiffCodec, WavCodec}
+import graft.ops.{IcoCodec, ImageCodec, JpegCodec, MultimodalOps, MultimodalPrep, QoiCodec, TiffCodec, WavCodec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -53,6 +53,8 @@ class MediaGenSourceSpec extends AnyFunSuite with SparkSpec {
         case "image/gif" => ImageCodec.decodeGif(p).nonEmpty
         case "image/jpeg" => JpegCodec.decode(p).nonEmpty
         case "image/tiff" => TiffCodec.decodeTiff(p).nonEmpty
+        case "image/qoi" => QoiCodec.decodeQoi(p).nonEmpty
+        case "image/vnd.microsoft.icon" => IcoCodec.decodeIco(p).exists(_.length == 2)
         case "audio/wav" => WavCodec.decodeWav(p).nonEmpty
         case "video/x-ppm-stream" => ImageCodec.decodePpmStream(p).nonEmpty
       }
