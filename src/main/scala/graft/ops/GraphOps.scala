@@ -150,4 +150,75 @@ object GraphOps {
     (IterativeCompute.handoff(ranks.select(col("node"), col("pr").as("pagerank")),
       rankChain, chain), iter)
   }
+
+  /** k-core decomposition over an undirected edge list — the fourth
+    * iterative-compute member. Core number of a node = the largest k such
+    * that it survives in a subgraph where every node has degree >= k. In
+    * the near-dup graph this separates DENSE duplication families (high
+    * core — every member similar to many members, the template case) from
+    * stringy drift chains (core 1-2) more robustly than triangle counts:
+    * a hub with many degree-1 neighbors has high degree and many wedges
+    * but core 1 neighbors, and peeling discounts it automatically.
+    *
+    * Algorithm: increasing-k cascade peeling. For k = 2, 3, ...: repeat
+    * {remove every node whose CURRENT degree < k} until stable; nodes
+    * removed while peeling toward the k-core have core number k−1. The
+    * graph is empty when k exceeds the degeneracy. Deterministic — the
+    * removal set per round is degree-defined, no ordering choices.
+    *
+    * Scale shape: each inner round is ONE degree aggregate (map-side
+    * combined on the node key) + two anti-joins to drop incident edges —
+    * work proportional to the surviving subgraph, which shrinks
+    * monotonically. Victim counts are driver scalars (the frontier-size
+    * pattern); per-round lineage cuts via [[IterativeCompute.CheckpointChain]],
+    * zero retained blocks after handoff. Rounds are bounded by the
+    * degeneracy (small on real web/dedup graphs) times cascade depth.
+    *
+    * Not oracle-comparable (unbounded iteration); GraphOpsSpec verifies
+    * against a driver-side sequential peel on crafted and random graphs.
+    *
+    * @return (node, core) for every node in the edge list
+    */
+  def kcore(edges: DataFrame, maxK: Int = 1 << 20, maxRounds: Int = 100000): DataFrame = {
+    val spark = edges.sparkSession
+    val chain = new CheckpointChain(spark)
+    val resChain = new CheckpointChain(spark)
+    val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    // symmetrized: each undirected edge present in both orientations, so
+    // degree(v) = row count with src = v
+    var g = chain.next(
+      dir.union(dir.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    // explicit surviving-node set: a node whose NEIGHBORS are all removed
+    // drops to degree 0 and has no edge rows left — without this frame it
+    // would vanish from the peel unassigned (its core is k−1 like any
+    // other sub-k-degree node)
+    val nodeChain = new CheckpointChain(spark)
+    var nodes = nodeChain.next(g.select(col("src").as("node")).distinct())
+    var result = resChain.next(
+      nodes.filter(lit(false)).withColumn("core", lit(0L)))
+    var k = 2
+    var alive = nodes.count()
+    var rounds = 0
+    while (alive > 0 && k <= maxK && rounds < maxRounds) {
+      val degs = nodes.join(
+          g.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("d"), lit(0L)).as("deg"))
+      val victims = degs.filter(col("deg") < k).select(col("node"))
+      val nv = victims.count()
+      rounds += 1
+      if (nv == 0) k += 1
+      else {
+        result = resChain.next(result.union(
+          victims.withColumn("core", lit(k.toLong - 1))))
+        nodes = nodeChain.next(nodes.join(victims, Seq("node"), "left_anti"))
+        g = chain.next(
+          g.join(victims, g("src") === victims("node"), "left_anti")
+            .join(victims, g("dst") === victims("node"), "left_anti"))
+        alive = nodes.count()
+      }
+    }
+    IterativeCompute.handoff(result, resChain, nodeChain, chain)
+  }
 }

@@ -132,4 +132,72 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert((after -- before).isEmpty,
       s"leaked RDD blocks: ${(after -- before).mkString(",")}")
   }
+
+  /** Sequential reference peel: core numbers by repeated min-degree removal. */
+  private def denseKcore(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = es.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).distinct
+    var nbrs = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 1L
+    while (nbrs.nonEmpty) {
+      val victims = nbrs.filter(_._2.size < k + 1).keySet
+      if (victims.isEmpty) k += 1
+      else {
+        victims.foreach(core(_) = k)
+        nbrs = (nbrs -- victims).map { case (n, s) => n -> (s -- victims) }
+      }
+    }
+    core.toMap
+  }
+
+  private def gotKcore(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.kcore(es.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kcore: clique, cycle, tree, and star have the textbook core numbers") {
+    // K5: every node core 4
+    val k5 = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    assert(gotKcore(k5) == (0L until 5L).map(_ -> 4L).toMap)
+    // 6-cycle: all core 2
+    val cyc = (0L until 6L).map(i => (i, (i + 1) % 6))
+    assert(gotKcore(cyc) == (0L until 6L).map(_ -> 2L).toMap)
+    // star: center AND leaves core 1 (the hub-discount case — degree 5,
+    // many wedges, but core 1; this is what triangle counts get wrong)
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(gotKcore(star) == (0L to 5L).map(_ -> 1L).toMap)
+    // path: all core 1
+    val path = (0L until 4L).map(i => (i, i + 1))
+    assert(gotKcore(path) == (0L to 4L).map(_ -> 1L).toMap)
+  }
+
+  test("kcore: clique with a tail — the cascade case where removal empties a node's edges") {
+    // K4 on {0,1,2,3} + tail 3-4-5: tail peels at k=2 (cascade), K4 is core 3
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L))
+    val want = Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 1L, 5L -> 1L)
+    assert(gotKcore(es) == want)
+    assert(denseKcore(es) == want, "reference peel agrees")
+  }
+
+  test("kcore: pseudo-random graphs match the sequential reference peel") {
+    val rnd = new scala.util.Random(17)
+    (0 until 5).foreach { trial =>
+      val n = 12 + rnd.nextInt(20)
+      val es = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (es.nonEmpty)
+        assert(gotKcore(es) == denseKcore(es), s"trial $trial: $es")
+    }
+  }
+
+  test("no persistent RDD blocks survive a kcore call") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = GraphOps.kcore(edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(out.count() == 4)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked RDD blocks: ${(after -- before).mkString(",")}")
+  }
 }
