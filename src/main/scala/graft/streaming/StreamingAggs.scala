@@ -119,6 +119,31 @@ object StreamingAggs {
         col("e.cnt").as("cnt"), col("e.err").as("err"))
   }
 
+  /** Watermarked per-window streaming QUANTILES via the native q-digest
+    * aggregate ([[graft.expressions.QDigest]]) — the latency-percentile /
+    * size-distribution dashboard query: per event-time window, quartile
+    * estimates of a value stream. State per window is the O(k·bits)
+    * dyadic counter map, NOT the value multiset — the exact form
+    * (sorted per-window values) grows with event volume; the sketch
+    * round-trips the state store between micro-batches (its
+    * serialize/deserialize IS the state format, as with
+    * [[windowedHeavyHitters]]'s SpaceSaving buffer) and finalizes when
+    * the watermark passes. Rank error ≤ bits/k · n per window.
+    */
+  def windowedQuantiles(
+      values: DataFrame, bits: Int = 16, k: Int = 256,
+      watermark: String = "2 minutes"): DataFrame = {
+    graft.expressions.GraftFunctions.register(values.sparkSession)
+    values
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(call_function("graft_qdigest", col("v"), lit(bits), lit(k)).as("q"),
+        count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bucket_s"),
+        col("q")(0).as("q25"), col("q")(1).as("q50"), col("q")(2).as("q75"),
+        col("n"))
+  }
+
   /** Continuous Count-Min maintenance: the depth-4 × `width` matrix of
     * [[graft.ops.CountMin]] kept live over an UNBOUNDED key stream with
     * NO watermark — the sketch is the point: state is the d·w cell

@@ -61,6 +61,32 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed quantiles: digest state survives micro-batch splits; exact in the small-n regime") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val vals = mem.toDF.toDF("ts", "v")
+    // k = 1000 >> per-window n: the q-digest never compresses, so the
+    // streamed estimates are EXACT order statistics — a state-store
+    // serialization defect shows as a wrong quartile, not a fuzzy one
+    val q = StreamingAggs.windowedQuantiles(vals, bits = 8, k = 1000, watermark = "1 minute")
+      .writeStream.format("memory").queryName("qwin").outputMode("append").start()
+    try {
+      // window [0,60): values 1..8 split across two micro-batches
+      mem.addData((ts(5), 1L), (ts(10), 5L), (ts(15), 3L), (ts(20), 7L))
+      q.processAllAvailable()
+      mem.addData((ts(25), 2L), (ts(30), 6L), (ts(35), 4L), (ts(40), 8L))
+      q.processAllAvailable()
+      mem.addData((ts(180), 50L)) // watermark -> 120: finalizes [0,60)
+      q.processAllAvailable()
+      val rows = spark.table("qwin").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // n=8: targets ceil(.25*8)=2, ceil(.5*8)=4, ceil(.75*8)=6
+      assert(rows(0L) == ((2L, 4L, 6L, 8L)), s"got $rows")
+      assert(!rows.contains(180L), "[180,240) must not finalize yet")
+    } finally q.stop()
+  }
+
   test("streaming Count-Min matrix equals the batch sketch over the same keys") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
