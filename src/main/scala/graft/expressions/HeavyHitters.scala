@@ -17,19 +17,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array<struct<item:string, cnt:bigint, err:bigint>>` sorted by
   * (cnt desc, item asc).
   *
-  * Guarantees (Metwally et al., SpaceSaving; Agarwal et al., "Mergeable
-  * Summaries", PODS'12) — note the sequential/merged distinction, which
-  * HeavyHittersProps hunted down empirically:
-  *   - SEQUENTIAL (one partition): every stored `cnt` OVERestimates the
-  *     item's true count, by at most its stored `err`, and err <= N/m;
-  *   - MERGED (the distributed case): partial states merge by pointwise
-  *     count/err sum + top-m prune; an item's occurrences that one
-  *     partition's summary evicted are simply absent from its counter, so
-  *     the merged `cnt` can sit on EITHER side of the truth — the
-  *     guarantee is the two-sided |cnt - true| <= N/m, and `err` becomes
-  *     an accumulated-eviction diagnostic rather than a one-sided bound;
+  * Guarantees (Metwally et al., SpaceSaving; merge rule per Agarwal et
+  * al., "Mergeable Summaries", PODS'12) — the merged contract was
+  * twice refined by HeavyHittersProps, see the merge() comment:
+  *   - INTERVAL INVARIANT (sequential AND merged): the true count lies
+  *     in [cnt − err, cnt]... sequentially; under merging the upper end
+  *     weakens to the certifiable
+  *     true ∈ [cnt − err, (cnt − err) + N/m] — the LOWER estimate
+  *     lower = cnt − err never overestimates, and its total undershoot
+  *     across any merge tree is bounded by N/(m+1) (the PODS'12
+  *     Misra-Gries combine-then-pivot-prune, implemented in merge();
+  *     the naive keep-m-largest prune was property-FALSIFIED — a
+  *     dropped counter's whole mass vanished from the band);
+  *   - consequently |cnt − true| <= 2N/m merged (err itself <= 2N/m:
+  *     per-partition SS errs sum to <= N/m over disjoint inputs, and
+  *     accumulated prune pivots add <= N/(m+1));
   *   - any item with true count > N/m is guaranteed present, sequential
-  *     or merged;
+  *     or merged (absent items have lower 0, so true <= N/(m+1));
   *   - when the group's DISTINCT item count never exceeds m, no eviction
   *     happens anywhere, every err is 0 and the counts are EXACT — which
   *     is what the oracle-paired query asserts (it emits err=0 and
@@ -118,17 +122,37 @@ case class HeavyHitters(
       else b1.put(k, v.clone())
     }
     if (b1.size > capacity) {
-      // PODS'12 merge rule: keep the m largest combined counters
-      // (deterministic tiebreak on item so partial-merge order can't
-      // change the survivor set)
+      // PODS'12 Misra-Gries prune, in the LOWER-estimate domain
+      // (lower = cnt − err; combine added both, so lowers added too):
+      // subtract the (m+1)-th largest lower from every counter and drop
+      // the non-positive — survivors keep cnt and absorb the pivot into
+      // err. This preserves the certifiable interval
+      // true ∈ [cnt − err, cnt − err + N/m] across ANY merge tree
+      // (accumulated pivots ≤ N/(m+1)); the naive keep-m-largest prune
+      // does NOT have that property — a dropped counter's whole mass
+      // vanished, and HeavyHittersProps falsified the two-sided N/m
+      // band it was documented with (seed kept as a regression case in
+      // HeavyHittersSpec).
       val keep = new java.util.ArrayList(b1.entrySet())
       keep.sort { (a, b) =>
-        val c = java.lang.Long.compare(b.getValue()(0), a.getValue()(0))
+        val la = a.getValue()(0) - a.getValue()(1)
+        val lb = b.getValue()(0) - b.getValue()(1)
+        val c = java.lang.Long.compare(lb, la)
         if (c != 0) c else a.getKey.compareTo(b.getKey)
       }
-      val pruned = new java.util.HashMap[String, Array[Long]](capacity)
+      val pivot = {
+        val e = keep.get(capacity).getValue
+        e(0) - e(1) // (m+1)-th largest lower estimate
+      }
+      val pruned = new java.util.HashMap[String, Array[Long]](capacity * 2)
       var i = 0
-      while (i < capacity) { pruned.put(keep.get(i).getKey, keep.get(i).getValue); i += 1 }
+      while (i < keep.size) {
+        val e = keep.get(i)
+        val lower = e.getValue()(0) - e.getValue()(1)
+        if (lower > pivot) // lower' = lower − pivot stays positive
+          pruned.put(e.getKey, Array(e.getValue()(0), e.getValue()(1) + pivot))
+        i += 1
+      }
       return pruned
     }
     b1
