@@ -159,6 +159,32 @@ object Relational extends Pack {
         .orderBy("event_id")
     }),
 
+    "join_asof_tol" -> ((s, d) => {
+      // TOLERANCE-bounded as-of join — the feature-store staleness rule:
+      // a click only picks up the most recent prior view if it is at
+      // most 1 h old, else NULL (serving a stale feature is worse than
+      // serving none). Same single carry-forward window as join_asof —
+      // the carried row also brings its timestamp, and the tolerance is
+      // one in-row CASE on the distance. No second pass, no range join;
+      // staleness_s rides along for the latency histogram.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("view_row",
+          when(col("event_type") === "view", struct(col("es"), col("event_id"))))
+        .withColumn("carried", last(col("view_row"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .withColumn("fresh",
+          col("carried").isNotNull && col("es") - col("carried.es") <= 3600L)
+        .select(col("event_id"), col("user_id"),
+          when(col("fresh"), col("carried.event_id")).as("asof_view"),
+          when(col("fresh"), col("es") - col("carried.es")).as("staleness_s"))
+        .orderBy("event_id")
+    }),
+
     "join_range" -> ((s, d) => {
       // non-equi band join; NLJ by nature — the band predicate bounds output,
       // and the small side (supplier) is broadcast so no shuffle occurs
@@ -692,6 +718,22 @@ object Relational extends Pack {
         |      PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view
         |  FROM events WHERE event_type IN ('click', 'view'))
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "join_asof_tol" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN fresh THEN v_eid END AS asof_view,
+        |  CASE WHEN fresh THEN es - v_es END AS staleness_s
+        |FROM (
+        |  SELECT event_id, user_id, event_type, es, v_eid, v_es,
+        |    (v_es IS NOT NULL AND es - v_es <= 3600) AS fresh
+        |  FROM (
+        |    SELECT event_id, user_id, event_type, floor(epoch(ts))::BIGINT AS es,
+        |      LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS) OVER w AS v_eid,
+        |      LAST_VALUE(CASE WHEN event_type = 'view' THEN floor(epoch(ts))::BIGINT END IGNORE NULLS) OVER w AS v_es
+        |    FROM events WHERE event_type IN ('click', 'view')
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "join_range" ->

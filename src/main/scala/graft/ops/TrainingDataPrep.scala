@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end "prepare a training shard" composition: quality filter →
@@ -101,5 +102,39 @@ object TrainingDataPrep {
       else Some(PrepStats(docs.count(), quality.count(), exact.count(),
         near.count(), clean.count(), sampled.count()))
     (sampled, stats)
+  }
+
+  /** The prep composite carried through to MODEL-READY tokens: [[prepare]]'s
+    * surviving documents, BPE-tokenized ([[Bpe.tokenize]] under a merge
+    * table trained on those survivors — training data must be tokenized by
+    * the vocabulary it ships with, so train-then-apply on the same frame is
+    * the honest composition), then packed into fixed token-budget shards by
+    * the [[Bpe]] token COUNTS (the shard_pack discipline, but budgeting
+    * real tokens instead of whitespace estimates).
+    *
+    * Scale shape: the merge table is the one driver artifact (vocabulary-
+    * sized, KMeans-centroid pattern) — train costs `nMerges` corpus-collapsed
+    * aggregates OFFLINE; apply + pack stay fully distributed (per-row kernel,
+    * then one cumulative window over a deterministic hash order).
+    *
+    * @return (tokenized docs with shard assignment, the learned merges)
+    */
+  def prepareTokenized(
+      docs: DataFrame, bench: DataFrame, nMerges: Int = 64,
+      shardTokenBudget: Long = 4096): (DataFrame, Seq[Bpe.Merge]) = {
+    val (survivors, _) = prepare(docs, bench, withStats = false)
+    val merges = Bpe.train(survivors, nMerges)
+    val toks = Bpe.tokenize(survivors, merges)
+      .join(survivors.select(col("doc_id"), col("source")), "doc_id")
+    // shard packing PER SOURCE (the shard_pack discipline — packing is
+    // inherently serial, and per-source shards are the practical unit;
+    // a global cumulative window would be a single-partition Exchange)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = toks
+      .withColumn("_cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard", expr(s"_cum_before div ${shardTokenBudget}"))
+      .drop("_cum_before")
+    (packed, merges)
   }
 }

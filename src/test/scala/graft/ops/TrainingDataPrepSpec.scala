@@ -87,4 +87,34 @@ class TrainingDataPrepSpec extends AnyFunSuite with SparkSpec {
     val langs = a.select("lang").distinct().collect().map(_.getString(0)).toSet
     assert(langs == Set("en", "de")) // both strata survive
   }
+
+  test("prepareTokenized: survivors tokenize under their own vocabulary and pack per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "s0", good1),
+      (2L, "en", "s0", good2),
+      (3L, "en", "s1", good3),
+      (4L, "en", "s1", "too short"), // quality-dropped, must not be tokenized
+      (5L, "en", "s1", good1))       // exact dup of 1, dropped
+      .toDF("doc_id", "lang", "source", "text")
+    val bench = Seq((100L, "nothing shared here")).toDF("doc_id", "text")
+    val (packed, merges) = TrainingDataPrep.prepareTokenized(
+      docs, bench, nMerges = 16, shardTokenBudget = 20)
+    val rows = packed.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Seq[String]]("tokens"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("source"), r.getAs[Long]("shard")))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"only survivors tokenize: ${rows.keySet}")
+    assert(merges.nonEmpty && merges.size <= 16)
+    // concat identity under the learned vocabulary
+    Seq(1L -> good1, 2L -> good2, 3L -> good3).foreach { case (id, text) =>
+      val want = text.split(" ").map(_ + "</w>").mkString
+      assert(rows(id)._1.mkString == want, s"doc $id")
+    }
+    // packing: doc 3 is alone in s1 -> shard 0; s0 docs pack by cum-before
+    assert(rows(3L)._4 == 0L)
+    assert(rows(1L)._4 == 0L, "first s0 doc starts shard 0")
+    val cumBefore2 = rows(1L)._2 // doc 2 follows doc 1 in s0
+    assert(rows(2L)._4 == cumBefore2 / 20, "shard = tokens-before div budget")
+  }
 }
