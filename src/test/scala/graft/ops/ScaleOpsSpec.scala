@@ -102,4 +102,27 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(est - trueDistinct) / trueDistinct < 0.35,
       s"FM estimate $est vs true $trueDistinct out of band")
   }
+
+  test("AMS F2: linear-sketch determinism across partitionings; estimate in band") {
+    // crafted events: user u occurs (u % 13 + 1) times over 500 users
+    val rows = (0L until 500L).flatMap { u =>
+      (0 to (u % 13).toInt).map(k => (u * 100 + k, (u * 86400L + k) * 1000000000L, u, "click", 1.0))
+    }
+    def runAt(parts: Int): (Long, Long, Long, Seq[Long]) = {
+      val dir = java.nio.file.Files.createTempDirectory("ams").toString
+      spark.sparkContext.parallelize(rows, parts)
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val r = ScaleOps.queries("agg_ams_f2")(spark, dir).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), (3 until 19).map(r.getLong))
+    }
+    val (n, exact, est, cs) = runAt(3)
+    val wantExact = (0L until 500L).map(u => { val c = u % 13 + 1; c * c }).sum
+    assert(n == rows.size.toLong && exact == wantExact)
+    // unbiased mean-of-squares: generous 2.5x band (stderr ~ 0.35 F2)
+    assert(est > exact / 3 && est < exact * 3, s"est $est vs exact $exact")
+    // LINEAR sketch: identical counters under any partitioning
+    val (_, _, est7, cs7) = runAt(7)
+    assert(cs == cs7 && est == est7, "merge order must not move a linear sketch")
+  }
 }
