@@ -366,6 +366,66 @@ object MultimodalOps {
     }
   }
 
+  /** One adjacent-frame comparison: diff_milli is the mean absolute
+    * channel delta in exact permille of full scale (0 = identical,
+    * 1000 = black↔white); a dimension change between frames is a cut by
+    * definition (diff_milli pinned to 1000).
+    */
+  case class FrameDiff(media_id: Long, frame_idx: Int, diff_milli: Long,
+      is_cut: Boolean, decoded: Boolean)
+
+  /** Scene-cut detection over the real video containers (PPM streams and
+    * multi-frame GIF composites): per adjacent frame pair, the
+    * integer-exact mean absolute pixel delta, flagged as a cut at or
+    * above `cutMilli`. The shot-boundary signal video-corpus pipelines
+    * key on — sample one frame per SHOT instead of one per stride, and
+    * near-identical frame runs dedup before embedding.
+    *
+    * Scale shape mirrors [[sampleFrames]]: frames decode and compare
+    * IN-ROW (a video's frames never leave its task, the comparisons are
+    * n_frames−1 per video); undecodable payloads surface as one
+    * observable decoded=false row, never vanish.
+    */
+  def sceneCuts(envelopes: Dataset[MediaEnvelope], cutMilli: Long = 200,
+      batchSize: Int = 64): Dataset[FrameDiff] = {
+    import envelopes.sparkSession.implicits._
+    require(cutMilli >= 0, s"cutMilli must be non-negative, got $cutMilli")
+    envelopes.filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap(sceneCutsOne(_, cutMilli))
+      }
+    }
+  }
+
+  /** Per-envelope scene-cut kernel (shared shape with [[sampleOne]]). */
+  def sceneCutsOne(e: MediaEnvelope, cutMilli: Long): Iterator[FrameDiff] = {
+    val decoded =
+      if (ImageCodec.looksLikeGif(e.payload)) ImageCodec.decodeGifFrames(e.payload)
+      else ImageCodec.decodePpmStream(e.payload)
+    decoded match {
+      case Some(frames) if frames.length >= 2 =>
+        (1 until frames.length).iterator.map { idx =>
+          val a = frames(idx - 1); val b = frames(idx)
+          val diff =
+            if (a.width != b.width || a.height != b.height) 1000L
+            else {
+              var s = 0L
+              var i = 0
+              while (i < a.rgb.length) {
+                s += math.abs((a.rgb(i) & 0xff) - (b.rgb(i) & 0xff))
+                i += 1
+              }
+              // mean |Δ| in permille of full scale, floor division
+              s * 1000L / (255L * a.rgb.length)
+            }
+          FrameDiff(e.media_id, idx, diff, diff >= cutMilli, decoded = true)
+        }
+      case Some(_) => Iterator.empty // single-frame video: no pairs
+      case None =>
+        Iterator.single(FrameDiff(e.media_id, -1, 0L, is_cut = false, decoded = false))
+    }
+  }
+
   /** Per-envelope frame-sampling kernel — shared with the streaming twin,
     * same rationale as [[resizeOne]]. Both REAL video containers take the
     * decode path — back-to-back PPM streams and multi-frame GIF (each

@@ -379,6 +379,48 @@ object ScaleOps extends Pack {
           (0 until 16).map(r => col(s"c$r")): _*)
     }),
 
+    "join_size_ams" -> ((s, d) => {
+      // what the F2 sketch is FOR: join-size estimation before the join
+      // runs (the optimizer's cardinality question). Sketch each side's
+      // key-frequency vector with the SAME 16-sign family; the sketch
+      // INNER PRODUCT estimates the join size exactly unbiasedly:
+      // E[Σ_r CA_r·CB_r / 16] = Σ_k fA(k)·fB(k) = |A ⋈ B|. Linear
+      // sketches again, so counters, estimate, and the exact join size
+      // all hash-gate with no bound adjudication.
+      //
+      // Scale shape: ZERO cross joins — both per-side sketches, both row
+      // counts, AND the exact join size fold in ONE global aggregate
+      // over a tagged union (side frequencies + the pre-aggregated
+      // equi-join's fA·fB products); every input is map-side combinable.
+      // At optimizer scale the two sketch passes replace running the
+      // join to size it — 16 longs per side however many keys.
+      val fa = t(s, d, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("f"))
+      val fb = t(s, d, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("f"))
+      val joined = fa.as("a").join(fb.as("b"), "k")
+        .select(col("k"), (col("a.f") * col("b.f")).as("f"))
+      val parts = fa.withColumn("tag", lit("a"))
+        .unionByName(fb.withColumn("tag", lit("b")))
+        .unionByName(joined.withColumn("tag", lit("j")))
+        .withColumn("h", h60(concat(lit("ams#"), col("k").cast("string"))))
+      val sums =
+        Seq(sum(when(col("tag") === "a", col("f"))).as("n_a"),
+          sum(when(col("tag") === "b", col("f"))).as("n_b"),
+          coalesce(sum(when(col("tag") === "j", col("f"))), lit(0L)).as("exact_join")) ++
+        (0 until 16).flatMap { r =>
+          Seq(
+            sum(expr(s"CASE WHEN tag = 'a' THEN CASE WHEN (h >> $r) & 1 = 1 THEN f ELSE -f END END")
+              .cast("long")).as(s"ca$r"),
+            sum(expr(s"CASE WHEN tag = 'b' THEN CASE WHEN (h >> $r) & 1 = 1 THEN f ELSE -f END END")
+              .cast("long")).as(s"cb$r"))
+        }
+      parts.agg(sums.head, sums.tail: _*)
+        .withColumn("est_join", expr(
+          "(" + (0 until 16).map(r => s"ca$r * cb$r").mkString(" + ") + ") div 16"))
+        .select(col("n_a"), col("n_b"), col("exact_join"), col("est_join"))
+    }),
+
     "sample_weighted" -> ((s, d) => {
       // size-weighted sample of 25 documents: priority = h60(salted id)
       // div weight, keep the k smallest. One narrow map + one
@@ -657,6 +699,30 @@ object ScaleOps extends Pack {
         |       ((${(0 until 16).map(r => s"c$r * c$r").mkString(" + ")}) // 16)::BIGINT AS est_f2,
         |       ${(0 until 16).map(r => s"c$r").mkString(", ")}
         |FROM sk""".stripMargin
+    },
+
+    // the sketch inner product is a deterministic function of the two
+    // linear sketches — recomputed symbolically like agg_ams_f2's
+    "join_size_ams" -> {
+      def cs(side: Char) = (0 until 16).map { r =>
+        s"sum(CASE WHEN (h >> $r) & 1 = 1 THEN f ELSE -f END)::BIGINT AS c$side$r"
+      }.mkString(",\n        |       ")
+      s"""WITH fa AS (
+        |  SELECT l_orderkey AS k, count(*)::BIGINT AS f,
+        |         ${h60Sql.format("'ams#'||l_orderkey::VARCHAR")} AS h
+        |  FROM lineitem GROUP BY l_orderkey),
+        |fb AS (
+        |  SELECT o_orderkey AS k, count(*)::BIGINT AS f,
+        |         ${h60Sql.format("'ams#'||o_orderkey::VARCHAR")} AS h
+        |  FROM orders GROUP BY o_orderkey),
+        |sa AS (SELECT sum(f)::BIGINT AS n_a, ${cs('a')} FROM fa),
+        |sb AS (SELECT sum(f)::BIGINT AS n_b, ${cs('b')} FROM fb),
+        |ex AS (
+        |  SELECT coalesce(sum(fa.f * fb.f), 0)::BIGINT AS exact_join
+        |  FROM fa JOIN fb USING (k))
+        |SELECT sa.n_a, sb.n_b, ex.exact_join,
+        |       ((${(0 until 16).map(r => s"ca$r * cb$r").mkString(" + ")}) // 16)::BIGINT AS est_join
+        |FROM sa, sb, ex""".stripMargin
     },
 
     // the q-digest bound verdict: any correct implementation satisfies it

@@ -181,6 +181,29 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(trims(32L).kept_ms == 0L, "fully silent clip trims to nothing")
   }
 
+  test("sceneCuts: exact frame-diff permille, cut classes, dim change, poison row") {
+    val a = ppmBytes(2, 2, Seq.fill(4)((100, 100, 100)))
+    val b = ppmBytes(2, 2, Seq.fill(4)((102, 98, 101)))  // gentle drift
+    val c = ppmBytes(2, 2, Seq.fill(4)((200, 50, 10)))   // hard cut vs b
+    val w = ppmBytes(3, 1, Seq.fill(3)((0, 0, 0)))       // dimension change
+    val env = envelopes(Seq(
+      MultimodalOps.MediaEnvelope(31L, "video", a ++ b ++ c ++ w, "x"),
+      MultimodalOps.MediaEnvelope(32L, "video", Array[Byte](9, 9, 9), "x"), // poison
+      MultimodalOps.MediaEnvelope(33L, "image", a, "x")))                   // not video
+    val got = MultimodalOps.sceneCuts(env, cutMilli = 200).collect()
+      .groupBy(_.media_id)
+    // sum|Δ(a,b)| = 4·(2+2+1) = 20 -> 20·1000/(255·12) = 6 permille (no cut);
+    // sum|Δ(b,c)| = 4·(98+48+91) = 948 -> 309 permille (cut);
+    // frame 3 changes dims -> pinned 1000 (cut)
+    val v = got(31L).sortBy(_.frame_idx)
+    assert(v.map(f => (f.frame_idx, f.diff_milli, f.is_cut)).toSeq ==
+      Seq((1, 6L, false), (2, 309L, true), (3, 1000L, true)))
+    assert(v.forall(_.decoded))
+    val p = got(32L)
+    assert(p.length == 1 && !p(0).decoded && p(0).frame_idx == -1)
+    assert(!got.contains(33L), "images are not scanned for cuts")
+  }
+
   test("frame sampling keeps every stride-th frame of videos only") {
     val env = MultimodalOps.envelopesFromDocuments(spark, sfDir)
     val stride = 5
