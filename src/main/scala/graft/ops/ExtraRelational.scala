@@ -256,6 +256,73 @@ object ExtraRelational extends Pack {
         .orderBy("doc_id")
     }),
 
+    "fn_csv" -> ((s, d) => {
+      // embedded-CSV extraction (from_csv — the "CSV inside a column"
+      // case log/export pipelines hit): a line is BUILT from the row
+      // with a QUOTED field containing a literal comma — RFC-4180
+      // quoting is the load-bearing semantic (a naive split would shear
+      // the quoted field) — then parsed back; the oracle recomputes the
+      // fields directly, so a quoting, ordering, or cast defect breaks
+      // the row. Pure codegen'd build + one per-row parse, no shuffle.
+      val line = concat(
+        col("o_orderkey"), lit(",\""), col("o_orderpriority"), lit(",x\","),
+        round(col("o_totalprice") * 100).cast("long"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), line.as("line"))
+        .withColumn("p", from_csv(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, pr STRING, cents BIGINT"),
+          Map.empty[String, String]))
+        .select(col("o_orderkey"), col("p.k").as("k"),
+          col("p.pr").as("pr"), col("p.cents").as("cents"))
+        .orderBy("o_orderkey")
+    }),
+
+    "fn_xml" -> ((s, d) => {
+      // embedded-XML extraction (from_xml, new to the Spark 4 scalar
+      // surface): the document is BUILT from the row with an attribute,
+      // an element, and an ENTITY-ESCAPED text field (& and < escaped at
+      // build; the parser must decode them back) — attribute addressing
+      // (_id) and entity decoding are the load-bearing semantics. The
+      // oracle recomputes the unescaped values directly.
+      val title = concat(col("o_orderpriority"), lit(" & <x>"))
+      val escaped = regexp_replace(regexp_replace(regexp_replace(
+        title, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val xml = concat(lit("<o id=\""), col("o_orderkey"), lit("\"><st>"),
+        col("o_orderstatus"), lit("</st><t>"), escaped, lit("</t></o>"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), xml.as("xml"))
+        .withColumn("p", from_xml(col("xml"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "_id BIGINT, st STRING, t STRING"),
+          java.util.Collections.emptyMap[String, String]()))
+        .select(col("o_orderkey"), col("p._id").as("id_attr"),
+          col("p.st").as("st"), col("p.t").as("title"))
+        .orderBy("o_orderkey")
+    }),
+
+    "fn_variant" -> ((s, d) => {
+      // the Spark 4 VARIANT path (parse_json -> variant_get): schema-less
+      // semi-structured extraction with typed paths — nested object
+      // fields, an array index, and a try_variant_get miss that must
+      // yield NULL instead of failing the row. The oracle recomputes
+      // every extracted value from the base columns, so path addressing,
+      // array indexing, and the missing-path contract are all gated.
+      val json = concat(lit("{\"k\":"), col("o_orderkey"),
+        lit(",\"m\":{\"s\":\""), col("o_orderstatus"),
+        lit("\",\"c\":"), round(col("o_totalprice") * 100).cast("long"),
+        lit("},\"tags\":["), pmod(col("o_orderkey"), lit(7)),
+        lit(","), pmod(col("o_orderkey"), lit(11)), lit("]}"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), parse_json(json).as("v"))
+        .select(col("o_orderkey"),
+          variant_get(col("v"), "$.m.s", "string").as("status"),
+          variant_get(col("v"), "$.m.c", "bigint").as("cents"),
+          variant_get(col("v"), "$.tags[1]", "bigint").as("tag1"),
+          try_variant_get(col("v"), "$.missing.path", "bigint").as("absent"))
+        .orderBy("o_orderkey")
+    }),
+
     "fn_bitwise" -> ((s, d) => {
       // bitwise scalar suite on 64-bit keys; rows are fully determined by
       // (l_orderkey, l_partkey) so duplicate key pairs yield identical rows
@@ -704,6 +771,30 @@ object ExtraRelational extends Pack {
         |  regexp_extract(url, 'id=([0-9]+)', 1) AS qid,
         |  regexp_extract(url, '\.([a-z]+)/', 1) AS tld
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // the oracle recomputes the embedded-CSV fields from the base columns
+    // (the quoting round trip is the Spark-side semantic under test)
+    "fn_csv" ->
+      """SELECT o_orderkey, o_orderkey AS k,
+        |  o_orderpriority || ',x' AS pr,
+        |  round(o_totalprice * 100)::BIGINT AS cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle recomputes the UNESCAPED values (entity decode is the
+    // Spark-side semantic under test)
+    "fn_xml" ->
+      """SELECT o_orderkey, o_orderkey AS id_attr, o_orderstatus AS st,
+        |  o_orderpriority || ' & <x>' AS title
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle recomputes every variant path from the base columns;
+    // the missing path is NULL by the try_variant_get contract
+    "fn_variant" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  round(o_totalprice * 100)::BIGINT AS cents,
+        |  (o_orderkey % 11)::BIGINT AS tag1,
+        |  NULL::BIGINT AS absent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT l_orderkey, l_partkey,

@@ -273,6 +273,23 @@ object VectorOps extends Pack {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_embcos_clusters" -> ((s, d) => {
+      // SEMANTIC dedup clusters: connected components over the verified
+      // embedding-cosine near-dup graph — the transitive closure step
+      // that turns pairwise "these two mean the same thing" into
+      // keep-one-per-meaning-family (chains of pairwise-similar
+      // embeddings merge, exactly as dedup_simhash_clusters does for
+      // lexical fingerprints). Reuses the dedup_embcos pair kernel and
+      // the shared min-label-propagation components kernel; the oracle
+      // replays the closure with a recursive CTE (the fourth
+      // iterative-graph oracle inversion candidate at scale).
+      DedupClusters.components(
+          VectorOps.queries("dedup_embcos")(s, d)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("component"))
+        .orderBy("vec_id")
+    }),
+
     "sim_ann_ivf" -> ((s, d) => {
       // IVF-style ANN — the OTHER standard scale path next to sim_ann_lsh:
       // a coarse quantizer partitions the corpus into cells, the probe
@@ -505,6 +522,37 @@ object VectorOps extends Pack {
         |      * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
         |      >= 900 * a.n2 * b.n2
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // same verified-pair CTEs as dedup_embcos, then the recursive-CTE
+    // closure (the dedup_simhash_clusters oracle shape on the semantic
+    // graph)
+    "dedup_embcos_clusters" ->
+      ((s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe, list_sum(list_transform(qe, x -> x * x))::BIGINT AS n2 FROM q),
+        |$sigsCteSql,
+        |cand AS (""").stripMargin + """
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+        |verified AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN n a ON id_a = a.vec_id JOIN n b ON id_b = b.vec_id
+        |  WHERE list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT > 0
+        |    AND 10000 * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
+        |        * (list_sum(list_transform(a.qe, (x, i) -> x * b.qe[i]))::BIGINT)
+        |        >= 900 * a.n2 * b.n2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM verified
+        |  UNION SELECT id_b, id_a FROM verified),
+        |reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |    UNION
+        |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        |  SELECT * FROM r)
+        |SELECT src AS vec_id, min(dst)::BIGINT AS component
+        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin),
 
     "sim_knn_join" ->
       """WITH q AS (
