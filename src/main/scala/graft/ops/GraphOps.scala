@@ -221,4 +221,79 @@ object GraphOps {
     }
     IterativeCompute.handoff(result, resChain, nodeChain, chain)
   }
+
+  /** Borůvka minimum spanning forest over a weighted undirected edge list
+    * — the fifth iterative-compute member. In a dedup pipeline the MST of
+    * the near-dup graph (weight = hamming / 1 − similarity) is the
+    * cluster BACKBONE: which members are closest inside a family, and
+    * which single cut splits a family that banding over-merged — the
+    * question components/kcore (membership/density) cannot answer.
+    *
+    * Determinism: edge weights are totally ordered by (w, a, b) — the
+    * classic distinct-weights trick — so the MSF is UNIQUE and every
+    * engine/partitioning/retry computes the same edge set (ties in w
+    * cannot produce two valid answers).
+    *
+    * Per round (Borůvka): every component picks its minimum outgoing
+    * edge under the total order (ONE map-side-combined min-struct
+    * aggregate over edges tagged with endpoint components), the picked
+    * edges join the forest, and the merge graph — component-sized, it
+    * HALVES per round — collapses through the shared
+    * [[DedupClusters.components]] kernel; surviving labels relabel via
+    * one join. Rounds ≤ log₂(n); lineage cut per round, zero retained
+    * blocks. Not oracle-comparable (nested unbounded iteration);
+    * GraphOpsSpec verifies edge-set equality against driver Kruskal
+    * under the same total order.
+    *
+    * @param edges (src, dst, w) undirected; parallel edges collapse to
+    *              their minimum weight, self-loops drop
+    * @return (a, b, w) rows of the minimum spanning forest, a < b
+    */
+  def boruvkaMst(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    val chain = new CheckpointChain(spark)
+    val compChain = new CheckpointChain(spark)
+    val mstChain = new CheckpointChain(spark)
+    val e0 = chain.next(edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"),
+        col("w").cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w")))
+    var comp = compChain.next(
+      e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
+        .distinct().withColumn("comp", col("node")))
+    var mst = mstChain.next(e0.filter(lit(false)))
+    var rounds = 0
+    var active = true
+    while (active && rounds < maxRounds) {
+      rounds += 1
+      val tagged = e0
+        .join(comp.select(col("node").as("a"), col("comp").as("ca")), "a")
+        .join(comp.select(col("node").as("b"), col("comp").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+      // each endpoint component sees the edge; min under (w, a, b)
+      val cand = tagged.select(col("ca").as("c"),
+          struct(col("w"), col("a"), col("b"), col("cb").as("other")).as("pick"))
+        .union(tagged.select(col("cb").as("c"),
+          struct(col("w"), col("a"), col("b"), col("ca").as("other")).as("pick")))
+      val sel = cand.groupBy(col("c")).agg(min(col("pick")).as("pick"))
+        .select(col("c"), col("pick.a").as("a"), col("pick.b").as("b"),
+          col("pick.w").as("w"), col("pick.other").as("other"))
+      val selEdges = sel.select(col("a"), col("b"), col("w")).distinct()
+      val nSel = selEdges.count() // driver scalar, the frontier pattern
+      if (nSel == 0) active = false
+      else {
+        mst = mstChain.next(mst.union(selEdges))
+        // merge graph is component-sized and halves per round
+        val merged = DedupClusters.components(
+          sel.select(col("c").as("doc_a"), col("other").as("doc_b")))
+          .select(col("doc_id").as("oldc"), col("component").as("newc"))
+        comp = compChain.next(
+          comp.join(merged, comp("comp") === merged("oldc"), "left")
+            .select(col("node"), coalesce(col("newc"), col("comp")).as("comp")))
+      }
+    }
+    IterativeCompute.handoff(mst, mstChain, compChain, chain)
+  }
 }

@@ -192,6 +192,82 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Driver Kruskal under the same (w, a, b) total order — the unique MSF. */
+  private def kruskal(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val canon = es.filter(e => e._1 != e._2)
+      .map { case (s, t, w) => (math.min(s, t), math.max(s, t), w) }
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), g) => (a, b, g.map(_._3).min) }
+      .toSeq.sortBy { case (a, b, w) => (w, a, b) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    canon.foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; out += ((a, b, w)) }
+    }
+    out.toSet
+  }
+
+  private def gotMst(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    GraphOps.boruvkaMst(es.toDF("src", "dst", "w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("boruvkaMst: textbook cases — triangle, chain, forest, parallel edges") {
+    // triangle: drops the heaviest edge
+    assert(gotMst(Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 5L))) ==
+      Set((1L, 2L, 1L), (2L, 3L, 2L)))
+    // chain is its own MST
+    val chain = Seq((1L, 2L, 9L), (2L, 3L, 4L), (3L, 4L, 7L))
+    assert(gotMst(chain) == chain.toSet)
+    // two components stay two trees (spanning FOREST)
+    val forest = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L), (10L, 11L, 5L))
+    assert(gotMst(forest) == Set((1L, 2L, 1L), (2L, 3L, 2L), (10L, 11L, 5L)))
+    // parallel edges collapse to the min; self-loops drop
+    assert(gotMst(Seq((1L, 2L, 8L), (2L, 1L, 3L), (1L, 1L, 1L))) == Set((1L, 2L, 3L)))
+  }
+
+  test("boruvkaMst: tied weights resolve by the (w, a, b) total order, same as Kruskal") {
+    // K4 with ALL weights equal: the unique MSF under the total order
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j, 7L)
+    val got = gotMst(k4)
+    assert(got == kruskal(k4))
+    assert(got == Set((0L, 1L, 7L), (0L, 2L, 7L), (0L, 3L, 7L)))
+  }
+
+  test("boruvkaMst: pseudo-random graphs match driver Kruskal") {
+    val rnd = new scala.util.Random(29)
+    (0 until 5).foreach { trial =>
+      val n = 10 + rnd.nextInt(15)
+      val es = Seq.fill(n * 3)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        val got = gotMst(es)
+        val want = kruskal(es)
+        assert(got == want, s"trial $trial")
+        // forest size = nodes - components
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.size
+        assert(got.size <= nodes - 1)
+      }
+    }
+  }
+
+  test("no persistent RDD blocks survive a boruvkaMst call") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    import spark.implicits._
+    val out = GraphOps.boruvkaMst(
+      Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 3L)).toDF("src", "dst", "w"))
+    assert(out.count() == 2)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked RDD blocks: ${(after -- before).mkString(",")}")
+  }
+
   test("no persistent RDD blocks survive a kcore call") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = GraphOps.kcore(edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
