@@ -84,21 +84,31 @@ object Bpe {
       while (i < nMerges && !exhausted) {
         val rank = merges.zipWithIndex.toMap
         val bcRank = spark.sparkContext.broadcast(rank)
-        // one aggregate: adjacent-pair counts over the re-segmented words
+        // one aggregate + one distributed argmax: adjacent-pair counts
+        // over the re-segmented words reduce to a SINGLE (freq, pair)
+        // winner — the pair table itself (which grows with the evolving
+        // symbol vocabulary) never reaches the driver
         val top = words.flatMap { case (w, f) =>
           val syms = segment(baseSymbols(w), bcRank.value)
           (0 until syms.length - 1).map(j => ((syms(j), syms(j + 1)), f))
         }
           .groupByKey(_._1)
           .mapValues(_._2).reduceGroups(_ + _)
-          .collect()
+          .map { case ((a, b), f) => (f, a, b) }
+        val bestOpt =
+          try Some(top.reduce { (x, y) =>
+            // max freq; lexicographic MIN pair on ties so training is
+            // deterministic across partitionings and merge orders
+            if (x._1 > y._1) x
+            else if (y._1 > x._1) y
+            else if (x._2 < y._2 || (x._2 == y._2 && x._3 <= y._3)) x
+            else y
+          })
+          catch { case _: UnsupportedOperationException => None } // empty
         bcRank.destroy()
-        if (top.isEmpty) exhausted = true
-        else {
-          // most frequent pair; lexicographic tiebreak so training is
-          // deterministic across partitionings
-          val best = top.minBy { case ((a, b), f) => (-f, a, b) }
-          merges += best._1
+        bestOpt match {
+          case Some((_, a, b)) => merges += ((a, b))
+          case None => exhausted = true
         }
         i += 1
       }
