@@ -40,14 +40,43 @@ object Bench {
     val ckptDir = Files.createTempDirectory("graft-bench-ckpt")
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
 
+    // Per-query WALL-CLOCK watchdog (round-12 verdict #1a): one
+    // pathological query must never zero out the whole round's artifact
+    // (BENCH_r12 was rc=124/no-data because a single query stalled past
+    // the driver's global timeout). Each query runs on a daemon thread
+    // under its own job group; on breach the group is cancelled
+    // (interruptOnCancel kills the tasks) and the query is recorded in
+    // `failed` with timing -1 — the honesty channel, never a fake number.
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toLong
+
     def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-        Right((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.toString.linesIterator.next()}")
-        Left(e.getClass.getSimpleName)
+        @volatile var err: Option[Throwable] = None
+        val group = s"graft-bench-$name"
+        val worker = new Thread(() => {
+          try {
+            // job group is thread-local: set it on the thread that runs the jobs
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.mode("overwrite").format("noop").save()
+          } catch { case e: Throwable => err = Some(e) }
+        }, group)
+        worker.setDaemon(true)
+        worker.start()
+        worker.join(queryTimeoutSec * 1000)
+        if (worker.isAlive) {
+          spark.sparkContext.cancelJobGroup(group)
+          worker.join(30000) // give cancellation a moment to unwind
+          System.err.println(s"[bench] $name TIMEOUT after ${queryTimeoutSec}s (cancelled)")
+          Left("Timeout")
+        } else err match {
+          case Some(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.toString.linesIterator.next()}")
+            Left(e.getClass.getSimpleName)
+          case None => Right((System.nanoTime() - t0) / 1e9)
+        }
       } finally {
         // queries persist intermediates (dedup signatures etc.) — drop them
         // so later queries aren't charged for earlier queries' cache/GC.

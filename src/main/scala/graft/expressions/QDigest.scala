@@ -56,7 +56,12 @@ case class QDigest(
   private lazy val bits: Int = bitsExpr.eval().asInstanceOf[Number].intValue
   private lazy val k: Long = kExpr.eval().asInstanceOf[Number].longValue
   private lazy val leafBase: Long = 1L << bits
-  private lazy val maxLive: Int = math.max(64, 8 * k.toInt * bits)
+  // computed in Long: 8*k*bits overflows Int for k > ~2^27, which would
+  // floor maxLive at 64 and make every post-64 update pay a compress()
+  // scan (quadratic); cap at 2^22 live nodes — beyond that the "sketch"
+  // is bigger than any sensible exact histogram anyway
+  private lazy val maxLive: Int =
+    math.max(64L, math.min(8L * k * bits, 1L << 22)).toInt
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val integral = Seq(ByteType, ShortType, IntegerType, LongType)

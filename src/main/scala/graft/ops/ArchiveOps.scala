@@ -209,6 +209,9 @@ object ArchiveOps extends Tables.Pack {
   /** Parse a ustar image; None on any framing violation (bad magic, bad
     * octal, checksum mismatch, data past the buffer, missing
     * terminator). Directory/link members ride along without data.
+    * GNU/pax name-extension members (typeflags L/K/x/g) are rejected —
+    * their payloads rewrite the FOLLOWING member's name, so treating
+    * them as opaque members would misreport names.
     */
   def parseTar(b: Array[Byte]): Option[Vector[TarMember]] = {
     try {
@@ -242,6 +245,12 @@ object ArchiveOps extends Tables.Pack {
           while (nameLen < 100 && b(i + nameLen) != 0) nameLen += 1
           val name = new String(b, i, nameLen, "UTF-8")
           val tf = if (b(i + 156) == 0) '0' else (b(i + 156) & 0xff).toChar
+          // GNU/pax extensions ('L' long-name, 'K' long-link, 'x'/'g' pax
+          // headers) carry payloads that REWRITE the following member's
+          // name; reporting them as opaque members (e.g. '././@LongLink')
+          // would misreport member names. Rejected, not misread — the
+          // decoder-plane totality contract.
+          if (tf == 'L' || tf == 'K' || tf == 'x' || tf == 'g') return None
           val dataBlocks = ((size + 511) / 512).toInt
           if (i + 512 + dataBlocks * 512 > b.length) return None
           val data =

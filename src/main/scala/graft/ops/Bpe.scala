@@ -65,10 +65,69 @@ object Bpe {
     else cs.init :+ (cs.last + "</w>")
   }
 
-  /** Learn `nMerges` merges from a (text) corpus. Returns the ordered
-    * merge list; rank = position.
+  /** Dispatch bound for [[train]]: collapsed (word, freq) tables at or
+    * under this row count train DRIVER-SIDE in one collect + local loop.
+    * Rationale (the MaxLiteralFoldCells discipline): each distributed
+    * round is one Spark job, so a production 30–50k-merge vocabulary
+    * means 30–50k sequential jobs — days of pure per-stage scheduling
+    * floor at ANY data size. Zipf makes the collapsed table small (a
+    * 100 TB corpus has ~10^7–10^8 distinct words, but MOST corpora used
+    * for vocab training are pre-sampled far below that), so when it fits
+    * comfortably on the driver (64k rows ≈ a few MB) the local loop is
+    * strictly better; above the bound the distributed rounds keep memory
+    * bounded. Both paths share segment/baseSymbols and the identical
+    * (max freq, lexicographic-min pair) tiebreak — parity is pinned by
+    * BpeSpec.
     */
-  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[Merge] = {
+  val LocalTrainMaxWords: Long = 1L << 16
+
+  /** Driver-side trainer over a collected (word, freq) table — the exact
+    * algorithm of the distributed rounds (re-segment per round, count
+    * adjacent pairs weighted by freq, adopt the max-freq pair with
+    * lexicographic-min tiebreak), minus the per-round job.
+    */
+  private[ops] def trainLocal(words: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val rank = merges.zipWithIndex.toMap
+      val counts = scala.collection.mutable.HashMap.empty[Merge, Long]
+      words.foreach { case (w, f) =>
+        val syms = segment(baseSymbols(w), rank)
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestP: Merge = null
+        var bestF = Long.MinValue
+        counts.foreach { case (p, f) =>
+          if (bestP == null || f > bestF ||
+            (f == bestF && (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2))))
+            { bestP = p; bestF = f }
+        }
+        merges += bestP
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  /** Learn `nMerges` merges from a (text) corpus. Returns the ordered
+    * merge list; rank = position. Size-dispatched on the collapsed
+    * (word, freq) table: at or under `localMaxWords` rows the loop runs
+    * driver-side ([[trainLocal]] — one job total instead of one per
+    * merge round); above it, one distributed aggregate per round keeps
+    * driver memory bounded. Identical merges either way (parity pinned
+    * by spec).
+    */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      localMaxWords: Long = LocalTrainMaxWords): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // corpus -> distinct-word frequency table, ONCE (the Zipf collapse)
@@ -78,6 +137,8 @@ object Bpe {
       .as[(String, Long)]
       .persist()
     try {
+      val nWords = words.count()
+      if (nWords <= localMaxWords) return trainLocal(words.collect(), nMerges)
       val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var i = 0
       var exhausted = false

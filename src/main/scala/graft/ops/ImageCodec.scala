@@ -557,10 +557,10 @@ object ImageCodec {
     * to the PPM stream: each frame composites onto the logical-screen
     * canvas (draw at its (left, top) rect; transparency from the 89a
     * graphic-control extension leaves the underlying canvas; disposal 0/1
-    * keep the canvas, 2 restores the frame rect to the background color)
-    * and every returned raster is the full screen-sized canvas snapshot,
-    * the animation semantics players implement. Disposal 3
-    * (restore-to-previous) is REJECTED, not misrendered. Supported:
+    * keep the canvas, 2 restores the frame rect to the background color,
+    * 3 restores the canvas to its pre-frame state via a one-frame saved
+    * snapshot) and every returned raster is the full screen-sized canvas
+    * snapshot, the animation semantics players implement. Supported:
     * global or local color tables per frame and INTERLACED frames (the
     * four-pass row order: rows 0 mod 8, 4 mod 8, 2 mod 4, 1 mod 2 — the
     * LZW stream is identical, only the destination row of each strip

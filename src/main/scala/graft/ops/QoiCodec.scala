@@ -120,12 +120,15 @@ object QoiCodec {
       val r = img.rgb(p * 3) & 0xff
       val g = img.rgb(p * 3 + 1) & 0xff
       val b = img.rgb(p * 3 + 2) & 0xff
-      if (r == pr && g == pg && b == pb && run < 62 && p > 0) run += 1
+      // p == 0 with pr/pg/pb = (0,0,0) is a legal run start: the spec's
+      // implicit pre-stream previous pixel is (0,0,0,255), so a leading
+      // run of black pixels RUN-encodes like any other
+      if (r == pr && g == pg && b == pb && run < 62) run += 1
       else {
         if (run > 0) { bos.write(0xc0 | (run - 1)); run = 0 }
         val slot = (r * 3 + g * 5 + b * 7 + a * 11) % 64
         val packed = (r << 24) | (g << 16) | (b << 8) | a
-        if (p > 0 && r == pr && g == pg && b == pb) run = 1 // start a fresh run
+        if (r == pr && g == pg && b == pb) run = 1 // run hit 62: start a fresh run
         else if (index(slot) == packed) bos.write(slot)
         else {
           index(slot) = packed

@@ -122,7 +122,13 @@ object TrainingDataPrep {
   def prepareTokenized(
       docs: DataFrame, bench: DataFrame, nMerges: Int = 64,
       shardTokenBudget: Long = 4096): (DataFrame, Seq[Bpe.Merge]) = {
-    val (survivors, _) = prepare(docs, bench, withStats = false)
+    // persist the survivors: the prepare() plan (quality gate, dedup,
+    // sampling) is otherwise re-executed by Bpe.train's word collapse,
+    // again by Bpe.tokenize, and again by the source join — ~3× the prep
+    // cost at corpus scale. Swept by the harness like every query-held
+    // persist (the bench/verify getPersistentRDDs sweep).
+    val (survivors0, _) = prepare(docs, bench, withStats = false)
+    val survivors = survivors0.persist()
     val merges = Bpe.train(survivors, nMerges)
     val toks = Bpe.tokenize(survivors, merges)
       .join(survivors.select(col("doc_id"), col("source")), "doc_id")

@@ -85,6 +85,44 @@ object VectorOps extends Pack {
       |        THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sig
       |  FROM n, (SELECT unnest(generate_series(0, 3)) AS band))""".stripMargin
 
+  /** Verified embedding-cosine near-dup pairs, UNSORTED — the shared
+    * kernel behind `dedup_embcos` (which appends the oracle's ORDER BY)
+    * and `dedup_embcos_clusters` (which feeds label propagation and must
+    * NOT inherit a range-partitioning Exchange + global Sort).
+    *
+    * Sign-LSH banding (B=4 bands × r=8 hyperplanes): candidate pairs are
+    * vectors agreeing on one band's 8-bit sign signature, verified by the
+    * exact integer cosine test (10000*dot^2 >= 900*|a|^2*|b|^2, dot > 0,
+    * i.e. cos >= 0.3).
+    *
+    * Scale design: candidates come from an equi-join on (band, sig) — a
+    * shuffle on a 2-int key — never an all-pairs product; the corpus is
+    * scanned once to signature it. Plane weights are small deterministic
+    * integers so Spark and DuckDB compute bit-identical signs (no float
+    * sign flips); recall is the standard LSH OR-construction (high for
+    * true near-dups, by design not exhaustive at the loose 0.3 threshold).
+    */
+  private[ops] def embcosNearPairs(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), qvec(col("embedding")).as("q"))
+      .withColumn("n2", call_function("graft_dot_i64", col("q"), col("q")))
+      .persist()
+    val sigs = bandSigs(emb)
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na2")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb2")), "id_b")
+      .withColumn("dot_q", call_function("graft_dot_i64", col("qa"), col("qb")))
+      .filter(col("dot_q") > 0 &&
+        lit(10000) * col("dot_q") * col("dot_q") >= lit(900) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"), col("dot_q"), col("na2"), col("nb2"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> ((s, d) => {
       // brute-force top-k inner product vs the probe vector (vec_id = 0)
@@ -239,39 +277,7 @@ object VectorOps extends Pack {
         .orderBy("probe_id", "vec_id")
     }),
 
-    "dedup_embcos" -> ((s, d) => {
-      // embedding-cosine near-dup via sign-LSH banding (B=4 bands × r=8
-      // hyperplanes): candidate pairs are vectors agreeing on one band's
-      // 8-bit sign signature, verified by the exact integer cosine test
-      // (10000*dot^2 >= 900*|a|^2*|b|^2, dot > 0, i.e. cos >= 0.3).
-      //
-      // Scale design: candidates come from an equi-join on (band, sig) —
-      // a shuffle on a 2-int key — never an all-pairs product; the corpus
-      // is scanned once to signature it. Plane weights are small
-      // deterministic integers so Spark and DuckDB compute bit-identical
-      // signs (no float sign flips); recall is the standard LSH
-      // OR-construction (high for true near-dups, by design not exhaustive
-      // at the loose 0.3 threshold).
-      graft.expressions.GraftFunctions.register(s)
-      val emb = t(s, d, "embeddings")
-        .select(col("vec_id"), qvec(col("embedding")).as("q"))
-        .withColumn("n2", call_function("graft_dot_i64", col("q"), col("q")))
-        .persist()
-      val sigs = bandSigs(emb)
-      val cand = sigs.as("x").join(sigs.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
-            && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-        .distinct()
-      cand
-        .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na2")), "id_a")
-        .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb2")), "id_b")
-        .withColumn("dot_q", call_function("graft_dot_i64", col("qa"), col("qb")))
-        .filter(col("dot_q") > 0 &&
-          lit(10000) * col("dot_q") * col("dot_q") >= lit(900) * col("na2") * col("nb2"))
-        .select(col("id_a"), col("id_b"), col("dot_q"), col("na2"), col("nb2"))
-        .orderBy("id_a", "id_b")
-    }),
+    "dedup_embcos" -> ((s, d) => embcosNearPairs(s, d).orderBy("id_a", "id_b")),
 
     "dedup_embcos_clusters" -> ((s, d) => {
       // SEMANTIC dedup clusters: connected components over the verified
@@ -279,12 +285,15 @@ object VectorOps extends Pack {
       // that turns pairwise "these two mean the same thing" into
       // keep-one-per-meaning-family (chains of pairwise-similar
       // embeddings merge, exactly as dedup_simhash_clusters does for
-      // lexical fingerprints). Reuses the dedup_embcos pair kernel and
-      // the shared min-label-propagation components kernel; the oracle
-      // replays the closure with a recursive CTE (the fourth
-      // iterative-graph oracle inversion candidate at scale).
+      // lexical fingerprints). Composes from the UNSORTED pair kernel
+      // ([[embcosNearPairs]] — the simhashNearPairs pattern): the
+      // propagation loop re-shuffles by label immediately, so a
+      // range-partitioning Exchange + global Sort on the pair list would
+      // execute and buy nothing. The oracle replays the closure with a
+      // recursive CTE (the fourth iterative-graph oracle inversion
+      // candidate at scale).
       DedupClusters.components(
-          VectorOps.queries("dedup_embcos")(s, d)
+          embcosNearPairs(s, d)
             .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
         .select(col("doc_id").as("vec_id"), col("component"))
         .orderBy("vec_id")

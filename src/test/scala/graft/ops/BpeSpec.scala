@@ -71,6 +71,20 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(a == b, "training must not depend on partitioning")
   }
 
+  test("size dispatch parity: local and distributed rounds learn identical merges") {
+    // the dispatch bound exists so a 30-50k-merge vocabulary doesn't pay
+    // one Spark job per round; parity between the two shapes is the
+    // contract that makes the bound safe (the MaxLiteralFoldCells
+    // discipline). localMaxWords=0 forces the distributed rounds on a
+    // corpus that would otherwise dispatch local.
+    val docs = (0L until 60L).map(i => (i, s"low lower newest widest ab${i % 5} xy"))
+    val df = spark.sparkContext.parallelize(docs, 3).toDF("doc_id", "text")
+    val local = Bpe.train(df, 8)
+    val dist = Bpe.train(df, 8, localMaxWords = 0L)
+    assert(local.nonEmpty && local.length == 8)
+    assert(local == dist, s"local=$local dist=$dist")
+  }
+
   test("merge budget exhaustion: tiny corpus stops early instead of looping") {
     val df = Seq((1L, "ab")).toDF("doc_id", "text")
     val merges = Bpe.train(df, 50)
