@@ -155,6 +155,48 @@ object AnalyticsOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "graph_communities" -> ((s, d) => {
+      // Label-propagation COMMUNITIES over the near-dup pair graph —
+      // the third member of the iterative-graph plane next to components
+      // (min-label to convergence) and pagerank: synchronous LPA,
+      // label_{t+1}(v) = the most frequent label among v's neighbors at
+      // t (ties -> smallest label), THREE fixed rounds, initial label =
+      // node id. Distinct semantics from connected components: a single
+      // bridge edge between two dense template families does NOT merge
+      // them — frequency voting keeps each clique on its own label,
+      // which is exactly the dedup-triage question ("one family or two
+      // bridged ones?") components can't answer. Deterministic by
+      // construction: counts + min tie-break, no randomized update
+      // order.
+      //
+      // Scale shape (the pagerank discipline): per round ONE equi-join
+      // of the label frame (a row per node) against the edge list on
+      // src — same key, same partitioning every round — then a
+      // (dst, label) count agg and a per-dst argmax, both map-side
+      // combinable; labels are 8-byte ids, text never rides. Rounds are
+      // FIXED (3), so lineage is bounded and needs no checkpoint chain.
+      val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
+      val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
+        .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
+        .distinct().persist()
+      var lab = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to 3) {
+        val freq = lab.as("l")
+          .join(edges.as("e"), col("l.node") === col("e.src"))
+          .groupBy(col("e.dst").as("nd"), col("l.label").as("lb"))
+          .agg(count(lit(1)).as("c"))
+        // argmax by (count, -label): max count wins, ties take the
+        // smallest label — one struct-max agg, no window needed
+        lab = freq
+          .groupBy(col("nd").as("node"))
+          .agg(max(struct(col("c"), (-col("lb")).as("neg"))).as("m"))
+          .select(col("node"), (-col("m.neg")).as("label"))
+      }
+      lab.select(col("node").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")
+    }),
+
     "prep_split" -> ((s, d) => {
       // Deterministic train/val/test split by content-free key hash — the
       // way a 100 TB corpus splits WITHOUT a global shuffle, a rand() seed
@@ -391,6 +433,34 @@ object AnalyticsOps extends Pack {
            |        FROM nodes nd LEFT JOIN s3 ON nd.node = s3.node, c)
            |SELECT node AS doc_id, outd AS degree, pr AS pr_scaled
            |FROM pr3 ORDER BY doc_id""".stripMargin),
+
+    "graph_communities" ->
+      (pairCte +
+        s""",
+           |edges AS (
+           |  SELECT rep_a AS src, rep_b AS dst FROM pairs
+           |  UNION SELECT rep_b, rep_a FROM pairs),
+           |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+           |f1 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+           |       FROM lab0 l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
+           |lab1 AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |  FROM f1) WHERE rn = 1),
+           |f2 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+           |       FROM lab1 l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
+           |lab2 AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |  FROM f2) WHERE rn = 1),
+           |f3 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+           |       FROM lab2 l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
+           |lab3 AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |  FROM f3) WHERE rn = 1)
+           |SELECT node AS doc_id, label AS community
+           |FROM lab3 ORDER BY doc_id""".stripMargin),
 
     "prep_split" ->
       """SELECT CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'

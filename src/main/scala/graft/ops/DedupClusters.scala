@@ -40,13 +40,34 @@ object DedupClusters {
   private def handoff(result: DataFrame, chains: CheckpointChain*): DataFrame =
     IterativeCompute.handoff(result, chains: _*)
 
+  /** Dispatch bound for [[components]]: materialized (bidirectional) edge
+    * sets at or under this row count are solved DRIVER-SIDE by union-find
+    * in one collect. Rationale (the size-dispatch discipline): every
+    * distributed round pays the per-stage scheduling floor, and a
+    * CHAIN-SHAPED graph (embedding threshold graphs are geometric — long
+    * near-dup chains, not hub-dense template families) needs
+    * diameter-many label rounds before the logN fallback even engages —
+    * the round-12 bench stall was exactly this, ~2 minutes of fixed
+    * floors for a 2k-node graph union-find solves in microseconds. 4M
+    * edges ≈ 64 MB of longs on the driver; a 100 TB dedup graph is far
+    * above the bound and takes the distributed rounds unchanged. Parity
+    * between all three shapes is pinned in DedupClustersSpec.
+    */
+  val LocalComponentsMaxEdges: Long = 1L << 22
+
   /** @param pairs (doc_a, doc_b) similarity edges, any orientation
     * @param maxIter diameter-bound safety valve; on non-convergence the call
-    *                defers to [[componentsLogN]] (same result, O(log n) rounds)
+    *                defers to [[componentsLogN]] (same result, O(log n)
+    *                rounds) — against the ALREADY-MATERIALIZED edge set,
+    *                never re-executing the pair pipeline
+    * @param localMaxEdges driver union-find dispatch bound
+    *                      ([[LocalComponentsMaxEdges]]; 0 forces the
+    *                      distributed rounds — spec hook)
     * @return (doc_id, component) — every doc appearing in any pair, labeled
     *         with its cluster's minimum doc_id
     */
-  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 25,
+      localMaxEdges: Long = LocalComponentsMaxEdges): DataFrame = {
     val chain = new CheckpointChain(pairs.sparkSession)
     // Both edge orientations from ONE pass over the pair source (a
     // self-union would execute the upstream pair pipeline twice), then
@@ -56,6 +77,13 @@ object DedupClusters {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct())
+
+    // one cheap job over the checkpointed blocks; decides the shape
+    if (edges.count() <= localMaxEdges) {
+      val result = componentsLocal(edges)
+      chain.release()
+      return result
+    }
 
     // Iterative plans MUST truncate lineage every round: persist() caches
     // data but keeps the logical plan, so N iterations nest N joins and
@@ -98,13 +126,54 @@ object DedupClusters {
     }
     if (!converged) {
       // diameter exceeded the bound — a chain-shaped graph, not a dense
-      // near-dup graph. Hand the ORIGINAL pairs to the O(log n) contraction
-      // rather than failing; release everything this attempt materialized.
-      labelChain.release(); chain.release()
-      return componentsLogN(pairs)
+      // near-dup graph. Hand the MATERIALIZED edge set to the O(log n)
+      // contraction (re-running the possibly-expensive upstream pair
+      // pipeline was the pre-round-13 shape); release the label attempt.
+      labelChain.release()
+      val canon = edges.filter(col("src") > col("dst")) // self-edges drop; distinct inherited
+      val allIds = edges.select(col("src").as("doc_id")).distinct()
+      return logNCore(canon, allIds, 60, chain)
     }
     chain.release() // edges
     handoff(labels, labelChain)
+  }
+
+  /** Driver union-find over a collected small edge list — the exact
+    * semantics of the distributed rounds (every node labeled with its
+    * component's min id; self-pair-only docs label themselves), minus
+    * all the per-round scheduling floors.
+    */
+  private def componentsLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    es.foreach { case (a, b) =>
+      idx.getOrElseUpdate(a, idx.size); idx.getOrElseUpdate(b, idx.size); ()
+    }
+    val parent = Array.tabulate(idx.size)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(idx(a)); val rb = find(idx(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val ids = new Array[Long](idx.size)
+    idx.foreach { case (id, i) => ids(i) = id }
+    val minOf = Array.fill(idx.size)(Long.MaxValue)
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      i += 1
+    }
+    val rows = ids.indices.map(i => (ids(i), minOf(find(i))))
+    spark.createDataset(rows).toDF("doc_id", "component")
   }
 
   /** Alternating large-star/small-star contraction: connected components in
@@ -121,7 +190,6 @@ object DedupClusters {
     * chains (or let [[components]] fall through to it).
     */
   def componentsLogN(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
-    val chain = new CheckpointChain(pairs.sparkSession)
     // Materialize the RAW pair columns once: the contraction below drops
     // self-edges, so a doc appearing ONLY in a self-pair (doc_a == doc_b)
     // would vanish from the readout unless the node set is seeded from the
@@ -134,11 +202,20 @@ object DedupClusters {
     val allIds = rawPairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     // canonical orientation src > dst; both operators preserve it
-    var edges = chain.next(rawPairs
+    logNCore(rawPairs
       .select(greatest(col("doc_a"), col("doc_b")).as("src"),
         least(col("doc_a"), col("doc_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+      .distinct(), allIds, maxIter, srcChain)
+  }
+
+  /** Contraction core over an already-canonical (src > dst, distinct)
+    * edge frame; `upstream` chains are released with the result handoff.
+    */
+  private def logNCore(canonEdges: DataFrame, allIds: DataFrame, maxIter: Int,
+      upstream: CheckpointChain*): DataFrame = {
+    val chain = new CheckpointChain(canonEdges.sparkSession)
+    var edges = chain.next(canonEdges)
 
     // large-star: every node u links its LARGER neighbors to
     // m = min(N(u) ∪ {u}); halves the depth of tall trees
@@ -194,7 +271,7 @@ object DedupClusters {
       // the output; min() makes them a no-op for connected nodes
       .union(allIds.select(col("doc_id"), col("doc_id").as("component")))
       .groupBy("doc_id").agg(min(col("component")).as("component"))
-    handoff(labels, chain, srcChain)
+    handoff(labels, (chain +: upstream): _*)
   }
 
   /** Doc ids to DROP so exactly one doc (the min id) survives per cluster. */

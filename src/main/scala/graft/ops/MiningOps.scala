@@ -351,6 +351,59 @@ object MiningOps extends Pack {
       m.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
         .withColumn("mom_permille", expr("((rev_c - prev_c) * 1000) div prev_c"))
         .orderBy("o_orderpriority", "month")
+    }),
+
+    "text_keywords" -> ((s, d) => {
+      // RAKE keyword scoring (Rose et al. 2010, public): candidate
+      // phrases are maximal stopword-free token runs; each word scores
+      // degree/frequency, where freq(w) = occurrences of w inside
+      // candidate phrases and deg(w) = the summed LENGTH of every phrase
+      // w occurs in (so words that live in long multi-word phrases
+      // outrank equally-frequent words that appear alone — the signal
+      // RAKE adds over plain counts). Integer permille division, house
+      // rule. Scale shape: phrase segmentation is a per-doc window over
+      // token position (one doc_id shuffle), then word stats are one
+      // 8-byte-key hash agg — text itself never joins.
+      val st = Seq("the", "a", "of", "and", "to", "in", "is")
+      val tokd = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
+        .withColumn("stop",
+          when(col("w").isInCollection(st) || col("w") === "", 1).otherwise(0))
+      val pw = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val member = tokd
+        .withColumn("pid", sum(col("stop")).over(pw))
+        .filter(col("stop") === 0)
+        .select(col("doc_id"), col("pid"), col("w"))
+      val plen = member.groupBy(col("doc_id"), col("pid"))
+        .agg(count(lit(1)).as("plen"))
+      member.join(plen, Seq("doc_id", "pid"))
+        .groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("score_permille", expr("(deg * 1000) div freq"))
+        .orderBy(col("score_permille").desc, col("word"))
+    }),
+
+    "fn_phonetic" -> ((s, d) => {
+      // Phonetic blocking — soundex over the corpus vocabulary, the
+      // classic record-linkage blocking key (names that SOUND alike land
+      // in one block; the fuzzy join then runs within blocks instead of
+      // across the corpus — the join_fuzzy discipline with a phonetic
+      // instead of a length/prefix blocker). Spark's built-in soundex
+      // (codegen'd, the standard American algorithm with the H/W-skip
+      // and vowel-reset rules) against a DuckDB list_reduce replay of
+      // the same state machine. Output per distinct word: its code and
+      // its block's size + representative. Vocabulary-sized frame — the
+      // distinct() is the only corpus-scale shuffle.
+      val words = t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("word"))
+        .filter(col("word") =!= "").distinct()
+        .withColumn("code", soundex(col("word")))
+      val bw = Window.partitionBy(col("code"))
+      words
+        .withColumn("block_size", count(lit(1)).over(bw))
+        .withColumn("block_rep", min(col("word")).over(bw))
+        .orderBy("word")
     })
   )
 
@@ -543,6 +596,60 @@ object MiningOps extends Pack {
         |  lag(rev_c, 1) OVER (PARTITION BY o_orderpriority ORDER BY month) AS prev_c,
         |  ((rev_c - lag(rev_c, 1) OVER (PARTITION BY o_orderpriority ORDER BY month)) * 1000)
         |    // lag(rev_c, 1) OVER (PARTITION BY o_orderpriority ORDER BY month) AS mom_permille
-        |FROM m ORDER BY o_orderpriority, month""".stripMargin
+        |FROM m ORDER BY o_orderpriority, month""".stripMargin,
+
+    "text_keywords" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS ws FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i, ws[i] AS w,
+         |    CASE WHEN ws[i] IN ('the','a','of','and','to','in','is')
+         |           OR ws[i] = '' THEN 1 ELSE 0 END AS stop
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM base)),
+         |ph AS (
+         |  SELECT doc_id, i, w, stop,
+         |         SUM(stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+         |  FROM tok),
+         |member AS (SELECT doc_id, pid, w FROM ph WHERE stop = 0),
+         |plen AS (SELECT doc_id, pid, count(*)::BIGINT AS plen
+         |         FROM member GROUP BY doc_id, pid)
+         |SELECT w AS word, count(*)::BIGINT AS freq, SUM(p.plen)::BIGINT AS deg,
+         |  ((SUM(p.plen) * 1000) // count(*))::BIGINT AS score_permille
+         |FROM member m JOIN plen p USING (doc_id, pid)
+         |GROUP BY w ORDER BY score_permille DESC, word""".stripMargin,
+
+    // DuckDB replay of the standard American soundex state machine
+    // (Spark's built-in): acc = "<digits>|<lastCode>"; H/W (code 7) keep
+    // the state, vowels (code 0) only reset lastCode, a consonant whose
+    // code differs from lastCode appends while fewer than 3 digits are
+    // collected, and lastCode always updates.
+    "fn_phonetic" ->
+      s"""WITH words AS (
+         |  SELECT DISTINCT w AS word FROM (
+         |    SELECT unnest($tokSql) AS w FROM documents) WHERE w <> ''),
+         |sx AS (
+         |  SELECT word,
+         |    list_reduce(
+         |      list_prepend(
+         |        '|' || substr('01230127022455012623017202',
+         |          strpos('ABCDEFGHIJKLMNOPQRSTUVWXYZ', upper(word[1])), 1),
+         |        list_transform(generate_series(2, length(word)), i ->
+         |          substr('01230127022455012623017202',
+         |            strpos('ABCDEFGHIJKLMNOPQRSTUVWXYZ', upper(word[i])), 1))),
+         |      (acc, code) -> CASE
+         |        WHEN code = '7' THEN acc
+         |        WHEN code = '0' THEN substr(acc, 1, length(acc) - 1) || '0'
+         |        WHEN code <> substr(acc, length(acc), 1)
+         |             AND position('|' in acc) <= 3
+         |          THEN substr(acc, 1, position('|' in acc) - 1) || code || '|' || code
+         |        ELSE substr(acc, 1, length(acc) - 1) || code END) AS st
+         |  FROM words),
+         |coded AS (
+         |  SELECT word,
+         |    upper(word[1]) || rpad(substr(st, 1, position('|' in st) - 1), 3, '0') AS code
+         |  FROM sx)
+         |SELECT word, code,
+         |  count(*) OVER (PARTITION BY code)::BIGINT AS block_size,
+         |  min(word) OVER (PARTITION BY code) AS block_rep
+         |FROM coded ORDER BY word""".stripMargin
   )
 }

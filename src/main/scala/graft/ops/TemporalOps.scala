@@ -390,6 +390,32 @@ object TemporalOps extends Pack {
         .groupBy(expr("ov_start div 86400").as("day"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("day")
+    }),
+
+    "window_ohlc" -> ((s, d) => {
+      // OHLC candle downsampling — the standard time-series compaction
+      // (per user per hour: first/max/min/last of the value stream) that
+      // turns a raw event stream into fixed-rate bars for dashboards and
+      // feature windows. Exactness: open/high/low/close are SELECTIONS
+      // (min_by/max/min/max_by — no float arithmetic at all), so the
+      // doubles hash-match across engines; order within a bar is the
+      // house (es, event_id) total order (DuckDB: first/last with
+      // ORDER BY in the aggregate). Scale shape: ONE hash shuffle on
+      // (user_id, hour), all five aggregates map-side combinable —
+      // min_by/max_by carry only their (value, key) champion through the
+      // partial aggregation, never the bar's row set.
+      t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+          col("event_id"), col("value"))
+        .withColumn("hh", expr("es div 3600"))
+        .groupBy(col("user_id"), col("hh"))
+        .agg(
+          min_by(col("value"), struct(col("es"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("es"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "hh")
     })
   )
 
@@ -627,6 +653,17 @@ object TemporalOps extends Pack {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id
         | AND a.s_start <= b.s_end AND b.s_start <= a.s_end
-        |GROUP BY day ORDER BY day""".stripMargin
+        |GROUP BY day ORDER BY day""".stripMargin,
+
+    "window_ohlc" ->
+      """WITH ev AS (
+        |  SELECT user_id, floor(epoch(ts))::BIGINT AS es, event_id, value
+        |  FROM events)
+        |SELECT user_id, (es // 3600)::BIGINT AS hh,
+        |  first(value ORDER BY es, event_id) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  last(value ORDER BY es, event_id) AS close,
+        |  count(*)::BIGINT AS n_events
+        |FROM ev GROUP BY user_id, hh ORDER BY user_id, hh""".stripMargin
   )
 }

@@ -39,9 +39,15 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L,
       30L -> 30L, 31L -> 30L)
+    // dispatch parity: the driver union-find (default — small graph),
+    // the distributed label rounds (localMaxEdges = 0), and the star
+    // contraction must all agree exactly
     val comp = DedupClusters.components(pairs(es: _*))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == want)
+    val compDist = DedupClusters.components(pairs(es: _*), localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compDist == want)
     val compLogN = DedupClusters.componentsLogN(pairs(es: _*))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(compLogN == want)
@@ -65,6 +71,10 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == want.size)
     // min-label CC and min-root union-find must agree exactly
     assert(got == want)
+    // and the distributed rounds produce the identical labeling
+    val gotDist = DedupClusters.components(pairs(es: _*), localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == want)
   }
 
   test("componentsLogN: chain of depth 80 + side components, in O(log n) rounds") {
@@ -86,7 +96,7 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
     // propagation, so the call must fall through to componentsLogN and
     // still return the right answer
     val es = (0L until 12L).map(i => (i, i + 1))
-    val comp = DedupClusters.components(pairs(es: _*), maxIter = 2)
+    val comp = DedupClusters.components(pairs(es: _*), maxIter = 2, localMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.values.toSet == Set(0L))
     assert(comp.size == 13)
@@ -101,6 +111,9 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
     val want = Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 9L -> 9L)
     val prop = DedupClusters.components(pairs(es: _*))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val propDist = DedupClusters.components(pairs(es: _*), localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(propDist == want)
     val star = DedupClusters.componentsLogN(pairs(es: _*))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(prop == want)
@@ -123,7 +136,7 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val before = sc.getPersistentRDDs.keySet
     val es = (1 to 400).map(i => (i.toLong % 97L, (i * 31).toLong % 97L)).filter(e => e._1 != e._2)
-    val out = DedupClusters.components(pairs(es: _*))
+    val out = DedupClusters.components(pairs(es: _*), localMaxEdges = 0L)
     assert(out.count() > 0)
     val leakedProp = sc.getPersistentRDDs.keySet.diff(before)
     assert(leakedProp.isEmpty, s"components leaked RDD blocks: $leakedProp")
