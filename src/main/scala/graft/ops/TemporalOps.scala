@@ -392,6 +392,41 @@ object TemporalOps extends Pack {
         .orderBy("day")
     }),
 
+    "events_holt" -> ((s, d) => {
+      // Holt DOUBLE-exponential smoothing (level + trend) over the daily
+      // count series — the first RECURSIVE forecaster next to the
+      // moving-average baseline (events_forecast): each day folds into a
+      // (level, trend) state, so a steadily growing series extrapolates
+      // its slope where the trailing mean lags it. α = β = 1/2 in
+      // milli-unit EXACT integer arithmetic (truncating div on both
+      // engines — verified on negatives, trends go negative):
+      //   l_t = (1000·y_t + l_{t-1} + b_{t-1}) div 2
+      //   b_t = (b_{t-1} + l_t - l_{t-1}) div 2,  l_0 = 1000·y_0, b_0 = 0.
+      // The recurrence is inherently sequential, so it folds IN-ROW: one
+      // aggregate() lambda over the per-type day array (bounded by the
+      // CALENDAR — ~365 structs/group/year — not by corpus size; the
+      // oracle replays it as a recursive CTE). Scale shape: one daily
+      // count shuffle, one per-type collect of calendar-bounded arrays,
+      // zero further exchanges.
+      val daily = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("ed"), col("event_type"))
+        .groupBy(col("ed"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("ed"), col("cnt")))).as("days"))
+        .withColumn("st", expr(
+          """aggregate(
+            |  slice(days, 2, size(days) - 1),
+            |  named_struct('l', days[0].cnt * 1000L, 'b', 0L),
+            |  (acc, x) -> named_struct(
+            |    'l', (1000L * x.cnt + acc.l + acc.b) div 2,
+            |    'b', (acc.b + ((1000L * x.cnt + acc.l + acc.b) div 2) - acc.l) div 2))""".stripMargin))
+        .select(col("event_type"), size(col("days")).cast("long").as("n_days"),
+          col("st.l").as("level_milli"), col("st.b").as("trend_milli"),
+          (col("st.l") + col("st.b")).as("forecast_next_milli"))
+        .orderBy("event_type")
+    }),
+
     "window_ohlc" -> ((s, d) => {
       // OHLC candle downsampling — the standard time-series compaction
       // (per user per hour: first/max/min/last of the value stream) that
@@ -654,6 +689,31 @@ object TemporalOps extends Pack {
         |  ON a.user_id < b.user_id
         | AND a.s_start <= b.s_end AND b.s_start <= a.s_end
         |GROUP BY day ORDER BY day""".stripMargin,
+
+    "events_holt" ->
+      """WITH daily AS (
+        |  SELECT floor(epoch(ts))::BIGINT // 86400 AS ed, event_type,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, cnt,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ed) AS i
+        |  FROM daily),
+        |rec AS (
+        |  WITH RECURSIVE r(event_type, i, l, b) AS (
+        |    SELECT event_type, 1::BIGINT, cnt * 1000, 0::BIGINT
+        |    FROM seq WHERE i = 1
+        |    UNION ALL
+        |    SELECT s.event_type, s.i,
+        |           (1000 * s.cnt + r.l + r.b) // 2,
+        |           (r.b + ((1000 * s.cnt + r.l + r.b) // 2) - r.l) // 2
+        |    FROM r JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1)
+        |  SELECT * FROM r)
+        |SELECT event_type, max(i)::BIGINT AS n_days,
+        |  arg_max(l, i)::BIGINT AS level_milli,
+        |  arg_max(b, i)::BIGINT AS trend_milli,
+        |  (arg_max(l, i) + arg_max(b, i))::BIGINT AS forecast_next_milli
+        |FROM rec GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "window_ohlc" ->
       """WITH ev AS (
