@@ -632,6 +632,42 @@ object ExtraRelational extends Pack {
         .select(col("e.col_name"), col("n_rows"), col("e.n_null"),
           col("e.n_distinct"), col("e.min_s"), col("e.max_s"))
         .orderBy("col_name")
+    }),
+
+    "alloc_largest_remainder" -> ((s, d) => {
+      // Exact proportional allocation (largest-remainder / Hamilton
+      // method): distribute each order's total cents across its
+      // lineitems proportionally to extended price so the parts sum to
+      // EXACTLY the total — the billing/attribution primitive where
+      // naive per-row rounding leaks cents. base_i = (T·w_i) div W;
+      // the leftover T − Σbase cents (always < n) go one each to the
+      // largest remainders (rank over rem DESC with a value-total
+      // tie-break, so fungible duplicate rows can't perturb the
+      // aggregated readout). The oracle replays the arithmetic; the
+      // sum_alloc = t_cents identity is the gated invariant. Scale
+      // shape: ONE orderkey shuffle shared by the windows, then one
+      // map-side-combinable per-order agg.
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("w"))
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("t"))
+      val ww = Window.partitionBy(col("l_orderkey"))
+      val rw = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("rem").desc, col("l_linenumber"), col("w"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("tw", sum(col("w")).over(ww))
+        .withColumn("base", expr("(t * w) div tw"))
+        .withColumn("rem", expr("(t * w) % tw"))
+        .withColumn("leftover", col("t") - sum(col("base")).over(ww))
+        .withColumn("rk", row_number().over(rw))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("t")).as("t_cents"), count(lit(1)).as("n_items"),
+          sum(col("alloc")).as("sum_alloc"),
+          sum(when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("n_bumped"),
+          max(col("alloc")).as("max_alloc"))
+        .orderBy("l_orderkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -999,5 +1035,26 @@ object ExtraRelational extends Pack {
         |         (count(*) FILTER (WHERE o_orderpriority IS NULL))::BIGINT,
         |         count(DISTINCT o_orderpriority)::BIGINT,
         |         min(o_orderpriority), max(o_orderpriority) FROM o
-        |) ORDER BY col_name""".stripMargin)
+        |) ORDER BY col_name""".stripMargin,
+
+    "alloc_largest_remainder" ->
+      """WITH j AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         round(l_extendedprice * 100)::BIGINT AS w,
+        |         round(o_totalprice * 100)::BIGINT AS t
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT *, sum(w) OVER (PARTITION BY l_orderkey) AS tw FROM j),
+        |c AS (
+        |  SELECT *, (t * w) // tw AS base, (t * w) % tw AS rem FROM b),
+        |r AS (
+        |  SELECT *, t - sum(base) OVER (PARTITION BY l_orderkey) AS leftover,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY rem DESC, l_linenumber, w) AS rk
+        |  FROM c)
+        |SELECT l_orderkey, max(t)::BIGINT AS t_cents, count(*)::BIGINT AS n_items,
+        |  sum(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS sum_alloc,
+        |  sum(CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS n_bumped,
+        |  max(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS max_alloc
+        |FROM r GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
 }

@@ -43,6 +43,22 @@ object ScaleOps extends Pack {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
   private val h60Sql = "('0x'||substr(md5(%s),1,15))::BIGINT"
 
+  /** Poisson(λ=1) inverse-CDF thresholds scaled to the 60-bit hash
+    * domain (draw count k = first threshold the hash-uniform falls
+    * under; tail capped at 5 — P(k>5) ≈ 6e-4). Computed ONCE here and
+    * spliced as identical integer literals into both the Spark plan and
+    * the DuckDB oracle, so the one double→long conversion can never
+    * disagree between engines.
+    */
+  private val bootThresholds: Seq[Long] = {
+    val scale = (1L << 60).toDouble
+    var p = math.exp(-1.0)
+    var cum = p
+    val out = scala.collection.mutable.ArrayBuffer[Long]((cum * scale).toLong)
+    for (k <- 1 to 4) { p = p / k; cum += p; out += (cum * scale).toLong }
+    out.toSeq
+  }
+
   // morton bit-spreading masks (16-bit coord -> even bits of 32-bit word),
   // written as decimal so the identical literals appear in both engines
   private val M8 = 16711935L // 0x00FF00FF
@@ -443,6 +459,28 @@ object ScaleOps extends Pack {
         .limit(25)
     }),
 
+    "sample_bootstrap" -> ((s, d) => {
+      // Deterministic Poisson(1) bootstrap resampling — the distributed
+      // form of sampling-with-replacement (bagging, bootstrap CIs,
+      // ensemble training sets): each doc independently draws its copy
+      // count from Poisson(1) via inverse-CDF on the keyed md5 uniform,
+      // so the resample needs NO global n, no coordination, no rand()
+      // seed — reproducible across runs/retries/engines (the sample_hash
+      // discipline extended to with-replacement). Thresholds are shared
+      // integer literals ([[bootThresholds]]); readout is the per-source
+      // resample accounting. One narrow map + one map-side-combinable
+      // agg — no shuffle of the corpus.
+      val th = bootThresholds
+      val u = h60(concat(lit("boot#"), col("doc_id").cast("string")))
+      val k = when(u < th(0), 0L).when(u < th(1), 1L).when(u < th(2), 2L)
+        .when(u < th(3), 3L).when(u < th(4), 4L).otherwise(5L)
+      t(s, d, "documents").select(col("source"), k.as("k"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("n_resampled"),
+          count(when(col("k") === 0, 1)).as("n_dropped"), max(col("k")).as("max_k"))
+        .orderBy("source")
+    }),
+
     "join_spatial_grid" -> ((s, d) => {
       // radius self-join on synthetic points: the 20 closest customer
       // pairs within r=5000 in a 1e6 x 1e6 integer plane (coords derived
@@ -732,6 +770,22 @@ object ScaleOps extends Pack {
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         |       TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sample_bootstrap" ->
+      (s"""WITH kd AS (
+         |  SELECT source,
+         |    CASE WHEN u < ${bootThresholds(0)} THEN 0
+         |         WHEN u < ${bootThresholds(1)} THEN 1
+         |         WHEN u < ${bootThresholds(2)} THEN 2
+         |         WHEN u < ${bootThresholds(3)} THEN 3
+         |         WHEN u < ${bootThresholds(4)} THEN 4
+         |         ELSE 5 END AS k
+         |  FROM (SELECT source, ${h60Sql.format("'boot#'||doc_id::VARCHAR")} AS u
+         |        FROM documents))
+         |SELECT source, count(*)::BIGINT AS n_docs, sum(k)::BIGINT AS n_resampled,
+         |  (count(*) FILTER (WHERE k = 0))::BIGINT AS n_dropped,
+         |  max(k)::BIGINT AS max_k
+         |FROM kd GROUP BY source ORDER BY source""".stripMargin),
 
     "sample_weighted" ->
       (s"""SELECT doc_id, n_chars,

@@ -392,6 +392,29 @@ object TemporalOps extends Pack {
         .orderBy("day")
     }),
 
+    "window_drawdown" -> ((s, d) => {
+      // Maximum drawdown — the risk metric over a per-user value series:
+      // running peak (cumulative max over the (es, event_id) total
+      // order), drawdown = value − peak (≤ 0), and the per-user worst
+      // trough with its timestamp. All integer cents, and the trough
+      // pick rides a value-total ordering key so peak/trough ties can't
+      // flip the readout between engines. Scale shape: ONE user_id
+      // shuffle shared by the window sort and the final agg.
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("es"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("runmax", max(col("cents")).over(w))
+        .withColumn("dd", col("cents") - col("runmax"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("cents")).as("max_cents"),
+          min(col("dd")).as("max_drawdown_cents"),
+          min_by(col("es"), struct(col("dd"), col("es"), col("event_id"))).as("trough_es"))
+        .orderBy("user_id")
+    }),
+
     "events_holt" -> ((s, d) => {
       // Holt DOUBLE-exponential smoothing (level + trend) over the daily
       // count series — the first RECURSIVE forecaster next to the
@@ -689,6 +712,21 @@ object TemporalOps extends Pack {
         |  ON a.user_id < b.user_id
         | AND a.s_start <= b.s_end AND b.s_start <= a.s_end
         |GROUP BY day ORDER BY day""".stripMargin,
+
+    "window_drawdown" ->
+      """WITH ev AS (
+        |  SELECT user_id, floor(epoch(ts))::BIGINT AS es, event_id,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT *, max(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS runmax
+        |  FROM ev),
+        |dd AS (SELECT *, cents - runmax AS dd FROM w)
+        |SELECT user_id, count(*)::BIGINT AS n_events, max(cents)::BIGINT AS max_cents,
+        |  min(dd)::BIGINT AS max_drawdown_cents,
+        |  first(es ORDER BY dd, es, event_id)::BIGINT AS trough_es
+        |FROM dd GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_holt" ->
       """WITH daily AS (
