@@ -134,6 +134,26 @@ class ArchiveOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ArchiveOps.parseTar(new Array[Byte](1024) /* bare terminator */).isEmpty)
   }
 
+  test("tar: GNU/pax name-extension typeflags (L/K/x/g) reject, not misread") {
+    // their payloads REWRITE the following member's name; reporting them
+    // as opaque members (e.g. '././@LongLink') would misreport names —
+    // the round-19 fix makes them a framing rejection
+    for (tf <- Seq('L', 'K', 'x', 'g')) {
+      val t = ArchiveOps.buildTar(Seq(("a", payload(100, 5)))).clone()
+      t(156) = tf.toByte
+      // re-checksum the edited header so the typeflag guard (not the
+      // checksum guard) is what fires
+      java.util.Arrays.fill(t, 148, 156, ' '.toByte)
+      var sum = 0L
+      (0 until 512).foreach(i => sum += (t(i) & 0xffL))
+      val cs = java.lang.Long.toOctalString(sum)
+      ("0" * (6 - cs.length) + cs).getBytes("US-ASCII").zipWithIndex
+        .foreach { case (b, i) => t(148 + i) = b }
+      t(154) = 0; t(155) = ' '
+      assert(ArchiveOps.parseTar(t).isEmpty, s"typeflag $tf must reject")
+    }
+  }
+
   test("tar: directory members ride along without data; .tar.gz leg parses identically") {
     // hand-edit a member into a directory (typeflag '5', size 0)
     val tar = ArchiveOps.buildTar(Seq(("d/", Array.emptyByteArray), ("d/f", payload(60, 8))))

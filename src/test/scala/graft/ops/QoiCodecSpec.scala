@@ -26,6 +26,16 @@ class QoiCodecSpec extends AnyFunSuite {
     assert(dec.rgb.toSeq == img.rgb.toSeq)
   }
 
+  test("leading black run RUN-encodes (spec's implicit (0,0,0,255) previous pixel)") {
+    // the round-19 fix: p == 0 with pr/pg/pb = (0,0,0) is a legal run
+    // start, so a leading run of black pixels compresses to ONE RUN op
+    // instead of ten zero-delta DIFF ops
+    val img = raster(20, 1)(p => if (p < 10) (0, 0, 0) else (7, 7, 7))
+    val enc = QoiCodec.encodeQoi(img)
+    assert((enc(14) & 0xff) == (0xc0 | 9), f"first op 0x${enc(14) & 0xff}%02x")
+    assert(QoiCodec.decodeQoi(enc).get.rgb.toSeq == img.rgb.toSeq)
+  }
+
   test("encoder actually uses the cheap ops (stream much smaller than 1 RGB op per pixel)") {
     val img = raster(64, 64)(p => (50 + (p / 64) % 3, 50 + (p / 64) % 3, 50))
     val enc = QoiCodec.encodeQoi(img)
