@@ -149,6 +149,48 @@ object CorpusOps extends Pack {
         .orderBy("event_type")
     }),
 
+    "dedup_winnowing" -> ((s, d) => {
+      // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+      // the MOSS algorithm): per doc, 4-gram hashes; over every sliding
+      // window of 5 gram positions keep the MINIMUM hash (rightmost on
+      // ties), dedup repeats — the selection guarantees any shared run
+      // of ≥ 8 tokens leaves at least one COMMON fingerprint, the local
+      // guarantee minhash (whole-doc) and simhash (global bits) don't
+      // give. Doc pairs sharing ≥ 3 winnowed fingerprints surface as
+      // partial-overlap candidates.
+      //
+      // Mechanics both engines share bit-for-bit: gram hash = 44 md5
+      // bits, encoded hash·2^16 + (2^16−1−pos) so ONE array_min both
+      // minimizes the hash AND breaks ties to the rightmost position —
+      // the whole per-doc selection is in-row array arithmetic, no
+      // explode before the fingerprint set exists. Scale shape: only
+      // (doc_id, fingerprint) 8-byte pairs shuffle; a df cap (≤ 10
+      // docs) drops boilerplate fingerprints so no hot hash key can
+      // explode the candidate join (the dedup_ngram discipline).
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 12) // need >= 1 full window of 4-grams
+      val fps = docs
+        .withColumn("encs", expr(
+          """transform(sequence(0, size(toks) - 4), i ->
+            |  cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 11), 16, 10) as bigint)
+            |    * 65536L + (65535L - i))""".stripMargin))
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(0, size(encs) - 5), j -> array_min(slice(encs, j + 1, 5))))"))
+        .select(col("doc_id"), explode(col("fps")).as("enc"))
+        .select(col("doc_id"), expr("enc div 65536L").as("fph"))
+        .distinct()
+        .persist()
+      val kept = fps.join(
+        fps.groupBy("fph").agg(count(lit(1)).as("df")).filter(col("df") <= 10), "fph")
+      kept.as("x").join(kept.as("y"),
+          col("x.fph") === col("y.fph") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 3)
+        .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_url" -> ((s, d) => {
       // URL-canonicalization dedup — the web-corpus step BEFORE content
       // dedup: the same page crawled as http://Host:443/p/1/?utm_source=…#x
@@ -817,6 +859,27 @@ object CorpusOps extends Pack {
     "agg_bitmap_native" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dedup_winnowing" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 12),
+        |g AS (
+        |  SELECT doc_id, list_transform(generate_series(0, len(toks) - 4), i ->
+        |    ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 4), ' ')), 1, 11))::BIGINT
+        |      * 65536 + (65535 - i)) AS encs
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(0, len(encs) - 5), j ->
+        |    list_min(list_slice(encs, j + 1, j + 5)))) AS fps
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, unnest(fps) // 65536 AS fph FROM f),
+        |df AS (SELECT fph, count(*) AS df FROM fp GROUP BY fph),
+        |kept AS (SELECT fp.doc_id, fp.fph FROM fp JOIN df USING (fph) WHERE df.df <= 10)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS shared_fps
+        |FROM kept x JOIN kept y ON x.fph = y.fph AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin,
 
     "dedup_url" ->
       """WITH u AS (

@@ -21,6 +21,14 @@ import graft.ops.Tables.{t, Pack, Q}
   */
 object ExtraRelational extends Pack {
 
+  /** Benford expected first-digit permilles round(log10(1+1/d)·1000),
+    * d = 1..9 — computed once, spliced as identical integer literals
+    * into both the Spark plan and the DuckDB oracle so the one
+    * double→long rounding can never disagree between engines.
+    */
+  private val benfordPermille: Seq[Long] =
+    (1 to 9).map(dd => math.round(math.log10(1.0 + 1.0 / dd) * 1000))
+
   private val S = 8 // salt fan-out for the skew join
 
   val queries: Map[String, Q] = Map(
@@ -634,6 +642,33 @@ object ExtraRelational extends Pack {
         .orderBy("col_name")
     }),
 
+    "events_benford" -> ((s, d) => {
+      // Benford first-digit audit — the classic fraud/data-quality
+      // screen: the leading-digit distribution of the value stream vs
+      // Benford's log10(1 + 1/d) expectation, reported as exact permille
+      // deviations (synthetic uniform-ish data deviates hard — which is
+      // exactly what the audit exists to surface). Expected permilles
+      // are ONE double→long rounding spliced as identical literals into
+      // both engines ([[benfordPermille]]); observed permille is integer
+      // division over the 9-row digit histogram, so the whole readout is
+      // hash-exact. Scale shape: one narrow map + one 9-key hash agg;
+      // the total rides a 9-row window, never a corpus-wide funnel.
+      val cents = t(s, d, "events")
+        .select(round(col("value") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      val w = Window.partitionBy(lit(1))
+      cents.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(w))
+        .withColumn("obs_permille", expr("(n * 1000) div total"))
+        .withColumn("exp_permille",
+          expr(s"element_at(array(${benfordPermille.mkString(",")}), cast(digit as int))"))
+        .withColumn("dev_permille", col("obs_permille") - col("exp_permille"))
+        .select(col("digit"), col("n"), col("obs_permille"),
+          col("exp_permille"), col("dev_permille"))
+        .orderBy("digit")
+    }),
+
     "alloc_largest_remainder" -> ((s, d) => {
       // Exact proportional allocation (largest-remainder / Hamilton
       // method): distribute each order's total cents across its
@@ -1036,6 +1071,19 @@ object ExtraRelational extends Pack {
         |         count(DISTINCT o_orderpriority)::BIGINT,
         |         min(o_orderpriority), max(o_orderpriority) FROM o
         |) ORDER BY col_name""".stripMargin,
+
+    "events_benford" ->
+      (s"""WITH c AS (
+         |  SELECT round(value * 100)::BIGINT AS cents FROM events
+         |  WHERE round(value * 100)::BIGINT > 0),
+         |dg AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit FROM c),
+         |h AS (SELECT digit, count(*)::BIGINT AS n FROM dg GROUP BY digit)
+         |SELECT digit, n,
+         |  (n * 1000 // (SELECT sum(n) FROM h))::BIGINT AS obs_permille,
+         |  ([${benfordPermille.mkString(",")}][digit])::BIGINT AS exp_permille,
+         |  ((n * 1000 // (SELECT sum(n) FROM h))
+         |    - [${benfordPermille.mkString(",")}][digit])::BIGINT AS dev_permille
+         |FROM h ORDER BY digit""".stripMargin),
 
     "alloc_largest_remainder" ->
       """WITH j AS (

@@ -392,6 +392,43 @@ object TemporalOps extends Pack {
         .orderBy("day")
     }),
 
+    "events_autocorr" -> ((s, d) => {
+      // Lag-k autocorrelation DIAGNOSTIC of the daily count series
+      // (lags 1..3): is yesterday predictive of today? Reported as the
+      // exact integer moment sums and the factored correlation terms
+      // num = n·Σxy − Σx·Σy, den_x = n·Σxx − (Σx)², den_y = n·Σyy −
+      // (Σy)² — r² = num²/(den_x·den_y) but the sqrt/division stays
+      // with the CONSUMER (the house rule: no float accumulation under
+      // the hash gate; the factored integers carry everything). Bigint
+      // bound: safe to ~1e9 events/day/type. Scale shape: one daily
+      // agg shuffle, one event_type window, one map-side-combinable
+      // agg per lag over the calendar-bounded frame.
+      val daily = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("ed"), col("event_type"))
+        .groupBy(col("ed"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ed"))
+      val lagged = daily
+        .withColumn("l1", lag(col("cnt"), 1).over(w))
+        .withColumn("l2", lag(col("cnt"), 2).over(w))
+        .withColumn("l3", lag(col("cnt"), 3).over(w))
+      def one(lagN: Int) = lagged.filter(col(s"l$lagN").isNotNull)
+        .select(col("event_type"), col("cnt").as("x"), col(s"l$lagN").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("lag", lit(lagN.toLong))
+      one(1).unionByName(one(2)).unionByName(one(3))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("den_x", expr("n * sxx - sx * sx"))
+        .withColumn("den_y", expr("n * syy - sy * sy"))
+        .select(col("event_type"), col("lag"), col("n"),
+          col("num"), col("den_x"), col("den_y"))
+        .orderBy("event_type", "lag")
+    }),
+
     "window_drawdown" -> ((s, d) => {
       // Maximum drawdown — the risk metric over a per-user value series:
       // running peak (cumulative max over the (es, event_id) total
@@ -712,6 +749,28 @@ object TemporalOps extends Pack {
         |  ON a.user_id < b.user_id
         | AND a.s_start <= b.s_end AND b.s_start <= a.s_end
         |GROUP BY day ORDER BY day""".stripMargin,
+
+    "events_autocorr" ->
+      """WITH daily AS (
+        |  SELECT floor(epoch(ts))::BIGINT // 86400 AS ed, event_type,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, cnt,
+        |         lag(cnt, 1) OVER w AS l1, lag(cnt, 2) OVER w AS l2,
+        |         lag(cnt, 3) OVER w AS l3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY ed)),
+        |u AS (
+        |  SELECT event_type, 1::BIGINT AS lag, cnt AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 2::BIGINT, cnt, l2 FROM lagged WHERE l2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 3::BIGINT, cnt, l3 FROM lagged WHERE l3 IS NOT NULL)
+        |SELECT event_type, lag, count(*)::BIGINT AS n,
+        |  (count(*) * sum(x*y) - sum(x) * sum(y))::BIGINT AS num,
+        |  (count(*) * sum(x*x) - sum(x) * sum(x))::BIGINT AS den_x,
+        |  (count(*) * sum(y*y) - sum(y) * sum(y))::BIGINT AS den_y
+        |FROM u GROUP BY event_type, lag ORDER BY event_type, lag""".stripMargin,
 
     "window_drawdown" ->
       """WITH ev AS (

@@ -48,7 +48,10 @@ GLOBAL_WINDOW_ALLOWED = set()
 # one partial row per upstream partition) are always fine and are
 # auto-allowed; a LIMIT-class single-partition collect of an already
 # top-k-pruned stream is bounded by the limit itself.
-SINGLE_PARTITION_ALLOWED = {"sort_paginate"}
+# events_benford: the exchange feeds the KEYED digit histogram into the
+# total-permille window — bounded at 9 rows by the first-digit domain
+# (leading digits of positive integers are 1..9), not by data volume.
+SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford"}
 
 # ---------------------------------------------------------------------------
 # formatted-explain parsing
