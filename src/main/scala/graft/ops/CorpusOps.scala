@@ -170,13 +170,19 @@ object CorpusOps extends Pack {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 12) // need >= 1 full window of 4-grams
+      // the gram-hash array is bound as a LAMBDA VARIABLE (`e`, via the
+      // transform(array(...), e -> ...)[0] let-idiom), NOT a projected
+      // column: CollapseProject inlines derived columns into every
+      // downstream reference, and an inlined `encs` would re-run all
+      // ~57 md5+conv gram hashes once PER WINDOW j (~53×/row — measured
+      // 100 s at sf0.1 vs sub-second with the binding)
       val fps = docs
-        .withColumn("encs", expr(
-          """transform(sequence(0, size(toks) - 4), i ->
-            |  cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 11), 16, 10) as bigint)
-            |    * 65536L + (65535L - i))""".stripMargin))
         .withColumn("fps", expr(
-          "array_distinct(transform(sequence(0, size(encs) - 5), j -> array_min(slice(encs, j + 1, 5))))"))
+          """transform(array(transform(sequence(0, size(toks) - 4), i ->
+            |    cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 11), 16, 10) as bigint)
+            |      * 65536L + (65535L - i))), e ->
+            |  array_distinct(transform(sequence(0, size(e) - 5), j ->
+            |    array_min(slice(e, j + 1, 5)))))[0]""".stripMargin))
         .select(col("doc_id"), explode(col("fps")).as("enc"))
         .select(col("doc_id"), expr("enc div 65536L").as("fph"))
         .distinct()
