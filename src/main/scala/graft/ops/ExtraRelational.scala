@@ -642,6 +642,67 @@ object ExtraRelational extends Pack {
         .orderBy("col_name")
     }),
 
+    "fn_luhn" -> ((s, d) => {
+      // Luhn checksum (ISO/IEC 7812 — card/IMEI/account identifiers):
+      // compute the check digit for a synthetic 12-digit payload per
+      // order, validate the full number, and validate a single-digit-
+      // corrupted twin — Luhn detects EVERY single-digit substitution,
+      // so n_corrupt_caught must equal n (the gated identity), while the
+      // check-digit histogram per priority gates the doubling/folding
+      // arithmetic itself. Whole computation is one in-row integer fold
+      // (aggregate() over digit positions) — no shuffle before the
+      // priority agg.
+      //
+      // Payload digit i (1-based from left, 12 digits, check appended at
+      // the right): doubled when i is even; fold f(d) = 2d>9 ? 2d-9 : 2d.
+      val num = "lpad(cast(o_orderkey * 37 % 1000000000000 as string), 12, '0')"
+      val digitSum = s"""aggregate(sequence(1, 12), 0L, (acc, i) ->
+        |  acc + CASE WHEN i % 2 = 0
+        |    THEN CASE WHEN 2 * cast(substring($num, i, 1) as long) > 9
+        |              THEN 2 * cast(substring($num, i, 1) as long) - 9
+        |              ELSE 2 * cast(substring($num, i, 1) as long) END
+        |    ELSE cast(substring($num, i, 1) as long) END)""".stripMargin
+      val corruptPos = "(cast(o_orderkey % 12 as int) + 1)"
+      // corrupting payload digit p changes the fold by delta(p); the full
+      // number re-validates iff the delta is 0 mod 10 — never, for +1
+      val t0 = t(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("psum", expr(digitSum))
+        .withColumn("check", expr("(10 - psum % 10) % 10"))
+        .withColumn("valid", expr("(psum + check) % 10 = 0"))
+        .withColumn("cd", expr(s"cast(substring($num, $corruptPos, 1) as long)"))
+        .withColumn("cd2", expr("(cd + 1) % 10"))
+        .withColumn("cdelta", expr(
+          s"""CASE WHEN $corruptPos % 2 = 0
+             |  THEN (CASE WHEN 2*cd2 > 9 THEN 2*cd2 - 9 ELSE 2*cd2 END)
+             |     - (CASE WHEN 2*cd > 9 THEN 2*cd - 9 ELSE 2*cd END)
+             |  ELSE cd2 - cd END""".stripMargin))
+        .withColumn("corrupt_valid", expr("(psum + cdelta + check) % 10 = 0"))
+      t0.groupBy(col("o_orderpriority"), col("check").as("check_digit"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("valid"), 1)).as("n_valid"),
+          count(when(!col("corrupt_valid"), 1)).as("n_corrupt_caught"))
+        .orderBy("o_orderpriority", "check_digit")
+    }),
+
+    "agg_impurity" -> ((s, d) => {
+      // Gini IMPURITY of each user's event-type mix (the classification
+      // impurity 1 − Σp² — a different quantity from agg_gini's income
+      // inequality): 0‰ = single-minded user, →800‰ = uniform over the 5
+      // types. Exact integers: impurity = 1000 − (Σnᵢ²·1000) div N².
+      // Scale shape: two map-side-combinable aggs on (user, type) then
+      // user — 8-byte keys, counts only.
+      t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("ni"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("ni")).as("n_events"), count(lit(1)).as("n_types"),
+          sum(col("ni") * col("ni")).as("ssq"))
+        .withColumn("impurity_permille",
+          expr("1000 - (ssq * 1000) div (n_events * n_events)"))
+        .select(col("user_id"), col("n_events"), col("n_types"), col("impurity_permille"))
+        .orderBy("user_id")
+    }),
+
     "events_benford" -> ((s, d) => {
       // Benford first-digit audit — the classic fraud/data-quality
       // screen: the leading-digit distribution of the value stream vs
@@ -1071,6 +1132,49 @@ object ExtraRelational extends Pack {
         |         count(DISTINCT o_orderpriority)::BIGINT,
         |         min(o_orderpriority), max(o_orderpriority) FROM o
         |) ORDER BY col_name""".stripMargin,
+
+    "fn_luhn" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority,
+        |    lpad((o_orderkey * 37 % 1000000000000)::VARCHAR, 12, '0') AS num,
+        |    (o_orderkey % 12 + 1)::INT AS cpos
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_orderpriority, num, cpos,
+        |    list_sum(list_transform(generate_series(1, 12), i ->
+        |      CASE WHEN i % 2 = 0
+        |        THEN CASE WHEN 2 * substr(num, i, 1)::BIGINT > 9
+        |                  THEN 2 * substr(num, i, 1)::BIGINT - 9
+        |                  ELSE 2 * substr(num, i, 1)::BIGINT END
+        |        ELSE substr(num, i, 1)::BIGINT END))::BIGINT AS psum
+        |  FROM base),
+        |g AS (
+        |  SELECT o_orderpriority, psum, (10 - psum % 10) % 10 AS chk,
+        |    substr(num, cpos, 1)::BIGINT AS cd, cpos
+        |  FROM f),
+        |h AS (
+        |  SELECT o_orderpriority, psum, chk,
+        |    CASE WHEN cpos % 2 = 0
+        |      THEN (CASE WHEN 2*((cd+1)%10) > 9 THEN 2*((cd+1)%10) - 9 ELSE 2*((cd+1)%10) END)
+        |         - (CASE WHEN 2*cd > 9 THEN 2*cd - 9 ELSE 2*cd END)
+        |      ELSE ((cd+1)%10) - cd END AS cdelta
+        |  FROM g)
+        |SELECT o_orderpriority, chk AS check_digit, count(*)::BIGINT AS n,
+        |  (count(*) FILTER (WHERE (psum + chk) % 10 = 0))::BIGINT AS n_valid,
+        |  (count(*) FILTER (WHERE (psum + cdelta + chk) % 10 <> 0))::BIGINT AS n_corrupt_caught
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "agg_impurity" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS ni
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, sum(ni)::BIGINT AS n_events, count(*)::BIGINT AS n_types,
+        |         sum(ni * ni)::BIGINT AS ssq
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n_events, n_types,
+        |  (1000 - (ssq * 1000) // (n_events * n_events))::BIGINT AS impurity_permille
+        |FROM u ORDER BY user_id""".stripMargin,
 
     "events_benford" ->
       (s"""WITH c AS (
