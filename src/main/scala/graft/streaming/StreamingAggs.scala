@@ -44,6 +44,28 @@ object StreamingAggs {
         unix_timestamp(col("window.end")).as("win_end_s"),
         col("event_type"), col("n"))
 
+  /** Watermarked per-user OHLC candles — the streaming form of the
+    * oracle-checked `window_ohlc`: per (user, 1-minute window) open/close
+    * via min_by/max_by on the (event time, event_id) total order.
+    * Selection aggregates merge associatively, so the candle is exact
+    * across arbitrary micro-batch splits — the open seen in batch 1
+    * survives a close arriving in batch 3 (pinned in spec). Append mode:
+    * a candle emits ONCE when the watermark passes its window end; state
+    * per (user, window) evicts on finalization — bounded by active
+    * windows × users, not by stream length.
+    */
+  def ohlcCandles(events: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("bucket_s"), col("user_id"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+
   /** Stream-static enrichment: join each micro-batch against a slowly
     * changing dimension. The static side is broadcast (re-planned per
     * batch, so an updated dim TABLE is re-read at its next batch) — the

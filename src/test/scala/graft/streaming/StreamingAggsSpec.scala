@@ -36,6 +36,30 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC candles: open/close exact across micro-batch splits") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "event_id", "value")
+    val q = StreamingAggs.ohlcCandles(events, "1 minute")
+      .writeStream.format("memory").queryName("ohlc").outputMode("append").start()
+    try {
+      // window [0,60) for user 7 built across TWO batches: the open (first
+      // by (ts, event_id)) arrives in batch 1, the close and the low in
+      // batch 2 — the merged candle must read open=5.0, close=2.0
+      mem.addData((ts(10), 7L, 1L, 5.0), (ts(20), 7L, 2L, 9.0))
+      q.processAllAvailable()
+      mem.addData((ts(30), 7L, 3L, 1.0), (ts(50), 7L, 4L, 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(200), 7L, 5L, 4.0)) // watermark 200-60=140 finalizes [0,60)
+      q.processAllAvailable()
+      val rows = spark.table("ohlc").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      assert(rows.toSeq == Seq((0L, 7L, 5.0, 9.0, 1.0, 2.0, 4L)), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("windowed heavy hitters merge sketch state across micro-batches and finalize exactly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
