@@ -93,13 +93,20 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
 
   test("components past its diameter bound dispatches to the contraction") {
     // path 0-1-2-...-12: diameter 12; maxIter=2 cannot converge by
-    // propagation, so the call must fall through to componentsLogN and
-    // still return the right answer
+    // propagation, so the call must fall through to the star contraction
+    // (fed the MATERIALIZED edges — round-19 refactor) and still return
+    // the right answer, releasing every chain the attempt materialized
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = sc.getPersistentRDDs.keySet
     val es = (0L until 12L).map(i => (i, i + 1))
     val comp = DedupClusters.components(pairs(es: _*), maxIter = 2, localMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.values.toSet == Set(0L))
     assert(comp.size == 13)
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"fallback path leaked RDD blocks: $leaked")
   }
 
   test("self-pair-only docs get identical coverage from both algorithms") {
