@@ -47,8 +47,12 @@ object Bench {
     // under its own job group; on breach the group is cancelled
     // (interruptOnCancel kills the tasks) and the query is recorded in
     // `failed` with timing -1 — the honesty channel, never a fake number.
+    // Default 240 s = ~30× the heaviest solo protocol median (7.4 s), so
+    // the documented ~15× ambient-contention band cannot false-fail an
+    // honest query, while a genuinely stuck query still costs at most
+    // 4 minutes of the round's budget.
     val queryTimeoutSec =
-      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toLong
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "240").toLong
 
     def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
