@@ -54,7 +54,23 @@ object Bench {
     val queryTimeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "240").toLong
 
+    def sweep(): Unit = {
+      // queries persist intermediates (dedup signatures etc.) — drop them
+      // so later queries aren't charged for earlier queries' cache/GC.
+      // clearCache only reaches the SQL cache; localCheckpoint blocks live
+      // at the RDD level and must be swept from the context's registry
+      // (the round-4 full-run contamination: one query's leaked blocks
+      // inflated every later query's time)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     def runOnce(name: String): Either[String, Double] = {
+      // PRE-query sweep too (round-13 advisory): a zombie worker from an
+      // earlier timed-out query could have re-persisted blocks AFTER that
+      // query's post-sweep ran — sweeping again here (untimed) keeps any
+      // such residue from inflating this query's measurement.
+      sweep()
       val t0 = System.nanoTime()
       try {
         @volatile var err: Option[Throwable] = None
@@ -71,8 +87,19 @@ object Bench {
         worker.start()
         worker.join(queryTimeoutSec * 1000)
         if (worker.isAlive) {
-          spark.sparkContext.cancelJobGroup(group)
+          // cancelJobGroup only reaches CURRENTLY-ACTIVE jobs: a driver-side
+          // loop between jobs (iterative components/BPE rounds, local
+          // post-processing) would just submit the next one. Spark 4's
+          // AndFutureJobs variant fails every later submission under the
+          // group, and interrupt() unwinds the driver-side loop itself.
+          spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+          worker.interrupt()
           worker.join(30000) // give cancellation a moment to unwind
+          if (worker.isAlive)
+            // truly stuck (uninterruptible native call?) — the pre-query
+            // sweep above contains any blocks it re-persists from here on
+            System.err.println(s"[bench] $name worker STILL ALIVE after cancel+interrupt; " +
+              "subsequent queries re-sweep persistent RDDs before timing")
           System.err.println(s"[bench] $name TIMEOUT after ${queryTimeoutSec}s (cancelled)")
           Left("Timeout")
         } else err match {
@@ -81,16 +108,7 @@ object Bench {
             Left(e.getClass.getSimpleName)
           case None => Right((System.nanoTime() - t0) / 1e9)
         }
-      } finally {
-        // queries persist intermediates (dedup signatures etc.) — drop them
-        // so later queries aren't charged for earlier queries' cache/GC.
-        // clearCache only reaches the SQL cache; localCheckpoint blocks live
-        // at the RDD level and must be swept from the context's registry
-        // (the round-4 full-run contamination: one query's leaked blocks
-        // inflated every later query's time)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      }
+      } finally sweep()
     }
 
     // warm-up (untimed): one scan-heavy, one shuffle-heavy, one text query
@@ -111,9 +129,21 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}""")
+    val record =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}"""
+    // The record goes BOTH to a file and to stdout (round-13 verdict #2):
+    // the driver's artifact parser has to pull the JSON out of interleaved
+    // sbt output and produced `parsed: null` three rounds running — the
+    // file is the unambiguous channel, and the stdout copy is printed as
+    // the final line so a last-line parse also works.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    Files.write(java.nio.file.Paths.get(outFile),
+      (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     deleteRecursively(ckptDir.toFile)
+    System.out.flush()
+    println(record)
+    System.out.flush()
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -25,7 +25,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("pipeline_prep")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Resource contract (the engine-entry convention): a handful of queries
+    * `persist()` an intermediate that is consumed more than once inside the
+    * returned lazy plan (e.g. dedup_winnowing's fingerprint frame,
+    * graph_pagerank/graph_communities' edge list). Those blocks live until
+    * the CALLER releases them — Verify and Bench both run, after every
+    * query: `spark.catalog.clearCache()` +
+    * `sc.getPersistentRDDs.values.foreach(_.unpersist())`. Any standalone
+    * embedder of this map must apply the same per-query sweep (or accept
+    * the cache residue); iterative helpers that manage their own lifecycle
+    * (DedupClusters, GraphOps) instead guarantee zero residue via their
+    * checkpoint-chain handoff.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.flatMap(_.queries).toMap
 

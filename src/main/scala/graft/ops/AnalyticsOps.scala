@@ -178,6 +178,10 @@ object AnalyticsOps extends Pack {
       val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
       val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
         .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
+        // query-held persist (edges are re-joined every LPA round):
+        // released by the engine-entry convention — Verify/Bench sweep
+        // sc.getPersistentRDDs after every query (the contract pinned on
+        // SparkEntry.queries); standalone callers must sweep likewise.
         .distinct().persist()
       var lab = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))

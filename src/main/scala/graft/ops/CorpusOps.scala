@@ -160,10 +160,18 @@ object CorpusOps extends Pack {
       // partial-overlap candidates.
       //
       // Mechanics both engines share bit-for-bit: gram hash = 44 md5
-      // bits, encoded hash·2^16 + (2^16−1−pos) so ONE array_min both
+      // bits, encoded hash·2^16 + max(2^16−1−pos, 0) so ONE array_min both
       // minimizes the hash AND breaks ties to the rightmost position —
       // the whole per-doc selection is in-row array arithmetic, no
-      // explode before the fingerprint set exists. Scale shape: only
+      // explode before the fingerprint set exists. The position term is
+      // clamped at 0: past gram position 65535 (multi-100k-token docs) the
+      // raw 2^16−1−pos would go NEGATIVE, silently corrupting the recovered
+      // hash (enc div 2^16 = hash−1) — with the clamp the hash half stays
+      // exact at any doc length and only the rightmost tie-break saturates
+      // (positions ≥ 65535 tie, an acceptable truncation: the selected
+      // FINGERPRINT value is unchanged either way). Widening instead would
+      // overflow: 44 hash bits + >20 position bits exceeds a signed Long.
+      // Scale shape: only
       // (doc_id, fingerprint) 8-byte pairs shuffle; a df cap (≤ 10
       // docs) drops boilerplate fingerprints so no hot hash key can
       // explode the candidate join (the dedup_ngram discipline).
@@ -180,12 +188,17 @@ object CorpusOps extends Pack {
         .withColumn("fps", expr(
           """transform(array(transform(sequence(0, size(toks) - 4), i ->
             |    cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 11), 16, 10) as bigint)
-            |      * 65536L + (65535L - i))), e ->
+            |      * 65536L + greatest(65535L - i, 0L))), e ->
             |  array_distinct(transform(sequence(0, size(e) - 5), j ->
             |    array_min(slice(e, j + 1, 5)))))[0]""".stripMargin))
         .select(col("doc_id"), explode(col("fps")).as("enc"))
         .select(col("doc_id"), expr("enc div 65536L").as("fph"))
         .distinct()
+        // query-held persist (fps feeds the df cap AND both sides of the
+        // candidate self-join): released by the engine-entry convention —
+        // Verify/Bench sweep sc.getPersistentRDDs after every query (the
+        // TrainingDataPrep contract); any standalone caller must sweep
+        // likewise or unpersist the plan's cached leaves itself.
         .persist()
       val kept = fps.join(
         fps.groupBy("fph").agg(count(lit(1)).as("df")).filter(col("df") <= 10), "fph")
@@ -873,7 +886,7 @@ object CorpusOps extends Pack {
         |g AS (
         |  SELECT doc_id, list_transform(generate_series(0, len(toks) - 4), i ->
         |    ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 4), ' ')), 1, 11))::BIGINT
-        |      * 65536 + (65535 - i)) AS encs
+        |      * 65536 + greatest(65535 - i, 0)) AS encs
         |  FROM base),
         |f AS (
         |  SELECT doc_id, list_distinct(list_transform(generate_series(0, len(encs) - 5), j ->

@@ -48,12 +48,21 @@ object DedupClusters {
     * near-dup chains, not hub-dense template families) needs
     * diameter-many label rounds before the logN fallback even engages —
     * the round-12 bench stall was exactly this, ~2 minutes of fixed
-    * floors for a 2k-node graph union-find solves in microseconds. 4M
-    * edges ≈ 64 MB of longs on the driver; a 100 TB dedup graph is far
-    * above the bound and takes the distributed rounds unchanged. Parity
-    * between all three shapes is pinned in DedupClustersSpec.
+    * floors for a 2k-node graph union-find solves in microseconds.
+    *
+    * The bound is sized against the MEASURED collected footprint, not raw
+    * long bytes (a round-13 advisory: the old 4M-edge bound estimated
+    * "64 MB of longs" but the collected tuple array alone is ~32 B/edge
+    * and the then-boxed node map several times that — hundreds of MB near
+    * the bound). At 2M edges the transient peak is ~64 MB of specialized
+    * (Long, Long) tuples plus ~50 MB of primitive long/int arrays
+    * ([[componentsLocal]] is now allocation-flat: sorted-id binary search,
+    * no boxed map) — comfortably inside a default 1g driver. A 100 TB
+    * dedup graph is far above the bound and takes the distributed rounds
+    * unchanged. Parity between all three shapes is pinned in
+    * DedupClustersSpec.
     */
-  val LocalComponentsMaxEdges: Long = 1L << 22
+  val LocalComponentsMaxEdges: Long = 1L << 21
 
   /** @param pairs (doc_a, doc_b) similarity edges, any orientation
     * @param maxIter diameter-bound safety valve; on non-convergence the call
@@ -142,37 +151,54 @@ object DedupClusters {
     * semantics of the distributed rounds (every node labeled with its
     * component's min id; self-pair-only docs label themselves), minus
     * all the per-round scheduling floors.
+    *
+    * Allocation-flat by design (round-13 advisory): the node universe is a
+    * SORTED primitive long array indexed by binary search — no boxed
+    * HashMap[Long, Int], whose ~48 B/entry would dominate driver heap near
+    * the dispatch bound. Peak transient footprint at the 2M-edge bound:
+    * the specialized (Long, Long) tuple array from collect (~32 B/edge,
+    * freed before readout) + 3 primitive arrays of ≤ 2·edges entries.
     */
   private def componentsLocal(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
-    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
-    es.foreach { case (a, b) =>
-      idx.getOrElseUpdate(a, idx.size); idx.getOrElseUpdate(b, idx.size); ()
+    val n = es.length
+    // node universe: sort + in-place dedup of a primitive array
+    val all = new Array[Long](2 * n)
+    var i = 0
+    while (i < n) { all(2 * i) = es(i)._1; all(2 * i + 1) = es(i)._2; i += 1 }
+    java.util.Arrays.sort(all)
+    var m = 0
+    i = 0
+    while (i < all.length) {
+      if (m == 0 || all(i) != all(m - 1)) { all(m) = all(i); m += 1 }
+      i += 1
     }
-    val parent = Array.tabulate(idx.size)(identity)
+    val ids = java.util.Arrays.copyOf(all, m)
+    def idx(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+    val parent = Array.tabulate(m)(identity)
     def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x
-      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    es.foreach { case (a, b) =>
-      val ra = find(idx(a)); val rb = find(idx(b))
+    i = 0
+    while (i < n) {
+      val ra = find(idx(es(i)._1)); val rb = find(idx(es(i)._2))
       if (ra != rb) parent(ra) = rb
+      i += 1
     }
-    val ids = new Array[Long](idx.size)
-    idx.foreach { case (id, i) => ids(i) = id }
-    val minOf = Array.fill(idx.size)(Long.MaxValue)
-    var i = 0
-    while (i < ids.length) {
+    val minOf = Array.fill(m)(Long.MaxValue)
+    i = 0
+    while (i < m) {
       val r = find(i)
       if (ids(i) < minOf(r)) minOf(r) = ids(i)
       i += 1
     }
-    val rows = ids.indices.map(i => (ids(i), minOf(find(i))))
+    val rows = (0 until m).map(i => (ids(i), minOf(find(i))))
     spark.createDataset(rows).toDF("doc_id", "component")
   }
 
