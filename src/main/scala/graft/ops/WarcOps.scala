@@ -114,6 +114,80 @@ object WarcOps {
     bos.toByteArray
   }
 
+  /** Parsed HTTP response head of a WARC `response` record's payload —
+    * the next thing every Common-Crawl-style pipeline reads after the
+    * record frame: status + Content-Type decide keep/drop/route long
+    * before anybody looks at the body.
+    */
+  final case class HttpResponse(status: Int, contentType: String,
+      body: Array[Byte])
+
+  /** Parse an HTTP/1.x response message (RFC 9112 framing): status line
+    * `HTTP/1.<x> NNN <reason>`, CRLF header lines (case-insensitive
+    * names) up to a blank line, then the body. When a `Content-Length`
+    * header is present it must equal the remaining bytes (WARC payloads
+    * are already length-framed by the RECORD's Content-Length, so a
+    * disagreement means the payload was truncated or mis-framed);
+    * absent, the body is everything after the blank line. Same totality
+    * contract as the record splitter: any malformation — short status
+    * line, non-numeric status, header without a colon, missing blank
+    * line — returns None, never a misparse.
+    */
+  def parseHttpResponse(b: Array[Byte]): Option[HttpResponse] = {
+    try {
+      val lineEnd = indexOfCrlf(b, 0)
+      if (lineEnd < 0) return None
+      val statusLine = new String(b, 0, lineEnd, "US-ASCII")
+      if (!statusLine.startsWith("HTTP/1.")) return None
+      val parts = statusLine.split(" ", 3)
+      if (parts.length < 2 || parts(1).length != 3) return None
+      val status = parts(1).toIntOption.getOrElse(return None)
+      if (status < 100 || status > 599) return None
+      var i = lineEnd + 2
+      var contentType = ""
+      var declaredLen = -1L
+      var blank = false
+      while (!blank) {
+        val he = indexOfCrlf(b, i)
+        if (he < 0) return None
+        if (he == i) { blank = true; i += 2 }
+        else {
+          val line = new String(b, i, he - i, "UTF-8")
+          i = he + 2
+          val colon = line.indexOf(':')
+          if (colon <= 0) return None
+          val name = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          name match {
+            case "content-type" => contentType = value
+            case "content-length" =>
+              declaredLen = value.toLongOption.getOrElse(return None)
+              if (declaredLen < 0) return None
+            case _ => () // server, date, etags, ... — ride along
+          }
+        }
+      }
+      val bodyLen = b.length - i
+      if (declaredLen >= 0 && declaredLen != bodyLen) return None
+      Some(HttpResponse(status, contentType,
+        java.util.Arrays.copyOfRange(b, i, b.length)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Writer twin of [[parseHttpResponse]] (generator, specs, and the
+    * `warc_http_meta` oracle row).
+    */
+  def buildHttpResponse(status: Int, reason: String, contentType: String,
+      body: Array[Byte]): Array[Byte] = {
+    val head = (s"HTTP/1.1 $status $reason\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    val out = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out
+  }
+
   private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
     var i = from
     while (i + 1 < b.length) {
@@ -165,5 +239,37 @@ object WarcOps {
       }
       .toDF(idCol, "rec_idx", "warc_type", "target_uri", "warc_date",
         "content_length", "parsed")
+  }
+
+  /** [[records]] plus the HTTP head of every `response` record — status
+    * and Content-Type (NULL for non-response records and for payloads
+    * that fail [[parseHttpResponse]], with `http_ok` flagging the parse
+    * outcome) — the Common-Crawl triage projection: status/content-type
+    * decide keep/drop/route before any body byte is looked at. Same
+    * scale shape as [[records]]: archives parse per file inside the
+    * task; only the projected record rows shuffle.
+    */
+  def httpRecords(files: DataFrame, idCol: String = "file_id",
+      payloadCol: String = "content"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (fid, bytes) =>
+        WarcOps.parseAll(bytes) match {
+          case Some(rs) => rs.zipWithIndex.map { case (r, k) =>
+            val http = if (r.warcType == "response")
+              parseHttpResponse(r.payload) else None
+            (fid, k.toLong, r.warcType, r.targetUri, r.contentLength,
+              http.map(_.status), http.map(_.contentType),
+              http.map(_.body.length.toLong), http.isDefined)
+          }
+          case None =>
+            Seq((fid, -1L, "", "", 0L, Option.empty[Int],
+              Option.empty[String], Option.empty[Long], false))
+        }
+      }
+      .toDF(idCol, "rec_idx", "warc_type", "target_uri", "content_length",
+        "http_status", "http_content_type", "http_body_len", "http_ok")
   }
 }

@@ -88,6 +88,80 @@ class WarcOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("http response head: build -> parse round trip, case-insensitive headers") {
+    val body = Array.tabulate[Byte](25)(i => (i * 11).toByte)
+    val msg = WarcOps.buildHttpResponse(301, "Moved Permanently",
+      "text/html; charset=utf-8", body)
+    val h = WarcOps.parseHttpResponse(msg).get
+    assert(h.status == 301 && h.contentType == "text/html; charset=utf-8")
+    assert(h.body.toSeq == body.toSeq)
+    // hand-framed: folded-case headers, unknown headers ride along, no
+    // Content-Length (body = rest after the blank line), HTTP/1.0 legal
+    val manual = ("HTTP/1.0 404 Not Found\r\n" +
+      "SERVER: x\r\n" +
+      "content-TYPE: application/json\r\n" +
+      "\r\n").getBytes("US-ASCII") ++ "{}".getBytes
+    val m = WarcOps.parseHttpResponse(manual).get
+    assert(m.status == 404 && m.contentType == "application/json")
+    assert(new String(m.body) == "{}")
+    // body containing CRLFCRLF must not re-frame (length framing wins)
+    val tricky = WarcOps.buildHttpResponse(200, "OK", "text/plain",
+      "a\r\n\r\nb".getBytes)
+    assert(WarcOps.parseHttpResponse(tricky).get.body.length == 6)
+  }
+
+  test("http response head: malformations reject, never misparse") {
+    val good = WarcOps.buildHttpResponse(200, "OK", "text/plain", "xyz".getBytes)
+    assert(WarcOps.parseHttpResponse(good).isDefined)
+    // not an HTTP status line
+    assert(WarcOps.parseHttpResponse("GET / HTTP/1.1\r\n\r\n".getBytes).isEmpty)
+    // non-numeric / out-of-range / short status
+    assert(WarcOps.parseHttpResponse("HTTP/1.1 2xx OK\r\n\r\n".getBytes).isEmpty)
+    assert(WarcOps.parseHttpResponse("HTTP/1.1 999 ?\r\n\r\n".getBytes).isEmpty)
+    assert(WarcOps.parseHttpResponse("HTTP/1.1 20 OK\r\n\r\n".getBytes).isEmpty)
+    // header without a colon
+    assert(WarcOps.parseHttpResponse(
+      "HTTP/1.1 200 OK\r\nbroken header\r\n\r\n".getBytes).isEmpty)
+    // declared Content-Length disagreeing with the framed body
+    assert(WarcOps.parseHttpResponse(
+      "HTTP/1.1 200 OK\r\nContent-Length: 10\r\n\r\nxyz".getBytes).isEmpty)
+    // missing blank line / truncation / empty
+    assert(WarcOps.parseHttpResponse("HTTP/1.1 200 OK\r\n".getBytes).isEmpty)
+    assert(WarcOps.parseHttpResponse(Array.emptyByteArray).isEmpty)
+    // corruption fuzz: Some or None, never a throw
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 300) {
+      val mutated = good.clone()
+      for (_ <- 0 to rnd.nextInt(3))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      WarcOps.parseHttpResponse(mutated)
+      WarcOps.parseHttpResponse(
+        java.util.Arrays.copyOf(mutated, rnd.nextInt(mutated.length + 1)))
+      ()
+    }
+  }
+
+  test("httpRecords() enriches response records; requests and poison payloads stay NULL") {
+    val s = spark
+    import s.implicits._
+    val okResp = rec("response", "https://h.test/0",
+      WarcOps.buildHttpResponse(200, "OK", "text/html", "hello".getBytes))
+    val req = rec("request", "https://h.test/1",
+      "GET / HTTP/1.1\r\nHost: h\r\n\r\n".getBytes)
+    val poisonResp = rec("response", "https://h.test/2", "not http".getBytes)
+    val df = Seq((1L, okResp ++ req ++ poisonResp)).toDF("file_id", "content")
+    val rows = WarcOps.httpRecords(df).collect()
+      .map(r => (r.getLong(1), r.getString(2),
+        if (r.isNullAt(5)) -1 else r.getInt(5),
+        Option(r.getString(6)).getOrElse(""), r.getBoolean(8)))
+      .toSet
+    assert(rows.contains((0L, "response", 200, "text/html", true)))
+    assert(rows.contains((1L, "request", -1, "", false)),
+      "request records carry no http head")
+    assert(rows.contains((2L, "response", -1, "", false)),
+      "unparsable response payloads degrade observably, never throw")
+  }
+
   test("records() explodes archives per file; poison files surface as parsed=false rows") {
     val s = spark
     import s.implicits._
