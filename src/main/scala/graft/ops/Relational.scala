@@ -186,11 +186,25 @@ object Relational extends Pack {
     }),
 
     "join_range" -> ((s, d) => {
-      // non-equi band join; NLJ by nature — the band predicate bounds output,
-      // and the small side (supplier) is broadcast so no shuffle occurs
-      val sup = broadcast(t(s, d, "supplier"))
+      // non-equi band join in its 100 TB form: the band predicate
+      // price ∈ [acctbal, acctbal+500) confines every match to TWO
+      // fixed-width price buckets, so candidates come from an EQUI-join
+      // on the bucket id (each supplier row explodes into its two
+      // admissible buckets — the join_interval bin discipline) and the
+      // exact band predicate verifies inside the bucket. Results are
+      // identical to the raw theta-join (the oracle is unchanged); the
+      // BNLJ form this replaced evaluated part × supplier — the
+      // round-20 sf1 sweep measured it 12.6× for 10× data (both sides
+      // grow, so work grows ~quadratically), while the bucketed form
+      // shuffles nothing (bucketed equi-condition rides the same
+      // broadcast) and scales with matches, not the cross product.
+      val sup = broadcast(t(s, d, "supplier")
+        .withColumn("bucket", explode(array(
+          floor(col("s_acctbal") / 500.0), floor(col("s_acctbal") / 500.0) + 1))))
       t(s, d, "part")
-        .join(sup, col("p_retailprice") >= col("s_acctbal")
+        .withColumn("bucket", floor(col("p_retailprice") / 500.0))
+        .join(sup, Seq("bucket"))
+        .filter(col("p_retailprice") >= col("s_acctbal")
           && col("p_retailprice") < col("s_acctbal") + 500.0)
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_parts"),

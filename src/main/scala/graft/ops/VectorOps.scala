@@ -355,14 +355,38 @@ object VectorOps extends Pack {
       // probing adjacent cells exactly as sim_ann_ivf does, the same
       // recall/cost dial every IVF deployment tunes.
       //
-      // At 100 TB: cost is Σ cell², linear in cell count at fixed cell
-      // size; a skewed cell is the thing to watch (split hot cells, or
-      // salt the self-join) — same discipline as every key-blocked join.
+      // At 100 TB: cost is Σ cell², so cell SIZE must stay bounded as the
+      // corpus grows — exactly the IVF sizing rule (#cells ∝ N). The
+      // round-20 sf1 sweep measured the fixed-label form at 32× for 10×
+      // data (label cardinality is a data property, so density grew 10×
+      // and candidates 100×). Cells are therefore REFINED data-sizedly:
+      // each label splits into 2^b sign-bit subcells (the sign pattern of
+      // the first b quantized dimensions — a deterministic secondary
+      // quantizer both engines compute identically), with b the smallest
+      // value putting the EXPECTED subcell at or under 256 vectors:
+      // b = ceil(log2(max(1, N / (L·256)))), computed integer-exactly
+      // (highest-set-bit of (N-1) div (L·256); the oracle mirrors it via
+      // length(printf('%b', m))). At the oracle-gate scales N/(L·256) <= 1
+      // so b = 0 and results are bit-identical to the unrefined form; at
+      // sf1 b = 3 bounds subcells at ~250. Recall stays the documented
+      // IVF dial: within-(sub)cell by construction, raise it by probing
+      // adjacent subcells. The two counts are one control-plane job at
+      // construction (the fuzzy-cap/keyset-cursor precedent).
       graft.expressions.GraftFunctions.register(s)
+      val stats = t(s, d, "embeddings")
+        .agg(count(lit(1)), countDistinct(col("label"))).head()
+      val m = (stats.getLong(0) - 1) / (stats.getLong(1) * 256L)
+      val b = if (m <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m)
+      val subcell =
+        if (b == 0) lit(0L)
+        else expr(s"aggregate(sequence(0, ${b - 1}), 0L, (acc, i) -> " +
+          "acc + CASE WHEN element_at(q, i + 1) >= 0 THEN shiftleft(1L, i) ELSE 0L END)")
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+        .withColumn("cell", subcell)
       val pairs = emb.as("x").join(emb.as("y"),
-          col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
+          col("x.label") === col("y.label") && col("x.cell") === col("y.cell")
+            && col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"),
           call_function("graft_dot_i64", col("x.q"), col("y.q")).as("dot_q"))
       pairs
@@ -567,10 +591,18 @@ object VectorOps extends Pack {
       """WITH q AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
         |  FROM embeddings),
+        |st AS (SELECT count(*)::BIGINT AS cnt, count(DISTINCT label)::BIGINT AS nl FROM q),
+        |bb AS (SELECT CASE WHEN (cnt - 1) // (nl * 256) = 0 THEN 0
+        |              ELSE length(printf('%b', (cnt - 1) // (nl * 256))) END AS b FROM st),
+        |qc AS (
+        |  SELECT vec_id, label, qe,
+        |    coalesce(list_sum(list_transform(range(0, b), i ->
+        |      CASE WHEN qe[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)), 0)::BIGINT AS cell
+        |  FROM q, bb),
         |pairs AS (
         |  SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
         |    list_sum(list_transform(x.qe, (v, i) -> v * y.qe[i]))::BIGINT AS dot_q
-        |  FROM q x JOIN q y ON x.label = y.label AND x.vec_id <> y.vec_id)
+        |  FROM qc x JOIN qc y ON x.label = y.label AND x.cell = y.cell AND x.vec_id <> y.vec_id)
         |SELECT vec_id, nbr_id, dot_q, rnk FROM (
         |  SELECT vec_id, nbr_id, dot_q,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dot_q DESC, nbr_id ASC)::BIGINT AS rnk
