@@ -135,6 +135,52 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(top.length <= 3)
   }
 
+  test("sim_knn_join refines cells data-sizedly: the b>0 path matches a driver reference") {
+    // round-20 sf1 lesson: at gate scales N/(L*256) <= 1 so b=0 and the
+    // oracle covers the query; this spec pins the REFINED path (b>0) that
+    // only activates on larger corpora, against an independent driver-side
+    // reimplementation of the same published rule (sign-bit subcells,
+    // expected subcell <= 256).
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    val n = 3000 // L=2 -> m=(n-1) div 512 = 5 -> b=3 (8 subcells per label)
+    val rows = (0L until n.toLong).map { i =>
+      (i, Array.fill(dim)((rnd.nextGaussian() * 0.5).toFloat), (i % 2).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("knn-sf").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.queries("sim_knn_join")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("nbr_id"), r.getAs[Long]("dot_q")))
+
+    // driver reference: same quantization (HALF_UP like Spark's round),
+    // same blocking rule, same (dot desc, nbr asc) top-3
+    def q(v: Array[Float]): Array[Long] = v.map(x =>
+      BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val m = (n - 1) / (2 * 256)
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(m)
+    assert(b == 3, s"test corpus must engage the refined path, got b=$b")
+    def cell(qs: Array[Long]): Long =
+      (0 until b.toInt).map(i => if (qs(i) >= 0) 1L << i else 0L).sum
+    val qs = rows.map { case (id, v, l) => (id, l, q(v)) }
+    val byBlock = qs.groupBy { case (_, l, qv) => (l, cell(qv)) }
+    val want = byBlock.values.flatten.toSeq.flatMap { case (id, l, qv) =>
+      val mates = byBlock((l, cell(qv))).filter(_._1 != id)
+      mates.map { case (nid, _, nqv) =>
+        (id, nid, qv.zip(nqv).map { case (a, c) => a * c }.sum)
+      }.sortBy { case (_, nid, dot) => (-dot, nid) }
+        .take(3).zipWithIndex
+        .map { case ((vid, nid, dot), k) => (vid, k + 1L, nid, dot) }
+    }.toSet
+    assert(got.length == want.size && got.toSet == want,
+      s"refined-cell kNN join diverged from the driver reference (${got.length} vs ${want.size})")
+    // and the blocks the rule produces are actually bounded (~256 target)
+    val maxBlock = byBlock.values.map(_.size).max
+    assert(maxBlock < 1024, s"subcell bound violated: $maxBlock")
+  }
+
   test("embcos pair kernel is UNSORTED: clusters never pay a range Exchange + Sort") {
     // round-12 weak grade: dedup_embcos_clusters composed from the ORDERED
     // dedup_embcos query, so a range-partitioning Exchange + global Sort of
