@@ -232,6 +232,37 @@ object ScaleOps extends Pack {
         .orderBy("source", "seq")
     }),
 
+    "prep_length_buckets" -> ((s, d) => {
+      // LENGTH-BUCKETED batching datasheet — the OTHER standard batching
+      // strategy next to prep_pack_sequences' concatenate-and-chop:
+      // when examples must stay un-concatenated (SFT, contrastive pairs,
+      // rankers), docs batch with same-length peers and pad to the
+      // bucket cap; the padding waste is the number every training-infra
+      // review asks for. Buckets are power-of-2 token caps (the standard
+      // geometry): pad_to = smallest 2^k >= n_tokens, computed
+      // INTEGER-EXACTLY as shiftleft(1, length(bin(n-1))) — the
+      // sim_knn_join highest-set-bit idiom, mirrored in the oracle via
+      // printf('%b', ...). Per bucket: docs, token sum, padding waste
+      // permille (exact integer division), and the batch count at a
+      // 4096-token budget (docs_per_batch = 4096 div pad_to, floor-1
+      // guarded). Scale shape: one narrow per-row map + ONE map-side-
+      // combinable hash agg on ~a dozen bucket keys — text never
+      // shuffles, output is O(log max_len) rows.
+      t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("pad_to", when(col("n") <= 1, lit(1L))
+          .otherwise(expr("shiftleft(1L, length(bin(n - 1)))")))
+        .groupBy(col("pad_to"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok_sum"))
+        .withColumn("waste_permille",
+          expr("((n_docs * pad_to - tok_sum) * 1000) div (n_docs * pad_to)"))
+        .withColumn("dpb", expr("greatest(1L, 4096L div pad_to)"))
+        .withColumn("n_batches", expr("(n_docs + dpb - 1) div dpb"))
+        .select(col("pad_to"), col("n_docs"), col("tok_sum"),
+          col("waste_permille"), col("n_batches"))
+        .orderBy("pad_to")
+    }),
+
     "agg_fm_sketch" -> ((s, d) => {
       // Flajolet–Martin PCSA, the third classic sketch next to
       // SpaceSaving and Count-Min: 16 buckets, each a BIT_OR bitmap of
@@ -674,6 +705,21 @@ object ScaleOps extends Pack {
         |  CASE WHEN (10000 * w_sqrt) // tw > (10000 * mass) // tn
         |       THEN 1 ELSE 0 END AS upsampled
         |FROM s, t ORDER BY source""".stripMargin,
+
+    "prep_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN n <= 1 THEN 1
+        |         ELSE (1::BIGINT << length(printf('%b', n - 1))) END AS pad_to, n
+        |  FROM t),
+        |g AS (
+        |  SELECT pad_to, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS tok_sum
+        |  FROM b GROUP BY pad_to)
+        |SELECT pad_to, n_docs, tok_sum,
+        |  ((n_docs * pad_to - tok_sum) * 1000 // (n_docs * pad_to))::BIGINT AS waste_permille,
+        |  ((n_docs + greatest(1, 4096 // pad_to) - 1) // greatest(1, 4096 // pad_to))::BIGINT AS n_batches
+        |FROM g ORDER BY pad_to""".stripMargin,
 
     "prep_pack_sequences" ->
       """WITH c AS (
