@@ -100,6 +100,28 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("winnowing position clamp: a shared tail past gram position 65535 still pairs") {
+    import spark.implicits._
+    // round-13 advisory, fixed round-14: the fingerprint encoding
+    // hash·2^16 + (2^16−1−i) went NEGATIVE past gram position 65535, so
+    // the recovered hash (enc div 2^16) silently became hash−1 there — a
+    // run shared between a SHORT doc (positions << 65535) and a LONG doc
+    // (positions past 65535) stopped matching exactly where
+    // multi-100k-token documents live. The greatest(·, 0) clamp keeps the
+    // hash half exact at any position (only the rightmost tie-break
+    // saturates), so this crafted pair MUST surface.
+    val shared = (0 until 100).map(i => s"shared$i").mkString(" ")
+    val doc1 = (0 until 200).map(i => s"a$i").mkString(" ") + " " + shared
+    val doc2 = (0 until 66000).map(i => s"b$i").mkString(" ") + " " + shared
+    val dir = java.nio.file.Files.createTempDirectory("winnow-clamp").toString
+    Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.queries("dedup_winnowing")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists { case (a, b, n) => a == 1L && b == 2L && n >= 3L },
+      s"the 100-token shared tail must survive the clamp, got: ${out.mkString(", ")}")
+  }
+
   test("URL canonicalization is idempotent and handles each noise source") {
     import spark.implicits._
     val cases = Seq(
