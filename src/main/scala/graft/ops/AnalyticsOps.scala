@@ -201,6 +201,31 @@ object AnalyticsOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "graph_degree_dist" -> ((s, d) => {
+      // Degree DISTRIBUTION of the near-dup pair graph in power-of-2
+      // buckets — the shape diagnostic every web-scale graph job runs
+      // first: a heavy tail (high buckets populated) says hub templates
+      // exist and the downstream pair/wedge work needs a df cap or skew
+      // salt; a flat head says plain per-edge plans are safe. Bucket =
+      // bit length of the degree (floor(log2 d)+1) computed EXACTLY as
+      // length(bin(d)) — integer-only, no float log at bucket borders
+      // (both engines' bin() emits the minimal binary string). Scale
+      // shape: degrees via one union+count agg on 8-byte node ids, then
+      // a ~60-row bucket rollup; both aggs map-side combine, and the
+      // histogram is what you'd publish in a dataset card at 100 TB.
+      val e = TextOps.simhashNearPairs(s, d)
+        .select(least(col("rep_a"), col("rep_b")).as("u"),
+          greatest(col("rep_a"), col("rep_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .withColumn("bucket", length(bin(col("deg"))).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
+        .orderBy("bucket")
+    }),
+
     "prep_split" -> ((s, d) => {
       // Deterministic train/val/test split by content-free key hash — the
       // way a 100 TB corpus splits WITHOUT a global shuffle, a rand() seed
@@ -465,6 +490,20 @@ object AnalyticsOps extends Pack {
            |  FROM f3) WHERE rn = 1)
            |SELECT node AS doc_id, label AS community
            |FROM lab3 ORDER BY doc_id""".stripMargin),
+
+    "graph_degree_dist" ->
+      (pairCte +
+        s""",
+           |e AS (
+           |  SELECT DISTINCT least(rep_a, rep_b) AS u, greatest(rep_a, rep_b) AS v
+           |  FROM pairs WHERE rep_a <> rep_b),
+           |degt AS (
+           |  SELECT node, count(*)::BIGINT AS deg FROM (
+           |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node)
+           |SELECT length(bin(deg))::BIGINT AS bucket, count(*)::BIGINT AS n_nodes,
+           |       min(deg)::BIGINT AS min_deg, max(deg)::BIGINT AS max_deg,
+           |       sum(deg)::BIGINT AS sum_deg
+           |FROM degt GROUP BY bucket ORDER BY bucket""".stripMargin),
 
     "prep_split" ->
       """SELECT CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'

@@ -511,6 +511,45 @@ object TemporalOps extends Pack {
           max_by(col("value"), struct(col("es"), col("event_id"))).as("close"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id", "hh")
+    }),
+
+    "window_rolling_corr" -> ((s, d) => {
+      // 7-day ROLLING Pearson correlation between daily event volume and
+      // daily active users, per event type — the drift monitor that says
+      // whether growth is new users or heavier use. agg_corr's exact-
+      // integer-moment discipline applied over a moving frame: the five
+      // moment SUMS accumulate in BIGINT inside the window, and the only
+      // float ops are two correctly-rounded IEEE sqrts, one multiply and
+      // one divide on identical integers — bit-identical cross-engine.
+      // Degenerate frames (n < 3 or zero variance) yield NULL, not NaN.
+      // Scale shape: one (event_type, day) pre-aggregate collapses the
+      // event volume to a bounded daily series (map-side combinable
+      // count; the exact distinct swaps for agg_bitmap's mergeable form
+      // at larger id domains), then ONE partitioned window pass computes
+      // all five frame sums — no self-join, no per-frame re-scan.
+      val daily = t(s, d, "events")
+        .select(expr("unix_timestamp(ts) div 86400").as("day"),
+          col("event_type"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"), countDistinct(col("user_id")).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily.select(col("event_type"), col("day"), col("x"), col("y"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+          sum(col("x") * col("x")).over(w).as("sxx"),
+          sum(col("y") * col("y")).over(w).as("syy"),
+          sum(col("x") * col("y")).over(w).as("sxy"))
+        .withColumn("corr_xy",
+          when(col("n") >= 3
+              && col("n") * col("sxx") - col("sx") * col("sx") > 0
+              && col("n") * col("syy") - col("sy") * col("sy") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))))
+        .select(col("event_type"), col("day"), col("x"), col("y"),
+          col("n"), col("corr_xy"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -821,6 +860,29 @@ object TemporalOps extends Pack {
         |  max(value) AS high, min(value) AS low,
         |  last(value ORDER BY es, event_id) AS close,
         |  count(*)::BIGINT AS n_events
-        |FROM ev GROUP BY user_id, hh ORDER BY user_id, hh""".stripMargin
+        |FROM ev GROUP BY user_id, hh ORDER BY user_id, hh""".stripMargin,
+
+    "window_rolling_corr" ->
+      """WITH e AS (
+        |  SELECT floor(epoch(ts))::BIGINT // 86400 AS day, event_type, user_id
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, day, count(*)::BIGINT AS x,
+        |         count(DISTINCT user_id)::BIGINT AS y
+        |  FROM e GROUP BY event_type, day),
+        |m AS (
+        |  SELECT event_type, day, x, y,
+        |         count(*) OVER w::BIGINT AS n,
+        |         sum(x) OVER w::BIGINT AS sx, sum(y) OVER w::BIGINT AS sy,
+        |         sum(x*x) OVER w::BIGINT AS sxx, sum(y*y) OVER w::BIGINT AS syy,
+        |         sum(x*y) OVER w::BIGINT AS sxy
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, x, y, n,
+        |  CASE WHEN n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |       THEN (n*sxy - sx*sy)::DOUBLE /
+        |            (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+        |  END AS corr_xy
+        |FROM m ORDER BY event_type, day""".stripMargin
   )
 }
