@@ -292,6 +292,88 @@ object CorpusOps extends Pack {
         .orderBy("source")
     }),
 
+    "text_lm_score" -> ((s, d) => {
+      // Corpus-LM document scoring (the CCNet/KenLM quality discipline,
+      // integer-exact): train a bigram model ON the corpus itself —
+      // P(b|a) = c(ab) / c(a·) with the context count summed over the
+      // bigram table so probabilities are properly conditional — then
+      // score every document under it: average next-token probability in
+      // basis points plus the share of RARE transitions (P < 5%).
+      // Templated/boilerplate text scores high and predictable, original
+      // prose low, gibberish lands almost entirely in the rare bucket —
+      // the fit-to-corpus signal that length/punctuation gates miss.
+      // Everything is integer arithmetic ((cbg*10000) div cug), so both
+      // engines agree bit-for-bit; no float log-likelihood is compared.
+      // Scale shape: bigrams shuffle as 8-byte h60 hashes from the first
+      // aggregate on (train = one (ha,hab) count, context = its rollup);
+      // scoring joins per-doc DISTINCT bigrams (with multiplicity m kept
+      // as a count) against the two count tables on hash keys —
+      // sort-merge at vocabulary scale, deliberately not broadcast. The
+      // oracle keeps raw strings; a 60-bit collision would surface there.
+      val bg = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(" +
+            "element_at(ws, int(i)) AS a, " +
+            "concat(element_at(ws, int(i)), ' ', element_at(ws, int(i) + 1)) AS ab))")).as("p"))
+        .select(col("doc_id"), h60(col("p.a")).as("ha"), h60(col("p.ab")).as("hab"))
+        .persist() // train counts AND per-doc scoring both read it
+      val cbg = bg.groupBy(col("ha"), col("hab")).agg(count(lit(1)).as("cbg"))
+      val cug = cbg.groupBy(col("ha")).agg(sum(col("cbg")).as("cug"))
+      bg.groupBy(col("doc_id"), col("ha"), col("hab")).agg(count(lit(1)).as("m"))
+        .join(cbg, Seq("ha", "hab")).join(cug, Seq("ha"))
+        .withColumn("bp", expr("(cbg * 10000) div cug"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("n_bigrams"),
+          sum(col("m") * col("bp")).as("sum_bp"),
+          sum(when(col("cbg") * 20 < col("cug"), col("m")).otherwise(lit(0L))).as("n_rare"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_bp div n_bigrams").as("avg_prob_bp"),
+          expr("(n_rare * 1000) div n_bigrams").as("rare_permille"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_cdc_chunks" -> ((s, d) => {
+      // Content-defined chunking (the FastCDC/rsync discipline on word
+      // streams): a chunk boundary opens at position i whenever the
+      // rolling 2-word window hash satisfies h60(w[i-1]+' '+w[i]) % 8 == 0
+      // — boundaries depend only on LOCAL content, so an insertion early
+      // in a document shifts every fixed-size block but leaves all
+      // downstream CDC chunks (and their hashes) intact. That is the
+      // property that makes chunk-level dedup of multi-version documents
+      // work where whole-doc hashing (dedup_exact) and fixed windows
+      // fail. Output: per doc, chunk count and the share of its chunks
+      // also present in ANOTHER document (dup_permille) — the dedup
+      // opportunity a block-level store would reclaim.
+      // Scale shape: boundary detection + chunk assembly are IN-ROW array
+      // ops (the winnowing let-idiom binds tokens and the boundary list
+      // as lambda variables so CollapseProject can't re-run the md5 chain
+      // per chunk); chunk instances shuffle as 8-byte h60 hashes only —
+      // chunk text never leaves the scan. The chunk-df table joins back
+      // on the hash key, sort-merge at scale.
+      val chunks = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .withColumn("chs", expr(
+          """transform(array(ws), w ->
+            |  transform(array(filter(sequence(2, size(w)), i ->
+            |      cast(conv(substring(md5(concat(element_at(w, int(i) - 1), ' ', element_at(w, int(i)))), 1, 15), 16, 10) as bigint) % 8 = 0)), b ->
+            |    transform(zip_with(concat(array(1), b), concat(b, array(size(w) + 1)), (cs, ce) -> struct(cs AS cs, ce AS ce)),
+            |      p -> concat_ws(' ', slice(w, p.cs, p.ce - p.cs))))[0])[0]""".stripMargin))
+        .select(col("doc_id"), explode(col("chs")).as("c"))
+        .select(col("doc_id"), h60(col("c")).as("ch"))
+        .persist() // chunk-df aggregate AND per-doc rollup both read it
+      val cdf = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      chunks.join(cdf, "ch")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(lit(0L))).as("dup_chunks"))
+        .withColumn("dup_permille", expr("(dup_chunks * 1000) div n_chunks"))
+        .orderBy("doc_id")
+    }),
+
     "graph_common_neighbors" -> ((s, d) => {
       // Link prediction on the simhash near-dup graph: top-20 NON-adjacent
       // node pairs by common-neighbor count — "these two template families
@@ -945,6 +1027,52 @@ object CorpusOps extends Pack {
         |       min(med_df) AS min_med_df, max(med_df) AS max_med_df
         |FROM med JOIN documents USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b2 AS (
+        |  SELECT doc_id, p['a'] AS a, p['ab'] AS ab FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> {'a': ws[i], 'ab': ws[i] || ' ' || ws[i+1]})) AS p
+        |    FROM w)),
+        |cbg AS (SELECT a, ab, count(*)::BIGINT AS cbg FROM b2 GROUP BY a, ab),
+        |cug AS (SELECT a, sum(cbg)::BIGINT AS cug FROM cbg GROUP BY a),
+        |pd AS (SELECT doc_id, a, ab, count(*)::BIGINT AS m FROM b2 GROUP BY doc_id, a, ab),
+        |j AS (
+        |  SELECT pd.doc_id, pd.m, cbg.cbg, cug.cug,
+        |         (cbg.cbg * 10000) // cug.cug AS bp
+        |  FROM pd JOIN cbg USING (a, ab) JOIN cug USING (a))
+        |SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+        |  (sum(m * bp) // sum(m))::BIGINT AS avg_prob_bp,
+        |  ((sum(CASE WHEN cbg * 20 < cug THEN m ELSE 0 END) * 1000) // sum(m))::BIGINT
+        |    AS rare_permille
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_cdc_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT doc_id, ws,
+        |    list_filter(generate_series(2, len(ws)), i ->
+        |      ('0x'||substr(md5(ws[i-1] || ' ' || ws[i]),1,15))::BIGINT % 8 = 0) AS bs
+        |  FROM w),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      list_zip(list_prepend(1, bs), list_append(bs, len(ws) + 1)),
+        |      p -> array_to_string(ws[p[1] : p[2] - 1], ' '))) AS c
+        |  FROM b),
+        |inst AS (SELECT doc_id, ('0x'||substr(md5(c),1,15))::BIGINT AS ch FROM ch),
+        |cdf AS (SELECT ch, count(DISTINCT doc_id)::BIGINT AS ndocs FROM inst GROUP BY ch)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+        |  ((sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT
+        |    AS dup_permille
+        |FROM inst JOIN cdf USING (ch)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "graph_jaccard" ->
       (pairCte +
