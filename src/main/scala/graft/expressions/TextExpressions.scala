@@ -197,3 +197,102 @@ object MinhashSigs16 {
     if (!any) null else new GenericArrayData(mins)
   }
 }
+
+/** Unicode NFC normalization (the canonical-composition step every web
+  * corpus runs before hashing/dedup: a decomposed `e`+U+0301 and the
+  * precomposed `é` must not count as different documents). Thin, total
+  * wrapper over `java.text.Normalizer` with an `isNormalized` fast path —
+  * for the ASCII/already-composed bulk of a real corpus the input
+  * UTF8String is returned as-is, zero allocation. Parity twin of DuckDB's
+  * `nfc_normalize` (both implement UAX #15 NFC).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_nfc requires string, got ${t.sql}")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = NfcNormalize.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Accent folding: NFD decomposition, then every non-spacing mark (Unicode
+  * category Mn) dropped — `é/è/ê → e`, `ñ → n`, `ç → c`. The canonical
+  * pre-hash key fold for cross-crawl dedup of Latin-script corpora (the
+  * same fold DuckDB's utf8proc-backed `strip_accents` applies, which is
+  * what the oracle runs). ASCII fast path returns the input UTF8String
+  * untouched — no decomposition, no allocation — so at corpus scale the
+  * cost is one byte scan for the overwhelmingly-ASCII majority.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_unaccent requires string, got ${t.sql}")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_unaccent"
+
+  override def nullSafeEval(input: Any): Any =
+    StripAccents.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = StripAccents.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$cls.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  def compute(s: UTF8String): UTF8String = {
+    // ASCII fast path on the raw bytes: no byte >= 0x80 → nothing to fold
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) {
+        val nfd = java.text.Normalizer.normalize(
+          s.toString, java.text.Normalizer.Form.NFD)
+        val sb = new java.lang.StringBuilder(nfd.length)
+        var j = 0
+        while (j < nfd.length) {
+          val c = nfd.charAt(j)
+          if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+          j += 1
+        }
+        return UTF8String.fromString(sb.toString)
+      }
+      i += 1
+    }
+    s
+  }
+}

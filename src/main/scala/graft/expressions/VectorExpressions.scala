@@ -255,7 +255,13 @@ object GraftFunctions {
       (cs: Seq[Expression]) => MinhashSigs16(cs(0))),
     (FunctionIdentifier("graft_simhash32"),
       info("graft_simhash32", "graft_simhash32(text) - 32-bit SimHash fingerprint of single-space-tokenized text, in one in-row pass"),
-      (cs: Seq[Expression]) => Simhash32(cs(0))))
+      (cs: Seq[Expression]) => Simhash32(cs(0))),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(text) - Unicode NFC normalization (UAX #15), isNormalized fast path"),
+      (cs: Seq[Expression]) => NfcNormalize(cs(0))),
+    (FunctionIdentifier("graft_unaccent"),
+      info("graft_unaccent", "graft_unaccent(text) - NFD + strip non-spacing marks (accent fold), ASCII fast path"),
+      (cs: Seq[Expression]) => StripAccents(cs(0))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
