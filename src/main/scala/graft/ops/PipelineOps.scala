@@ -30,6 +30,67 @@ object PipelineOps extends Pack {
 
   val queries: Map[String, Q] = Map(
 
+    "prep_filter_stack" -> ((s, d) => {
+      // The FILTER STACK datasheet — what a production corpus release
+      // publishes next to the data: per source, how many documents each
+      // quality gate would drop (flags are NON-exclusive — a doc can be
+      // short AND noisy) and how many survive the whole stack. Gates
+      // reuse the repo's proven per-gate kernels verbatim (text_quality's
+      // length/punct bounds, text_repetition's repeated-2-gram permille,
+      // text_ttr's type-token ratio, dedup_exact's md5-min-rep), so the
+      // composite can't drift from the individual oracles. All arithmetic
+      // is exact integer permille; verdicts are booleans over integers.
+      // Scale shape: three doc_id-keyed aggregates (bigram counts, word
+      // counts, each map-side combinable, gram strings never leave their
+      // first agg) + one 16-byte-fp dup aggregate, then left joins back
+      // on doc_id and ONE per-source rollup — no text shuffles, no
+      // window, no driver loop.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("n_punct"),
+          md5(col("text")).as("fp"),
+          toks(col("text")).as("ws"))
+      val rep = base.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-1), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1)))"
+        )).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("ng"), count(lit(1)).as("nd"))
+        .select(col("doc_id"), expr("((ng - nd) * 1000) div ng").as("rep_permille"))
+      val ttr = base
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(expr("(count(1) * 1000) div sum(c)").as("ttr_permille"))
+      val dup = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val fl = base
+        .join(rep, Seq("doc_id"), "left")
+        .join(ttr, Seq("doc_id"), "left")
+        .join(dup, Seq("fp"))
+        .select(col("source"),
+          (col("n_chars") < 40).as("f_short"),
+          (col("n_chars") > 10000).as("f_long"),
+          (col("n_punct") * 5 > col("n_chars")).as("f_noisy"),
+          (coalesce(col("rep_permille"), lit(0L)) >= 200).as("f_rep"),
+          (coalesce(col("ttr_permille"), lit(1000L)) < 400).as("f_ttr"),
+          (col("doc_id") =!= col("keep_id")).as("f_dup"))
+      fl.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("f_short"), 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("f_long"), 1L).otherwise(0L)).as("n_long"),
+          sum(when(col("f_noisy"), 1L).otherwise(0L)).as("n_noisy"),
+          sum(when(col("f_rep"), 1L).otherwise(0L)).as("n_repetitive"),
+          sum(when(col("f_ttr"), 1L).otherwise(0L)).as("n_low_ttr"),
+          sum(when(col("f_dup"), 1L).otherwise(0L)).as("n_dup"),
+          sum(when(!col("f_short") && !col("f_long") && !col("f_noisy")
+            && !col("f_rep") && !col("f_ttr") && !col("f_dup"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .withColumn("kept_permille", expr("(n_kept * 1000) div n_docs"))
+        .orderBy("source")
+    }),
+
     "window_streak" -> ((s, d) => {
       // gaps-and-islands: longest run of CONSECUTIVE active days per user.
       // island id = epoch_day - row_number: constant within a consecutive
@@ -401,6 +462,49 @@ object PipelineOps extends Pack {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "prep_filter_stack" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars,
+        |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct,
+        |    md5(text) AS fp, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM base WHERE len(ws) >= 2),
+        |gc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g GROUP BY doc_id, g),
+        |rep AS (SELECT doc_id, ((sum(c) - count(*)) * 1000) // sum(c) AS rep_permille
+        |        FROM gc GROUP BY doc_id),
+        |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+        |         SELECT doc_id, unnest(ws) AS w FROM base)
+        |       WHERE w <> '' GROUP BY doc_id, w),
+        |ttr AS (SELECT doc_id, (count(*) * 1000) // sum(c) AS ttr_permille
+        |        FROM wc GROUP BY doc_id),
+        |dup AS (SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY fp),
+        |fl AS (
+        |  SELECT b.source,
+        |    b.n_chars < 40 AS f_short,
+        |    b.n_chars > 10000 AS f_long,
+        |    b.n_punct * 5 > b.n_chars AS f_noisy,
+        |    coalesce(rep.rep_permille, 0) >= 200 AS f_rep,
+        |    coalesce(ttr.ttr_permille, 1000) < 400 AS f_ttr,
+        |    b.doc_id <> dup.keep_id AS f_dup
+        |  FROM base b
+        |  LEFT JOIN rep USING (doc_id) LEFT JOIN ttr USING (doc_id)
+        |  JOIN dup USING (fp))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN f_short THEN 1 ELSE 0 END)::BIGINT AS n_short,
+        |  sum(CASE WHEN f_long THEN 1 ELSE 0 END)::BIGINT AS n_long,
+        |  sum(CASE WHEN f_noisy THEN 1 ELSE 0 END)::BIGINT AS n_noisy,
+        |  sum(CASE WHEN f_rep THEN 1 ELSE 0 END)::BIGINT AS n_repetitive,
+        |  sum(CASE WHEN f_ttr THEN 1 ELSE 0 END)::BIGINT AS n_low_ttr,
+        |  sum(CASE WHEN f_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  sum(CASE WHEN NOT (f_short OR f_long OR f_noisy OR f_rep OR f_ttr OR f_dup)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  ((sum(CASE WHEN NOT (f_short OR f_long OR f_noisy OR f_rep OR f_ttr OR f_dup)
+        |      THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT AS kept_permille
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin,
 
     "window_streak" ->
       """WITH days AS (
