@@ -201,6 +201,47 @@ object AnalyticsOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "graph_assortativity" -> ((s, d) => {
+      // Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
+      // endpoint degrees over every directed edge instance — positive
+      // means hubs link to hubs (social-graph shape), negative means
+      // hubs link to leaves (web/star shape). On a near-dup graph it
+      // answers "do big template families cross-link each other, or
+      // orbit isolated hubs?" — which decides whether family-merge
+      // passes cascade. agg_corr's exact-integer-moment discipline: both
+      // orientations of each undirected edge contribute a (du, dv)
+      // pair, the five moment sums stay in BIGINT, and the only float
+      // ops are two IEEE sqrts + one mul + one div on identical
+      // integers. Zero-variance (regular) graphs yield NULL.
+      // Scale shape: one degree aggregate on 8-byte node ids, two
+      // degree joins onto the edge list (sort-merge at scale), one
+      // map-side-combinable moment rollup — no window, no all-pairs.
+      val e = TextOps.simhashNearPairs(s, d)
+        .select(least(col("rep_a"), col("rep_b")).as("u"),
+          greatest(col("rep_a"), col("rep_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .persist() // degree aggregate AND the moment pass both read it
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val both = e
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(col("du"), col("dv"))
+      val m = both.select(col("du").as("x"), col("dv").as("y"))
+        .union(both.select(col("dv").as("x"), col("du").as("y")))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      m.select(expr("n div 2").as("n_edges"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+    }),
+
     "graph_degree_dist" -> ((s, d) => {
       // Degree DISTRIBUTION of the near-dup pair graph in power-of-2
       // buckets — the shape diagnostic every web-scale graph job runs
@@ -490,6 +531,33 @@ object AnalyticsOps extends Pack {
            |  FROM f3) WHERE rn = 1)
            |SELECT node AS doc_id, label AS community
            |FROM lab3 ORDER BY doc_id""".stripMargin),
+
+    "graph_assortativity" ->
+      (pairCte +
+        s""",
+           |e AS (
+           |  SELECT DISTINCT least(rep_a, rep_b) AS u, greatest(rep_a, rep_b) AS v
+           |  FROM pairs WHERE rep_a <> rep_b),
+           |degt AS (
+           |  SELECT node, count(*)::BIGINT AS deg FROM (
+           |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+           |ed AS (
+           |  SELECT du.deg AS du, dv.deg AS dv
+           |  FROM e JOIN degt du ON du.node = e.u JOIN degt dv ON dv.node = e.v),
+           |xy AS (
+           |  SELECT du AS x, dv AS y FROM ed
+           |  UNION ALL SELECT dv AS x, du AS y FROM ed),
+           |m AS (
+           |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           |         sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+           |         sum(x*y)::BIGINT AS sxy
+           |  FROM xy)
+           |SELECT (n // 2)::BIGINT AS n_edges,
+           |  CASE WHEN n*sxx - sx*sx > 0
+           |       THEN (n*sxy - sx*sy)::DOUBLE /
+           |            (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+           |  END AS assortativity
+           |FROM m""".stripMargin),
 
     "graph_degree_dist" ->
       (pairCte +
