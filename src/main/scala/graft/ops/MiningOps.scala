@@ -29,6 +29,73 @@ object MiningOps extends Pack {
   private val tokSql = "string_split(text, ' ')"
 
   val queries: Map[String, Q] = Map(
+
+    "events_seq_pairs" -> ((s, d) => {
+      // Sequential-pattern support: for every ordered event-type pair
+      // (a, b), how many users did a THEN (any time later) b — the
+      // non-adjacent generalization of events_transitions (which only
+      // sees consecutive steps) and the per-user twin of basket_rules
+      // (which ignores order). "a then b" per user reduces to interval
+      // algebra on each type's FIRST and LAST occurrence (by event_id,
+      // the stable sequence key): a precedes some b iff min_a < max_b —
+      // no per-event pair scan, no self-join over event instances.
+      // Support and confidence in exact permille.
+      // Scale shape: one (user, type) aggregate collapses the event log
+      // to ≤|types| rows per user; per-user pair generation is IN-ROW
+      // over that constant-bounded struct list; the global rollup keys
+      // on ~|types|² pairs. The only event-sized shuffle is the first
+      // map-side-combinable aggregate.
+      val ev = t(s, d, "events")
+      val stats = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+      val pairs = stats
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          col("event_type").as("t"), col("mn"), col("mx")))).as("ts"))
+        .select(explode(expr(
+          "flatten(transform(ts, x -> transform(" +
+            "filter(ts, y -> y.t != x.t AND x.mn < y.mx), " +
+            "y -> struct(x.t AS a, y.t AS b))))")).as("p"))
+      val withA = stats.groupBy(col("event_type")).agg(count(lit(1)).as("n_a"))
+      val tot = ev.agg(countDistinct(col("user_id")).as("n_total"))
+      pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_users"))
+        .join(withA.select(col("event_type").as("a"), col("n_a")), "a")
+        .crossJoin(tot) // 1-row scalar side, broadcastable by construction
+        .select(col("a"), col("b"), col("n_users"),
+          expr("(n_users * 1000) div n_total").as("supp_permille"),
+          expr("(n_users * 1000) div n_a").as("conf_permille"))
+        .orderBy("a", "b")
+    }),
+
+    "events_audience_overlap" -> ((s, d) => {
+      // Audience overlap: exact user-set Jaccard between every pair of
+      // event types — "is the purchase audience a subset of the click
+      // audience or a different population?", the segmentation question
+      // behind every cross-sell report. Same in-row pair discipline as
+      // graph_jaccard: each user's sorted distinct type set (constant-
+      // bounded by |types|) expands to its ordered pairs IN-ROW, so the
+      // per-user type-set self-join never exists; intersection counts
+      // roll up on ~|types|² keys and the per-type audience sizes join
+      // back. Exact integer permille.
+      val tu = t(s, d, "events")
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+      val nt = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val inter = tu.groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("t"))).as("ts"))
+        .select(explode(expr(
+          "flatten(transform(ts, (a, i) -> transform(" +
+            "slice(ts, i + 2, size(ts)), b -> struct(a AS ta, b AS tb))))")).as("p"))
+        .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(nt.select(col("t").as("ta"), col("n").as("n_ta")), "ta")
+        .join(nt.select(col("t").as("tb"), col("n").as("n_tb")), "tb")
+        .select(col("ta"), col("tb"), col("n_ta"), col("n_tb"), col("n_both"),
+          expr("(n_both * 1000) div (n_ta + n_tb - n_both)").as("jacc_permille"))
+        .orderBy("ta", "tb")
+    }),
+
     "dedup_spans_rebuild" -> ((s, d) => {
       // dedup_spans DETECTS boilerplate blocks; this row REMOVES them —
       // the CCNet-style cleaning step that actually ships: each doc is
@@ -408,6 +475,36 @@ object MiningOps extends Pack {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "events_seq_pairs" ->
+      """WITH st AS (
+        |  SELECT user_id, event_type AS t,
+        |         min(event_id)::BIGINT AS mn, max(event_id)::BIGINT AS mx
+        |  FROM events GROUP BY user_id, event_type),
+        |p AS (
+        |  SELECT x.user_id, x.t AS a, y.t AS b
+        |  FROM st x JOIN st y
+        |    ON x.user_id = y.user_id AND x.t <> y.t AND x.mn < y.mx),
+        |sup AS (SELECT a, b, count(*)::BIGINT AS n_users FROM p GROUP BY a, b),
+        |wa AS (SELECT t AS a, count(*)::BIGINT AS n_a FROM st GROUP BY t),
+        |tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n_total FROM events)
+        |SELECT a, b, n_users,
+        |       (n_users * 1000) // n_total AS supp_permille,
+        |       (n_users * 1000) // n_a AS conf_permille
+        |FROM sup JOIN wa USING (a), tot ORDER BY a, b""".stripMargin,
+
+    "events_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        |nt AS (SELECT t, count(*)::BIGINT AS n FROM tu GROUP BY t),
+        |i AS (
+        |  SELECT x.t AS ta, y.t AS tb, count(*)::BIGINT AS n_both
+        |  FROM tu x JOIN tu y ON x.user_id = y.user_id AND x.t < y.t
+        |  GROUP BY x.t, y.t)
+        |SELECT ta, tb, na.n AS n_ta, nb.n AS n_tb, n_both,
+        |       (n_both * 1000) // (na.n + nb.n - n_both) AS jacc_permille
+        |FROM i JOIN nt na ON na.t = i.ta JOIN nt nb ON nb.t = i.tb
+        |ORDER BY ta, tb""".stripMargin,
+
     "dedup_spans_rebuild" ->
       s"""WITH base AS (SELECT doc_id, $tokSql AS ws FROM documents),
          |blk AS (

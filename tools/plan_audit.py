@@ -24,7 +24,10 @@ BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim
                 "events_grid",
                 # scalar corpus-max (1-row aggregate) broadcast back onto the
                 # per-user frame — the standard scalar-subquery join shape
-                "events_rfm"}
+                "events_rfm",
+                # total-user count (1-row aggregate) broadcast onto the
+                # ~|types|^2 support table for the permille denominators
+                "events_seq_pairs"}
 
 # Queries whose plans must have ZERO Exchange partitioned on vec_id — the
 # fanout-groupBy-argmin regression guard. These rank a bounded candidate
