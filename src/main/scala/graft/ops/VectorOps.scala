@@ -190,6 +190,39 @@ object VectorOps extends Pack {
       KMeans.summarize(vecs, model)
     }),
 
+    "ml_cluster_purity" -> ((s, d) => {
+      // External cluster EVALUATION — the step after ml_kmeans every
+      // clustering pipeline runs: per cell, how homogeneous is it against
+      // the ground-truth `label` column (majority label, its share in
+      // exact permille)? Low purity cells are where the embedding space
+      // disagrees with the taxonomy — the triage list for re-labeling or
+      // re-embedding. Same one-Lloyd-round model as ml_kmeans (shared
+      // oracle CTE prefix, so the two queries cannot drift); the argmax
+      // is a struct-max with min-label tie-break — no window.
+      // Scale shape: assignment is the same ZERO-Exchange narrow pass as
+      // ml_kmeans (k literal centroids fold in-row); then one
+      // (cell, label) count and a k-row argmax rollup, both map-side
+      // combinable; the label join is vec_id-keyed on the same scan.
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val vecs = emb
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> bigint(round(double(x) * 1000)) + 1000L)").as("v"))
+        .persist() // seed scan + assignment pass read it (caller sweeps)
+      val model = KMeans.fit(vecs, k = 8, maxRounds = 1)
+      KMeans.assign(vecs, model.centroids)
+        .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+        .groupBy(col("cell").cast("long").as("cell"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("cell"))
+        .agg(sum(col("c")).as("n_vecs"),
+          max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+        .select(col("cell"), col("n_vecs"),
+          (-col("m.neg")).as("top_label"), col("m.c").as("n_top"),
+          expr("(m.c * 1000) div n_vecs").as("purity_permille"))
+        .orderBy("cell")
+    }),
+
     "sim_sq8" -> ((s, d) => {
       // int8 scalar-quantized ANN with exact rerank — the memory-bound
       // production layout: each vector stores a per-vector scale m =
@@ -440,50 +473,73 @@ object VectorOps extends Pack {
       |FROM q, p WHERE vec_id <> 0
       |ORDER BY dot_q DESC, vec_id ASC LIMIT 20""".stripMargin
 
+  /** The ml_kmeans one-Lloyd-round replay, ending in a2(vec_id, cell, d2)
+    * — shared CTE prefix of the ml_kmeans and ml_cluster_purity oracles
+    * so the clustering twin cannot drift between them.
+    */
+  private val kmeansA2Cte: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT + 1000) AS v
+      |  FROM embeddings),
+      |c0 AS (
+      |  -- seed cells are RANK-indexed over the k lowest vec_ids (0..k-1),
+      |  -- mirroring KMeans.fit structurally — not vec_id-indexed, which
+      |  -- only coincides when vec_ids are 0-based contiguous
+      |  SELECT rn - 1 AS cell, v AS cv FROM (
+      |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM q) WHERE rn <= 8),
+      |d1 AS (
+      |  SELECT q.vec_id, c0.cell,
+      |    list_sum(list_transform(q.v, (x, i) -> (x - c0.cv[i]) * (x - c0.cv[i])))::BIGINT AS d2
+      |  FROM q, c0),
+      |a1 AS (
+      |  SELECT vec_id, cell, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d1)
+      |  WHERE rn = 1),
+      |s1 AS (
+      |  SELECT a1.cell, ii.i, sum(q.v[ii.i])::BIGINT AS s, count(*)::BIGINT AS n
+      |  FROM a1 JOIN q USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i) ii
+      |  GROUP BY a1.cell, ii.i),
+      |c1u AS (SELECT cell, list(s // n ORDER BY i) AS cv FROM s1 GROUP BY cell),
+      |c1 AS (
+      |  -- a cell that emptied in round 1 KEEPS its seed centroid (the
+      |  -- standard Lloyd rule KMeans.fit applies), so the re-assignment
+      |  -- still ranks all k cells — not only the non-empty ones
+      |  SELECT c0.cell, coalesce(c1u.cv, c0.cv) AS cv
+      |  FROM c0 LEFT JOIN c1u USING (cell)),
+      |d2t AS (
+      |  SELECT q.vec_id, c1.cell,
+      |    list_sum(list_transform(q.v, (x, i) -> (x - c1.cv[i]) * (x - c1.cv[i])))::BIGINT AS d2
+      |  FROM q, c1),
+      |a2 AS (
+      |  SELECT vec_id, cell, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d2t)
+      |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_native" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
 
     "ml_kmeans" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT + 1000) AS v
-        |  FROM embeddings),
-        |c0 AS (
-        |  -- seed cells are RANK-indexed over the k lowest vec_ids (0..k-1),
-        |  -- mirroring KMeans.fit structurally — not vec_id-indexed, which
-        |  -- only coincides when vec_ids are 0-based contiguous
-        |  SELECT rn - 1 AS cell, v AS cv FROM (
-        |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM q) WHERE rn <= 8),
-        |d1 AS (
-        |  SELECT q.vec_id, c0.cell,
-        |    list_sum(list_transform(q.v, (x, i) -> (x - c0.cv[i]) * (x - c0.cv[i])))::BIGINT AS d2
-        |  FROM q, c0),
-        |a1 AS (
-        |  SELECT vec_id, cell, d2 FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d1)
-        |  WHERE rn = 1),
-        |s1 AS (
-        |  SELECT a1.cell, ii.i, sum(q.v[ii.i])::BIGINT AS s, count(*)::BIGINT AS n
-        |  FROM a1 JOIN q USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i) ii
-        |  GROUP BY a1.cell, ii.i),
-        |c1u AS (SELECT cell, list(s // n ORDER BY i) AS cv FROM s1 GROUP BY cell),
-        |c1 AS (
-        |  -- a cell that emptied in round 1 KEEPS its seed centroid (the
-        |  -- standard Lloyd rule KMeans.fit applies), so the re-assignment
-        |  -- still ranks all k cells — not only the non-empty ones
-        |  SELECT c0.cell, coalesce(c1u.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN c1u USING (cell)),
-        |d2t AS (
-        |  SELECT q.vec_id, c1.cell,
-        |    list_sum(list_transform(q.v, (x, i) -> (x - c1.cv[i]) * (x - c1.cv[i])))::BIGINT AS d2
-        |  FROM q, c1),
-        |a2 AS (
-        |  SELECT vec_id, cell, d2 FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d2t)
-        |  WHERE rn = 1)
+      (kmeansA2Cte + """
         |SELECT cell, count(*)::BIGINT AS n_vecs, sum(d2)::BIGINT AS inertia
-        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
+        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin),
+
+    "ml_cluster_purity" ->
+      (kmeansA2Cte + """,
+        |cl AS (
+        |  SELECT a2.cell, e.label::BIGINT AS label, count(*)::BIGINT AS c
+        |  FROM a2 JOIN embeddings e USING (vec_id)
+        |  GROUP BY a2.cell, e.label),
+        |top AS (
+        |  SELECT cell, label, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY c DESC, label ASC) AS rn
+        |    FROM cl) WHERE rn = 1)
+        |SELECT cl.cell, sum(cl.c)::BIGINT AS n_vecs, top.label AS top_label,
+        |       top.c AS n_top,
+        |       ((top.c * 1000) // sum(cl.c))::BIGINT AS purity_permille
+        |FROM cl JOIN top USING (cell)
+        |GROUP BY cl.cell, top.label, top.c ORDER BY cl.cell""".stripMargin),
 
     "sim_sq8" ->
       """WITH q AS (
