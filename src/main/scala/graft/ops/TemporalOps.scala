@@ -108,6 +108,89 @@ object TemporalOps extends Pack {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    "join_scd2_pit" -> ((s, d) => {
+      // POINT-IN-TIME join against the SCD2 dimension — the canonical
+      // warehouse question scd2_history exists to answer: each purchase
+      // attributed to the tier version valid AT its timestamp (not the
+      // current one — that's the lookahead bug PIT joins exist to
+      // prevent). Implemented as the as-of carry-forward, NOT an
+      // interval join: dimension-version rows and fact rows union into
+      // one per-user stream ordered by (es, event_id, is_dim DESC) —
+      // dim-before-fact on ties, so a purchase that itself changes the
+      // tier sees its own change — and one IGNORE NULLS carry paints
+      // every fact with the version in force. ONE user_id shuffle total;
+      // at 100 TB this replaces the unbounded interval self-join with a
+      // linear merge per key, the join_asof discipline.
+      val byU0 = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"), col("event_type"), col("value"),
+          floor(col("value") / 100).cast("long").as("tier0"))
+      val dim = ev
+        .withColumn("prev", lag(col("tier0"), 1).over(byU0))
+        .filter(col("prev").isNull || col("tier0") =!= col("prev"))
+        .select(col("user_id"), col("es"), col("event_id"),
+          col("tier0").as("tier"), lit(1).as("is_dim"),
+          lit(null).cast("long").as("cents"))
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("es"), col("event_id"),
+          lit(null).cast("long").as("tier"), lit(0).as("is_dim"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val carry = Window.partitionBy(col("user_id"))
+        .orderBy(col("es"), col("event_id"), col("is_dim").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim.unionByName(fact)
+        .withColumn("pit_tier", last(col("tier"), ignoreNulls = true).over(carry))
+        .filter(col("is_dim") === 0)
+        .groupBy(col("pit_tier").as("tier"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("cents_sum"))
+        .orderBy("tier")
+    }),
+
+    "events_ab_test" -> ((s, d) => {
+      // Deterministic A/B evaluation: assignment is the content-free key
+      // hash discipline (user_id parity — stable under reruns and
+      // backfills, the prep_split rule), metric is purchase conversion.
+      // One wide row: per-variant users/converters/revenue, conversion
+      // and lift in exact integer permille (the lift numerator is kept
+      // non-negative before the shift so trunc-vs-floor division can
+      // never diverge), and the pooled two-proportion z-score under the
+      // agg_corr float discipline — exact BIGINT counts into three IEEE
+      // sqrts, one multiply, one divide, identically ordered in both
+      // engines; degenerate pools (zero or all converters) yield NULL.
+      // Scale shape: one map-side-combinable per-user aggregate, then a
+      // single global conditional rollup — no shuffle after the first.
+      val ul = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      ul.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+          sum(when(col("variant") === 0, col("cents")).otherwise(0L)).as("cents0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"),
+          sum(when(col("variant") === 1, col("cents")).otherwise(0L)).as("cents1"))
+        .withColumn("nn", col("n0") + col("n1"))
+        .withColumn("cc", col("c0") + col("c1"))
+        .select(col("n0"), col("c0"), col("cents0"),
+          col("n1"), col("c1"), col("cents1"),
+          expr("(c0 * 1000) div n0").as("conv0_permille"),
+          expr("(c1 * 1000) div n1").as("conv1_permille"),
+          when(col("c0") * col("n1") > 0,
+            expr("(c1 * n0 * 1000) div (c0 * n1)") - 1000).as("lift_permille"),
+          when(col("cc") > 0 && col("cc") < col("nn"),
+            (col("c1") * col("n0") - col("c0") * col("n1")).cast("double")
+              * sqrt(col("nn").cast("double"))
+              / (sqrt((col("cc") * (col("nn") - col("cc"))).cast("double"))
+                * sqrt((col("n0") * col("n1")).cast("double"))))
+            .as("z_score"))
+    }),
+
     "merge_upsert" -> ((s, d) => {
       // CDC upsert (MERGE): a base table absorbs a delta of updates and
       // inserts; latest version per key wins. The delta here is derived
@@ -581,6 +664,57 @@ object TemporalOps extends Pack {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS last_purchase_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "join_scd2_pit" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS es, event_type, value,
+        |         floor(value / 100)::BIGINT AS tier0
+        |  FROM events),
+        |dim AS (
+        |  SELECT user_id, es, event_id, tier0 AS tier, 1 AS is_dim, NULL::BIGINT AS cents
+        |  FROM (SELECT *, lag(tier0) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev
+        |        FROM ev)
+        |  WHERE prev IS NULL OR tier0 <> prev),
+        |fact AS (
+        |  SELECT user_id, es, event_id, NULL::BIGINT AS tier, 0 AS is_dim,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM ev WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM dim UNION ALL SELECT * FROM fact),
+        |c AS (
+        |  SELECT *, last_value(tier IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY es, event_id, is_dim DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit_tier
+        |  FROM u)
+        |SELECT pit_tier AS tier, count(*)::BIGINT AS n_purchases,
+        |       count(DISTINCT user_id)::BIGINT AS n_users, sum(cents)::BIGINT AS cents_sum
+        |FROM c WHERE is_dim = 0 GROUP BY pit_tier ORDER BY tier""".stripMargin,
+
+    "events_ab_test" ->
+      """WITH ul AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv,
+        |    sum(CASE WHEN event_type = 'purchase' THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS cents,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)::BIGINT AS c0,
+        |    sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)::BIGINT AS cents0,
+        |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN variant = 1 THEN conv ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN variant = 1 THEN cents ELSE 0 END)::BIGINT AS cents1
+        |  FROM ul)
+        |SELECT n0, c0, cents0, n1, c1, cents1,
+        |  (c0 * 1000) // n0 AS conv0_permille,
+        |  (c1 * 1000) // n1 AS conv1_permille,
+        |  CASE WHEN c0 * n1 > 0 THEN (c1 * n0 * 1000) // (c0 * n1) - 1000 END AS lift_permille,
+        |  CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1
+        |       THEN (c1*n0 - c0*n1)::DOUBLE * sqrt((n0 + n1)::DOUBLE)
+        |            / (sqrt(((c0 + c1) * (n0 + n1 - c0 - c1))::DOUBLE)
+        |               * sqrt((n0*n1)::DOUBLE))
+        |  END AS z_score
+        |FROM m""".stripMargin,
 
     "scd2_history" ->
       """WITH ev AS (
