@@ -304,6 +304,48 @@ object ImageCodec {
     hash
   }
 
+  /** Difference hash (dHash, the gradient twin of [[aHash64]]): the
+    * raster folds onto a floor-grid of 8 rows × 9 columns of block
+    * means, and bit (yb·8 + xb) is set iff the column to the RIGHT is
+    * strictly brighter — the horizontal-gradient signature that survives
+    * brightness/contrast shifts aHash's global-mean comparison doesn't.
+    * Mean comparison is cross-multiplied (s_right·n_left > s_left·n_right,
+    * exact integers, no division); a bit whose left or right cell is
+    * EMPTY (possible only at width 8, where the 9-column grid leaves one
+    * column unpopulated) stays 0 — mirrored by the oracle's inner join.
+    */
+  def dHash64(r: Raster): Long = {
+    val w = r.width; val h = r.height
+    val sums = new Array[Long](72) // 8 rows x 9 cols
+    val cnts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        val g = (r.rgb(p) & 0xff) + (r.rgb(p + 1) & 0xff) + (r.rgb(p + 2) & 0xff)
+        val c = (y * 8 / h) * 9 + (x * 9 / w)
+        sums(c) += g; cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var yb = 0
+    while (yb < 8) {
+      var xb = 0
+      while (xb < 8) {
+        val l = yb * 9 + xb
+        if (cnts(l) > 0 && cnts(l + 1) > 0
+            && sums(l + 1) * cnts(l) > sums(l) * cnts(l + 1))
+          hash |= 1L << (yb * 8 + xb)
+        xb += 1
+      }
+      yb += 1
+    }
+    hash
+  }
+
   /** Hand-packable BI_RLE8 BMP: 54-byte headers + a BGRA palette of
     * `pal` rgb triples + the caller's raw RLE stream (runs, escapes, and
     * the final 0,1 end-of-bitmap included). Fixture builder for the RLE
