@@ -377,6 +377,36 @@ object WavCodec {
     * only the final sqrt touches floating point (IEEE-deterministic on an
     * exact integer ratio).
     */
+  /** Per-frame energy contour: sum of |mono sample| over each FULL
+    * frame of `frame` samples (the trailing partial frame is dropped —
+    * both engines must agree on frame count, and a short tail would make
+    * the last energy length-dependent). The contour is the input to the
+    * audio fingerprint (audio_contour_hash): like image dHash, the
+    * DIRECTION of energy change frame-to-frame survives gain changes
+    * that shift every absolute energy.
+    */
+  def frameEnergies(p: Pcm, frame: Int): Array[Long] = {
+    require(frame > 0, "frame must be positive")
+    val nf = p.nFrames / frame
+    val out = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var acc = 0L
+      var i = 0
+      while (i < frame) {
+        val base = (f * frame + i) * p.channels
+        var c = 0
+        var m = 0L
+        while (c < p.channels) { m += p.samples(base + c); c += 1 }
+        acc += math.abs(m / p.channels)
+        i += 1
+      }
+      out(f) = acc
+      f += 1
+    }
+    out
+  }
+
   def rmsMilli(p: Pcm, from: Int = 0, until: Int = Int.MaxValue): Long = {
     val hi = math.min(p.nFrames, until)
     if (hi <= from) return 0L

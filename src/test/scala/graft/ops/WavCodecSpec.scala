@@ -238,4 +238,23 @@ class WavCodecSpec extends AnyFunSuite {
     assert(rmsMilli(twoPhase, 0, 500) == 0L)
     assert(rmsMilli(twoPhase, 500, 1000) == 500L)
   }
+
+  test("frameEnergies: exact sums, partial-frame drop, stereo mono-mix, contour gain-invariance") {
+    import WavCodec.{Pcm, frameEnergies}
+    // 2 full frames of 4 + a 3-sample tail that must be DROPPED
+    val p = Pcm(8000, 1, Array[Short](1, -2, 3, -4, 10, 10, -10, -10, 99, 99, 99))
+    assert(frameEnergies(p, 4).toSeq == Seq(10L, 40L))
+    // stereo mono-mixes by integer average before the abs
+    val st = Pcm(8000, 2, Array[Short](10, 30, -20, -40, 5, 5, 0, 0))
+    assert(frameEnergies(st, 2).toSeq == Seq(20L + 30L, 5L + 0L))
+    // contour DIRECTION (the fingerprint bit) survives a 2x gain the
+    // absolute energies do not
+    val a = Array.tabulate[Short](128)(i => ((i % 37) * 30 - 500).toShort)
+    val loud = a.map(v => (v * 2).toShort)
+    def dirs(s: Array[Short]) = {
+      val e = frameEnergies(Pcm(8000, 1, s), 32)
+      e.sliding(2).map { case Array(x, y) => y > x }.toSeq
+    }
+    assert(dirs(a) == dirs(loud))
+  }
 }
