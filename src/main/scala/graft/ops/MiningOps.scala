@@ -171,6 +171,86 @@ object MiningOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "dedup_spans_near" -> ((s, d) => {
+      // NEAR-duplicate passages: dedup_spans finds blocks whose EXACT
+      // text repeats across docs; this finds block pairs whose token
+      // SETS overlap (Jaccard >= 1/2) without being identical — the
+      // reworded/reordered boilerplate exact span dedup is blind to.
+      // Candidates come from PREFIX FILTERING (the PPJoin discipline,
+      // SIGMOD'06-era, public): tokens order globally by (df, hash) —
+      // encoded as ONE integer key df·2^36 + (h mod 2^36) so both
+      // engines sort identically — and for Jaccard >= 1/2 two sets must
+      // share a token in their first floor(n/2)+1 keys (the
+      // prefix-filter theorem); every candidate is verified by exact
+      // set Jaccard.
+      // Scale shape (why not MinHash bands here): a banded slot minimum
+      // is dominated by common low-hash tokens, so band buckets grow
+      // with token df and pairs square on hot vocabulary (first cut
+      // measured 88 s at sf0.1 AND silently missed half the true pairs
+      // — the prefix filter found 2x the pairs banding did at the gate
+      // scale). Prefix keys mostly self-regulate (a hot token's big df
+      // pushes its key past prefix boundaries), but blocks made
+      // ENTIRELY of common tokens keep hot keys in their prefixes, so a
+      // posting-list cap bounds the join (see pref0 below). Identical
+      // block texts collapse to one rep first (the reps-collapse
+      // discipline); only 8-byte keys and <= 8-long hash arrays shuffle
+      // — block text never leaves the scan.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 8)
+      val blocks = base
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) div 8), i -> array_join(slice(ws, (i-1)*8 + 1, 8), ' '))"
+        )).as("blk"))
+      val reps = blocks
+        .select(col("doc_id"), h60(col("blk")).as("bh"),
+          expr("array_sort(array_distinct(transform(split(blk, ' '), " +
+            "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))))").as("th"))
+        .groupBy(col("bh"), col("th"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        // rep table feeds the df aggregate, the prefix build, and both
+        // verify joins — released by the engine-entry convention
+        // (Verify/Bench sweep persistent RDDs after every query)
+        .persist()
+      val dfT = reps.select(explode(col("th")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val pref0 = reps.select(col("bh"), explode(col("th")).as("h"))
+        .join(dfT, "h")
+        .select(col("bh"),
+          (col("df") * lit(68719476736L) + pmod(col("h"), lit(68719476736L))).as("e"))
+        .groupBy(col("bh")).agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("bh"), explode(expr("slice(es, 1, size(es) div 2 + 1)")).as("e"))
+        // posting-list cap (the dedup_ngram coverage-loss discipline): on
+        // a template-heavy corpus whole blocks are made of COMMON tokens,
+        // so even their rarity-sorted prefixes carry df~10^4 keys and the
+        // self-join squares (measured 4·10^8 candidates at sf0.1). Keys
+        // joining more than 200 blocks are dropped — pairs whose EVERY
+        // shared prefix key is that hot are the documented loss, exactly
+        // the boilerplate family whose members exact/doc-level dedup
+        // already collapses.
+        .persist()
+      val pref = pref0.join(
+        pref0.groupBy(col("e")).agg(count(lit(1)).as("pl"))
+          .filter(col("pl") <= 200), "e")
+      val cand = pref.as("x").join(pref.as("y"),
+          col("x.e") === col("y.e") && col("x.bh") < col("y.bh"))
+        .select(col("x.bh").as("bh_a"), col("y.bh").as("bh_b"))
+        .distinct()
+      cand
+        .join(reps.select(col("bh").as("bh_a"), col("th").as("tha"),
+          col("n_docs").as("n_docs_a")), "bh_a")
+        .join(reps.select(col("bh").as("bh_b"), col("th").as("thb"),
+          col("n_docs").as("n_docs_b")), "bh_b")
+        .withColumn("inter", expr("size(array_intersect(tha, thb))").cast("long"))
+        .withColumn("na", expr("size(tha)").cast("long"))
+        .withColumn("nb", expr("size(thb)").cast("long"))
+        .withColumn("jacc_permille", expr("(inter * 1000) div (na + nb - inter)"))
+        .filter(col("jacc_permille") >= 500)
+        .select(col("bh_a"), col("bh_b"), col("n_docs_a"), col("n_docs_b"),
+          col("jacc_permille"))
+        .orderBy("bh_a", "bh_b")
+    }),
+
     "dedup_substring" -> ((s, d) => {
       // NON-ALIGNED span dedup: every 8-token window at EVERY offset
       // (stride 1), the exact-substring-match regime — a duplicated
@@ -542,6 +622,40 @@ object MiningOps extends Pack {
     // stride-1 twin of the dedup_spans oracle: windows at every offset,
     // raw window strings as the join key (the Spark side shuffles h60
     // hashes — a collision would surface here as a count mismatch)
+    "dedup_spans_near" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $tokSql AS ws FROM documents WHERE len($tokSql) >= 8),
+         |blk AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) // 8),
+         |    i -> array_to_string(ws[(i-1)*8 + 1 : (i-1)*8 + 8], ' '))) AS blk
+         |  FROM base),
+         |reps AS (
+         |  SELECT ('0x'||substr(md5(blk),1,15))::BIGINT AS bh,
+         |         list_sort(list_distinct(list_transform(string_split(blk, ' '),
+         |           w -> ('0x'||substr(md5(w),1,15))::BIGINT))) AS th,
+         |         count(DISTINCT doc_id)::BIGINT AS n_docs
+         |  FROM blk GROUP BY blk),
+         |tok AS (SELECT bh, unnest(th) AS h FROM reps),
+         |dft AS (SELECT h, count(*)::BIGINT AS df FROM tok GROUP BY h),
+         |pref0 AS (
+         |  SELECT bh, unnest(es[1 : len(es) // 2 + 1]) AS e FROM (
+         |    SELECT bh, list_sort(list(df * 68719476736 + (h % 68719476736))) AS es
+         |    FROM tok JOIN dft USING (h) GROUP BY bh)),
+         |keep AS (SELECT e FROM pref0 GROUP BY e HAVING count(*) <= 200),
+         |pref AS (SELECT p.bh, p.e FROM pref0 p JOIN keep USING (e)),
+         |cand AS (
+         |  SELECT DISTINCT x.bh AS bh_a, y.bh AS bh_b
+         |  FROM pref x JOIN pref y ON x.e = y.e AND x.bh < y.bh),
+         |v AS (
+         |  SELECT c.bh_a, c.bh_b, ra.n_docs AS n_docs_a, rb.n_docs AS n_docs_b,
+         |    len(list_intersect(ra.th, rb.th))::BIGINT AS inter,
+         |    len(ra.th)::BIGINT AS na, len(rb.th)::BIGINT AS nb
+         |  FROM cand c JOIN reps ra ON ra.bh = c.bh_a JOIN reps rb ON rb.bh = c.bh_b)
+         |SELECT bh_a, bh_b, n_docs_a, n_docs_b,
+         |       (inter * 1000) // (na + nb - inter) AS jacc_permille
+         |FROM v WHERE (inter * 1000) // (na + nb - inter) >= 500
+         |ORDER BY bh_a, bh_b""".stripMargin,
+
     "dedup_substring" ->
       s"""WITH base AS (
          |  SELECT doc_id, $tokSql AS ws FROM documents WHERE len($tokSql) >= 8),
