@@ -66,6 +66,35 @@ object StreamingAggs {
       .select(unix_timestamp(col("window.start")).as("bucket_s"), col("user_id"),
         col("open"), col("high"), col("low"), col("close"), col("n_events"))
 
+  /** Streaming twin of the batch `events_ab_test` counter core: per
+    * event-time tumbling window and experiment variant (the same
+    * content-free user_id parity assignment — stable across batches,
+    * retries and backfills), event count, purchase count, revenue cents
+    * and per-event conversion in exact integer permille. Watermarked
+    * append: each (window, variant) row finalizes exactly once, so the
+    * experiment dashboard's history is immutable — late events beyond
+    * the watermark are dropped, not restated (the reference-pipeline
+    * at-least-once counters, main.py:432, upgraded to exactly-once
+    * window semantics). Cents quantize as round(value·100) BEFORE the
+    * sum — the house integer-money rule — so a re-run, a different
+    * partitioning, or the batch twin produces bit-identical counters.
+    * Scale shape: ONE map-side-combinable windowed aggregate on a
+    * (window, variant) key space of 2 rows per window; state is bounded
+    * by the watermark horizon, per-event work is a projection.
+    */
+  def abMonitor(events: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), pmod(col("user_id"), lit(2)).as("variant"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+      .select(unix_timestamp(col("window.start")).as("bucket_s"), col("variant"),
+        col("n_events"), col("n_purchases"), col("cents"),
+        expr("(n_purchases * 1000) div n_events").as("conv_permille"))
+
   /** Stream-static enrichment: join each micro-batch against a slowly
     * changing dimension. The static side is broadcast (re-planned per
     * batch, so an updated dim TABLE is re-read at its next batch) — the

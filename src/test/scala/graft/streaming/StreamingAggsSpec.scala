@@ -60,6 +60,37 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming A/B monitor: variant counters merge across batches, finalize once, match the batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val q = StreamingAggs.abMonitor(events, "1 minute")
+      .writeStream.format("memory").queryName("abmon").outputMode("append").start()
+    try {
+      // window [0,60): variant 0 = users 2,4 (one purchase), variant 1 =
+      // user 3 (purchase) — split ACROSS two micro-batches so the
+      // counters must merge through the state store
+      mem.addData((ts(5), 2L, "view", 1.0), (ts(10), 3L, "purchase", 2.5))
+      q.processAllAvailable()
+      mem.addData((ts(20), 4L, "purchase", 1.25), (ts(30), 2L, "click", 9.0))
+      q.processAllAvailable()
+      mem.addData((ts(200), 8L, "view", 1.0)) // watermark 140 finalizes [0,60)
+      q.processAllAvailable()
+      val rows = spark.table("abmon").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      // variant 0: 3 events, 1 purchase (125 cents), conv 333 permille
+      // variant 1: 1 event, 1 purchase (250 cents), conv 1000 permille
+      assert(rows == Set((0L, 0L, 3L, 1L, 125L, 333L), (0L, 1L, 1L, 1L, 250L, 1000L)),
+        s"got $rows")
+      // late event inside the finalized window must NOT restate the row
+      mem.addData((ts(15), 6L, "purchase", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("abmon").count() == 2)
+    } finally q.stop()
+  }
+
   test("windowed heavy hitters merge sketch state across micro-batches and finalize exactly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
