@@ -151,6 +151,74 @@ object PipelineOps extends Pack {
         .orderBy("cohort", "week_offset")
     }),
 
+    "text_vocab_drift" -> ((s, d) => {
+      // Per-source VOCABULARY DRIFT vs the whole corpus — the dataset-
+      // mixture health check every multi-source training run wants: is
+      // source X's unigram distribution the corpus's, or is it skewed
+      // enough to need a mixture weight (prep_mixture) or a second look?
+      // Drift is the exact L2 distance between per-100k unigram
+      // frequency vectors over the UNION of vocabularies, decomposed so
+      // it needs only the source-side join:
+      //   Σ_union (p_s - p_a)² = Σ_{w∈src} [(p_s-p_a)² - p_a²] + Σ_all p_a²
+      // — the second term is ONE corpus-wide scalar every source shares.
+      // All arithmetic is integer (per-100k quantization, the permille
+      // rule scaled up to keep unigram resolution); no KL/JS log floats.
+      // Scale shape: two word-count aggregates (corpus + per-source,
+      // both map-side combinable, words shuffle once each), one hash
+      // join on the word key, a per-source rollup, and a 1-row scalar
+      // broadcast — the events_rfm shape.
+      val words = t(s, d, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .persist() // corpus counts AND per-source counts read it
+      val all = words.groupBy(col("w")).agg(count(lit(1)).as("ca"))
+      val na = all.agg(sum(col("ca")).as("n_all"),
+        count(lit(1)).as("vocab_all"))
+      val pAll = all.crossJoin(na)
+        .select(col("w"), expr("(ca * 100000) div n_all").as("pa"))
+        .persist() // joined per source AND summed for the scalar term
+      val sumPa2 = pAll.agg(sum(col("pa") * col("pa")).as("sum_pa2"))
+      val src = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+      val ns = src.groupBy(col("source"))
+        .agg(sum(col("cs")).as("n_src"), count(lit(1)).as("vocab_src"))
+      src.join(ns, "source")
+        .withColumn("ps", expr("(cs * 100000) div n_src"))
+        .join(pAll, "w")
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_tokens"),
+          max(col("vocab_src")).as("n_vocab"),
+          sum((col("ps") - col("pa")) * (col("ps") - col("pa"))
+            - col("pa") * col("pa")).as("delta"))
+        .crossJoin(sumPa2) // 1-row scalar side, broadcastable by construction
+        .select(col("source"), col("n_tokens"), col("n_vocab"),
+          (col("delta") + col("sum_pa2")).as("l2_drift_p100k"))
+        .orderBy("source")
+    }),
+
+    "fn_uuid3" -> ((s, d) => {
+      // Deterministic content-addressed ids: RFC 4122 version-3 UUIDs
+      // (MD5 namespace hashing) for every document — the stable-id
+      // discipline a 100 TB corpus needs so re-crawls, backfills and
+      // engines all mint the SAME id from the same content, with a
+      // standards-shaped value any downstream system accepts. Built
+      // from md5 hex by pure string surgery: 8-4-4-4-12 grouping, the
+      // version nibble forced to '3', the variant nibble mapped into
+      // [89ab] (hex digit & 0b0011 | 0b1000) via a 16-way translate —
+      // identical codegen'd string ops in both engines, no UDF.
+      // Narrow per-row map; the only shuffle is the final ORDER BY.
+      val h = md5(concat(lit("graft:doc:"), col("text")))
+      val variantNibble = translate(substring(h, 17, 1),
+        "0123456789abcdef", "89ab89ab89ab89ab")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws("-",
+            substring(h, 1, 8), substring(h, 9, 4),
+            concat(lit("3"), substring(h, 14, 3)),
+            concat(variantNibble, substring(h, 18, 3)),
+            substring(h, 21, 12)).as("uuid3"))
+        .orderBy("doc_id")
+    }),
+
     "text_gram_df" -> ((s, d) => {
       // ccnet-style repeated-gram coverage: how much of each document is
       // built from corpus-common word-3-grams (df >= 5). High coverage =
@@ -462,6 +530,35 @@ object PipelineOps extends Pack {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "text_vocab_drift" ->
+      """WITH wf AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |allc AS (SELECT w, count(*)::BIGINT AS ca FROM wf GROUP BY w),
+        |na AS (SELECT sum(ca)::BIGINT AS n_all FROM allc),
+        |pall AS (SELECT w, (ca * 100000) // n_all AS pa FROM allc, na),
+        |spa2 AS (SELECT sum(pa * pa)::BIGINT AS sum_pa2 FROM pall),
+        |src AS (SELECT source, w, count(*)::BIGINT AS cs FROM wf GROUP BY source, w),
+        |ns AS (SELECT source, sum(cs)::BIGINT AS n_src, count(*)::BIGINT AS vocab_src
+        |       FROM src GROUP BY source),
+        |j AS (
+        |  SELECT s.source, ns.n_src, ns.vocab_src,
+        |         (s.cs * 100000) // ns.n_src AS ps, p.pa
+        |  FROM src s JOIN ns USING (source) JOIN pall p USING (w))
+        |SELECT source, max(n_src)::BIGINT AS n_tokens, max(vocab_src)::BIGINT AS n_vocab,
+        |  (sum((ps - pa) * (ps - pa) - pa * pa) + (SELECT sum_pa2 FROM spa2))::BIGINT
+        |    AS l2_drift_p100k
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "fn_uuid3" ->
+      """WITH h AS (SELECT doc_id, md5('graft:doc:' || text) AS m FROM documents)
+        |SELECT doc_id,
+        |  substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-3' || substr(m, 14, 3)
+        |    || '-' || translate(substr(m, 17, 1), '0123456789abcdef', '89ab89ab89ab89ab')
+        |    || substr(m, 18, 3) || '-' || substr(m, 21, 12) AS uuid3
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "prep_filter_stack" ->
       """WITH base AS (

@@ -27,7 +27,12 @@ BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim
                 "events_rfm",
                 # total-user count (1-row aggregate) broadcast onto the
                 # ~|types|^2 support table for the permille denominators
-                "events_seq_pairs"}
+                "events_seq_pairs",
+                # two 1-row scalar aggregates (corpus token total; the
+                # corpus-wide sum of pa^2) broadcast onto the vocab and
+                # per-source rollup frames — the union-decomposition of
+                # the L2 drift needs both as shared scalars
+                "text_vocab_drift"}
 
 # Queries whose plans must have ZERO Exchange partitioned on vec_id — the
 # fanout-groupBy-argmin regression guard. These rank a bounded candidate
