@@ -633,6 +633,78 @@ object TemporalOps extends Pack {
         .select(col("event_type"), col("day"), col("x"), col("y"),
           col("n"), col("corr_xy"))
         .orderBy("event_type", "day")
+    }),
+
+    "window_rsi" -> ((s, d) => {
+      // Relative Strength Index (Cutler's SMA form) over each user's
+      // event-value series — the momentum readout next to the level
+      // monitors (ewma / drawdown / pct_change): RSI = gains/(gains+
+      // losses) over the trailing 7 moves, in exact integer PERMILLE.
+      // Wilder's original recursive EMA form is deliberately not used:
+      // its per-step float fold accumulates engine-specific rounding,
+      // while Cutler's moving-sum form is two BIGINT window sums and one
+      // integer division — hash-exact (both operands non-negative, so
+      // trunc-vs-floor can't diverge). Flat frames (all 7 moves zero)
+      // yield NULL, the honest "no momentum signal" — never 0/0.
+      // Scale shape: ONE user_id shuffle shared by the lag and the
+      // moving sums (same window spec); no self-join, no global order.
+      val byU = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      val frame = byU.rowsBetween(-6, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("diff", col("cents") - lag(col("cents"), 1).over(byU))
+        .withColumn("nd", count(col("diff")).over(frame))
+        .withColumn("gains",
+          sum(greatest(col("diff"), lit(0L))).over(frame))
+        .withColumn("losses",
+          sum(greatest(-col("diff"), lit(0L))).over(frame))
+        .filter(col("nd") === 7)
+        .select(col("user_id"), col("es"), col("event_id"),
+          when(col("gains") + col("losses") > 0,
+            expr("(gains * 1000) div (gains + losses)")).as("rsi_permille"))
+        .orderBy("user_id", "es", "event_id")
+    }),
+
+    "events_survival" -> ((s, d) => {
+      // Discrete survival analysis of user lifetimes — the Kaplan-Meier
+      // risk table every retention model starts from: a user's lifetime
+      // is last-seen − first-seen in whole days; users still active near
+      // the corpus edge (last event within 7 days of the global max) are
+      // CENSORED — they attest "survived ≥ L" without contributing a
+      // death. Per lifetime-day: the at-risk count (users with lifetime
+      // ≥ k — censored and observed both hold a place in the risk set
+      // through their last day), deaths, censored exits, and the discrete
+      // hazard d·1000/n in exact integer permille. The KM product itself
+      // is left to callers (it is a 60-row fold over this table); the
+      // engines compare on the exact integer risk table, never on a
+      // float product chain.
+      // Scale shape: one map-side-combinable per-user aggregate collapses
+      // event volume; the corpus-max censor horizon is a 1-row scalar
+      // aggregate BROADCAST back onto the per-user frame (the events_rfm
+      // shape — allowlisted scalar BNLJ); the reverse cumulative risk sum
+      // rides a single-partition window over the per-DAY frame, bounded
+      // by the observation span in days (≤ ~60 here, never data volume —
+      // the events_benford adjudication).
+      val perUser = t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+        .groupBy(col("user_id"))
+        .agg(min(col("es")).as("fs"), max(col("es")).as("ls"))
+      val horizon = perUser.agg(max(col("ls")).as("gmax"))
+      val users = perUser.crossJoin(broadcast(horizon))
+        .select(expr("(ls - fs) div 86400").as("day"),
+          when(col("ls") < col("gmax") - 604800L, 1L).otherwise(0L).as("obs"))
+      val byDay = users.groupBy(col("day"))
+        .agg(sum(col("obs")).as("deaths"),
+          sum(lit(1L) - col("obs")).as("censored"))
+      val rev = Window.partitionBy(lit(1)).orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay
+        .withColumn("at_risk", sum(col("deaths") + col("censored")).over(rev))
+        .select(col("day"), col("at_risk"), col("deaths"), col("censored"),
+          expr("(deaths * 1000) div at_risk").as("hazard_permille"))
+        .orderBy("day")
     })
   )
 
@@ -1017,6 +1089,51 @@ object TemporalOps extends Pack {
         |       THEN (n*sxy - sx*sy)::DOUBLE /
         |            (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
         |  END AS corr_xy
-        |FROM m ORDER BY event_type, day""".stripMargin
+        |FROM m ORDER BY event_type, day""".stripMargin,
+
+    "window_rsi" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS es,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |df AS (
+        |  SELECT user_id, event_id, es,
+        |         cents - lag(cents, 1) OVER (PARTITION BY user_id
+        |                                     ORDER BY es, event_id) AS diff
+        |  FROM ev),
+        |m AS (
+        |  SELECT user_id, event_id, es,
+        |         count(diff) OVER w::BIGINT AS nd,
+        |         sum(greatest(diff, 0)) OVER w::BIGINT AS gains,
+        |         sum(greatest(-diff, 0)) OVER w::BIGINT AS losses
+        |  FROM df WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+        |                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, es, event_id,
+        |  CASE WHEN gains + losses > 0
+        |       THEN (gains * 1000 // (gains + losses))::BIGINT END AS rsi_permille
+        |FROM m WHERE nd = 7 ORDER BY user_id, es, event_id""".stripMargin,
+
+    "events_survival" ->
+      """WITH u AS (
+        |  SELECT user_id, min(floor(epoch(ts))::BIGINT) AS fs,
+        |         max(floor(epoch(ts))::BIGINT) AS ls
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT max(ls) AS gmax FROM u),
+        |lt AS (
+        |  SELECT (ls - fs) // 86400 AS day,
+        |         CASE WHEN ls < gmax - 604800 THEN 1 ELSE 0 END AS obs
+        |  FROM u, g),
+        |d AS (
+        |  SELECT day, sum(obs)::BIGINT AS deaths,
+        |         sum(1 - obs)::BIGINT AS censored
+        |  FROM lt GROUP BY day),
+        |r AS (
+        |  SELECT day, deaths, censored,
+        |         sum(deaths + censored) OVER (ORDER BY day DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS at_risk
+        |  FROM d)
+        |SELECT day, at_risk, deaths, censored,
+        |       (deaths * 1000 // at_risk)::BIGINT AS hazard_permille
+        |FROM r ORDER BY day""".stripMargin
   )
 }

@@ -25,6 +25,9 @@ BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim
                 # scalar corpus-max (1-row aggregate) broadcast back onto the
                 # per-user frame — the standard scalar-subquery join shape
                 "events_rfm",
+                # same shape: the censor horizon (corpus-max last-seen, a
+                # 1-row aggregate) broadcast onto the per-user lifetimes
+                "events_survival",
                 # total-user count (1-row aggregate) broadcast onto the
                 # ~|types|^2 support table for the permille denominators
                 "events_seq_pairs",
@@ -59,7 +62,10 @@ GLOBAL_WINDOW_ALLOWED = set()
 # events_benford: the exchange feeds the KEYED digit histogram into the
 # total-permille window — bounded at 9 rows by the first-digit domain
 # (leading digits of positive integers are 1..9), not by data volume.
-SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford"}
+# events_survival: the exchange feeds the per-lifetime-DAY risk frame into
+# the reverse cumulative at-risk window — bounded by the observation span
+# in days (lifetimes can't exceed the corpus time range), not data volume.
+SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford", "events_survival"}
 
 # ---------------------------------------------------------------------------
 # formatted-explain parsing
