@@ -155,6 +155,44 @@ object AnalyticsOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "graph_hits" -> ((s, d) => {
+      // HITS hubs & authorities over the DIRECTED near-dup pair graph
+      // (pairs keep their canonical rep_a→rep_b orientation, min-id
+      // pointing at its family peers) — the asymmetric complement to
+      // pagerank's symmetrized authority: a node referenced by many
+      // low-ids is an AUTHORITY (canonical copy), a node fanning out to
+      // many targets is a HUB (template source). Kleinberg's mutual
+      // recursion, TWO fixed rounds, UN-normalized exact BIGINT scores
+      // (h0 = 1): normalization divides by a float L2 norm — an
+      // engine-divergent sqrt fold — while the unnormalized fixed-round
+      // scores are pure integer sums (bounded by max-degree⁴, far from
+      // Long range on a df-capped near-dup graph), so ranking order is
+      // identical and the readout hash-exact.
+      //   a1(v) = indeg(v);  h1(u) = Σ_{u→v} a1(v);  a2(v) = Σ_{u→v} h1(u)
+      // Scale shape (the pagerank discipline): per half-round ONE
+      // equi-join of the score frame (a row per node) against the edge
+      // list on its key + one map-side-combinable agg; edges never
+      // self-join, rounds are fixed so lineage is bounded.
+      val pairs = TextOps.simhashNearPairs(s, d)
+        .select(col("rep_a").as("src"), col("rep_b").as("dst")).distinct().persist()
+      val nodes = pairs.select(col("src").as("node"))
+        .union(pairs.select(col("dst"))).distinct()
+      val a1 = pairs.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+      val h1 = pairs.join(a1, "dst")
+        .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
+      val a2 = pairs.join(h1, "src")
+        .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
+      nodes
+        .join(a1.select(col("dst").as("node"), col("a1")), Seq("node"), "left")
+        .join(h1.select(col("src").as("node"), col("h1")), Seq("node"), "left")
+        .join(a2.select(col("dst").as("node"), col("a2")), Seq("node"), "left")
+        .select(col("node").as("doc_id"),
+          coalesce(col("a1"), lit(0L)).as("auth1"),
+          coalesce(col("h1"), lit(0L)).as("hub1"),
+          coalesce(col("a2"), lit(0L)).as("auth2"))
+        .orderBy("doc_id")
+    }),
+
     "graph_communities" -> ((s, d) => {
       // Label-propagation COMMUNITIES over the near-dup pair graph —
       // the third member of the iterative-graph plane next to components
@@ -503,6 +541,26 @@ object AnalyticsOps extends Pack {
            |        FROM nodes nd LEFT JOIN s3 ON nd.node = s3.node, c)
            |SELECT node AS doc_id, outd AS degree, pr AS pr_scaled
            |FROM pr3 ORDER BY doc_id""".stripMargin),
+
+    "graph_hits" ->
+      (pairCte +
+        s""",
+           |e AS (SELECT DISTINCT rep_a AS src, rep_b AS dst FROM pairs),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |a1 AS (SELECT dst, count(*)::BIGINT AS a1 FROM e GROUP BY dst),
+           |h1 AS (SELECT e.src, sum(a1.a1)::BIGINT AS h1
+           |       FROM e JOIN a1 ON e.dst = a1.dst GROUP BY e.src),
+           |a2 AS (SELECT e.dst, sum(h1.h1)::BIGINT AS a2
+           |       FROM e JOIN h1 ON e.src = h1.src GROUP BY e.dst)
+           |SELECT n.node AS doc_id,
+           |       coalesce(a1.a1, 0)::BIGINT AS auth1,
+           |       coalesce(h1.h1, 0)::BIGINT AS hub1,
+           |       coalesce(a2.a2, 0)::BIGINT AS auth2
+           |FROM nodes n
+           |LEFT JOIN a1 ON n.node = a1.dst
+           |LEFT JOIN h1 ON n.node = h1.src
+           |LEFT JOIN a2 ON n.node = a2.dst
+           |ORDER BY doc_id""".stripMargin),
 
     "graph_communities" ->
       (pairCte +

@@ -667,6 +667,41 @@ object TemporalOps extends Pack {
         .orderBy("user_id", "es", "event_id")
     }),
 
+    "window_bollinger" -> ((s, d) => {
+      // Bollinger bands over each customer's order-price series — rolling
+      // mean ± 2σ and the %B position of the newest price inside the
+      // band: the mean-reversion readout next to window_rsi's momentum.
+      // agg_corr's exact-integer-moment discipline on a moving frame: the
+      // 5-row sum and sum-of-squares stay BIGINT, variance numerator
+      // n²·σ² = n·Σx² − (Σx)² is exact, and the only float ops are one
+      // IEEE sqrt, divisions and one multiply on identical integers —
+      // identically ordered in both engines, so doubles are bit-equal.
+      // Zero-width bands (5 equal prices) yield NULL %B, never 0/0.
+      // Scale shape: ONE o_custkey shuffle shared by the window sort and
+      // both frame sums; no self-join, no global order.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ds"), col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("ds"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("cents")).over(w))
+        .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+        .filter(col("n") === 5)
+        .withColumn("varnum", lit(5L) * col("s2") - col("s1") * col("s1"))
+        .withColumn("mid", col("s1").cast("double") / lit(5.0))
+        .withColumn("dev", lit(2.0) * sqrt(col("varnum").cast("double")) / lit(5.0))
+        .select(col("o_custkey"), col("ds"), col("o_orderkey"), col("cents"),
+          col("mid"), (col("mid") - col("dev")).as("lower"),
+          (col("mid") + col("dev")).as("upper"),
+          when(col("varnum") > 0,
+            (col("cents").cast("double") - (col("mid") - col("dev"))) /
+              (lit(2.0) * col("dev"))).as("pct_b"))
+        .orderBy("o_custkey", "ds", "o_orderkey")
+    }),
+
     "events_survival" -> ((s, d) => {
       // Discrete survival analysis of user lifetimes — the Kaplan-Meier
       // risk table every retention model starts from: a user's lifetime
@@ -1112,6 +1147,30 @@ object TemporalOps extends Pack {
         |  CASE WHEN gains + losses > 0
         |       THEN (gains * 1000 // (gains + losses))::BIGINT END AS rsi_permille
         |FROM m WHERE nd = 7 ORDER BY user_id, es, event_id""".stripMargin,
+
+    "window_bollinger" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, floor(epoch(o_orderdate))::BIGINT AS ds,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_custkey, o_orderkey, ds, cents,
+        |         count(*) OVER w::BIGINT AS n,
+        |         sum(cents) OVER w::BIGINT AS s1,
+        |         sum(cents * cents) OVER w::BIGINT AS s2
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY ds, o_orderkey
+        |                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT o_custkey, ds, o_orderkey, cents,
+        |         5 * s2 - s1 * s1 AS varnum,
+        |         s1::DOUBLE / 5.0 AS mid,
+        |         2.0 * sqrt((5 * s2 - s1 * s1)::DOUBLE) / 5.0 AS dev
+        |  FROM m WHERE n = 5)
+        |SELECT o_custkey, ds, o_orderkey, cents, mid,
+        |       mid - dev AS lower, mid + dev AS upper,
+        |       CASE WHEN varnum > 0
+        |            THEN (cents::DOUBLE - (mid - dev)) / (2.0 * dev) END AS pct_b
+        |FROM b ORDER BY o_custkey, ds, o_orderkey""".stripMargin,
 
     "events_survival" ->
       """WITH u AS (
