@@ -99,7 +99,74 @@ object CorpusOps extends Pack {
       .orderBy("node_a", "node_b")
   }
 
+  /** Expected Zipf(s=1) share permilles for ranks 1..20: round(1000 *
+    * (1/r) / H_20) computed ONCE driver-side and spliced as identical
+    * literals into both engines — the events_benford discipline for
+    * transcendental-free cross-engine parity (no float harmonic fold at
+    * query time).
+    */
+  private[ops] val zipfPermille: Seq[Long] = {
+    val h20 = (1 to 20).map(1.0 / _).sum
+    (1 to 20).map(r => math.round(1000.0 / r / h20))
+  }
+
   val queries: Map[String, Q] = Map(
+
+    "text_zipf" -> ((s, d) => {
+      // Zipf rank-frequency audit of the corpus vocabulary: the top-20
+      // words by frequency vs the Zipf(s=1) expectation — the classic
+      // "is this a natural-language corpus or templated noise" screen
+      // (natural text tracks ~1/r; generated boilerplate piles mass on
+      // a few tokens). Observed share is exact integer permille of the
+      // WHOLE token stream; expected permilles are spliced literals
+      // ([[zipfPermille]], the benford discipline) so no engine ever
+      // evaluates a harmonic sum in floats.
+      // Scale shape: one map-side-combinable word count, a TakeOrdered
+      // top-20 (never a global sort), the 1-row token-total aggregate
+      // broadcast onto those 20 rows (allowlisted scalar BNLJ), and a
+      // rank window over the LIMIT-bounded 20-row frame (allowlisted
+      // single-partition exchange — bounded by the limit, not data).
+      val words = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val counts = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val top = counts.orderBy(col("n").desc, col("w")).limit(20)
+      val rw = Window.partitionBy(lit(1)).orderBy(col("n").desc, col("w"))
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(rw).cast("long"))
+        .select(col("rank"), col("w").as("word"), col("n"),
+          expr("(n * 1000) div total").as("obs_permille"),
+          expr(s"element_at(array(${zipfPermille.mkString(",")}), cast(rank as int))")
+            .as("exp_permille"))
+        .withColumn("dev_permille", col("obs_permille") - col("exp_permille"))
+        .orderBy("rank")
+    }),
+
+    "text_burstiness" -> ((s, d) => {
+      // Word burstiness (Church-Gale): for each word with df ≥ 5, how
+      // its occurrences CONCENTRATE — cf/df (mean per containing doc)
+      // and max-tf/cf (share claimed by the single burstiest doc), both
+      // exact permille. Function words spread thin (mean ≈ 1.0, low
+      // concentration); topical/templated words burst (one doc holds a
+      // large share) — the signal behind stopword-vs-content routing
+      // and boilerplate screens, with no IDF float in sight.
+      // Scale shape: one (doc_id, word) map-side-combinable count, one
+      // per-word rollup (8-byte-ish keys; the df≥5 floor drops the
+      // hapax long tail before the sort), ordered by a total key.
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("w"))
+        .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"),
+          max(col("tf")).as("max_tf"))
+        .filter(col("df") >= 5)
+        .select(col("w").as("word"), col("cf"), col("df"), col("max_tf"),
+          expr("(cf * 1000) div df").as("mean_tf_permille"),
+          expr("(max_tf * 1000) div cf").as("conc_permille"))
+        .orderBy("word")
+    }),
 
     "graph_jaccard" -> ((s, d) => {
       // Structural-equivalence ranking on the simhash near-dup graph:
@@ -952,6 +1019,38 @@ object CorpusOps extends Pack {
   private def pairCte: String = AnalyticsOps.pairCte
 
   val oracles: Map[String, String] = Map(
+
+    "text_zipf" ->
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |c AS (SELECT w, count(*)::BIGINT AS n FROM w WHERE w <> '' GROUP BY w),
+         |tot AS (SELECT sum(n)::BIGINT AS total FROM c),
+         |top AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT 20),
+         |r AS (
+         |  SELECT row_number() OVER (ORDER BY n DESC, w)::BIGINT AS rank, w, n
+         |  FROM top)
+         |SELECT rank, w AS word, n,
+         |       (n * 1000 // total)::BIGINT AS obs_permille,
+         |       list_extract([${zipfPermille.mkString(",")}], rank::INT)::BIGINT
+         |         AS exp_permille,
+         |       ((n * 1000 // total) -
+         |        list_extract([${zipfPermille.mkString(",")}], rank::INT))::BIGINT
+         |         AS dev_permille
+         |FROM r, tot ORDER BY rank""".stripMargin,
+
+    "text_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT w, sum(tf)::BIGINT AS cf, count(*)::BIGINT AS df,
+        |         max(tf)::BIGINT AS max_tf
+        |  FROM tf GROUP BY w)
+        |SELECT w AS word, cf, df, max_tf,
+        |       (cf * 1000 // df)::BIGINT AS mean_tf_permille,
+        |       (max_tf * 1000 // cf)::BIGINT AS conc_permille
+        |FROM agg WHERE df >= 5 ORDER BY word""".stripMargin,
 
     "agg_bitmap" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users

@@ -35,7 +35,10 @@ BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim
                 # corpus-wide sum of pa^2) broadcast onto the vocab and
                 # per-source rollup frames — the union-decomposition of
                 # the L2 drift needs both as shared scalars
-                "text_vocab_drift"}
+                "text_vocab_drift",
+                # 1-row token-total aggregate broadcast onto the
+                # LIMIT(20)-bounded top-word frame for the share permilles
+                "text_zipf"}
 
 # Queries whose plans must have ZERO Exchange partitioned on vec_id — the
 # fanout-groupBy-argmin regression guard. These rank a bounded candidate
@@ -65,7 +68,10 @@ GLOBAL_WINDOW_ALLOWED = set()
 # events_survival: the exchange feeds the per-lifetime-DAY risk frame into
 # the reverse cumulative at-risk window — bounded by the observation span
 # in days (lifetimes can't exceed the corpus time range), not data volume.
-SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford", "events_survival"}
+# text_zipf: the exchange feeds the LIMIT(20)-pruned top-word frame into
+# the rank window — bounded at 20 rows by the limit, not by data volume.
+SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford", "events_survival",
+                            "text_zipf"}
 
 # ---------------------------------------------------------------------------
 # formatted-explain parsing
