@@ -124,6 +124,52 @@ object VectorOps extends Pack {
   }
 
   val queries: Map[String, Q] = Map(
+    "sim_label_cohesion" -> ((s, d) => {
+      // Embedding-space label cohesion: per ground-truth label, how
+      // tightly its members hug their own centroid — the embedding-
+      // quality triage that says which labels are clean clusters and
+      // which need re-embedding/re-labeling (the external twin of
+      // ml_cluster_purity, which asks the same of LEARNED cells).
+      // Everything integer-exact: quantized vectors, centroid = per-dim
+      // sum FLOOR-DIVIDED by the label count (components stay ≤1000 so
+      // the cos² numerator 1000·dot² stays inside Long), and the
+      // readout is SIGNED cos²·1000 — sign(dot)·(1000·dot²)//(|v|²|c|²)
+      // — so anti-aligned members read negative; the numerator is kept
+      // non-negative before the division, so trunc-vs-floor can never
+      // diverge. No sqrt, no float mean.
+      // Scale shape: the per-dim centroid sums shuffle (label, dim)
+      // keys — 64·|labels| rows regardless of corpus size; members then
+      // equi-join their label's centroid (broadcast: one row per
+      // label) and fold per-row dots in codegen'd graft_dot_i64; one
+      // final map-side-combinable per-label rollup.
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          qvec(col("embedding")).as("q"))
+      val cnt = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val cent = emb.select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("sx")))).as("ps"))
+        .join(cnt, "label")
+        .select(col("label"), col("n"),
+          expr("transform(ps, p -> p.sx div n)").as("c"))
+      emb.join(broadcast(cent), "label")
+        .select(col("label"), col("n"),
+          call_function("graft_dot_i64", col("q"), col("c")).as("dot"),
+          call_function("graft_dot_i64", col("q"), col("q")).as("n2v"),
+          call_function("graft_dot_i64", col("c"), col("c")).as("n2c"))
+        .select(col("label"), col("n"),
+          (when(col("dot") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(1000 * dot * dot) div (n2v * n2c)")).as("milli"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          expr("sum(milli) div max(n)").as("mean_cos2_milli"),
+          min(col("milli")).as("min_cos2_milli"),
+          max(col("milli")).as("max_cos2_milli"))
+        .orderBy("label")
+    }),
+
     "sim_topk" -> ((s, d) => {
       // brute-force top-k inner product vs the probe vector (vec_id = 0)
       val emb = t(s, d, "embeddings").select(col("vec_id"), qvec(col("embedding")).as("q"))
@@ -519,6 +565,36 @@ object VectorOps extends Pack {
   val oracles: Map[String, String] = Map(
     "sim_topk_native" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
+
+    "sim_label_cohesion" ->
+      """WITH q AS (
+        |  SELECT vec_id, label::BIGINT AS label,
+        |         list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |cnt AS (SELECT label, count(*)::BIGINT AS n FROM q GROUP BY label),
+        |ds AS (
+        |  SELECT label, i, sum(qe[i])::BIGINT AS sx
+        |  FROM q, (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT ds.label, cnt.n, list(ds.sx // cnt.n ORDER BY ds.i) AS c
+        |  FROM ds JOIN cnt USING (label) GROUP BY ds.label, cnt.n),
+        |m AS (
+        |  SELECT q.label, cent.n,
+        |    list_sum(list_transform(q.qe, (x, i) -> x * cent.c[i]))::BIGINT AS dot,
+        |    list_sum(list_transform(q.qe, (x, i) -> x * q.qe[i]))::BIGINT AS n2v,
+        |    list_sum(list_transform(cent.c, (x, i) -> x * cent.c[i]))::BIGINT AS n2c
+        |  FROM q JOIN cent USING (label)),
+        |s AS (
+        |  SELECT label, n,
+        |    (CASE WHEN dot < 0 THEN -1 ELSE 1 END *
+        |     ((1000 * dot * dot) // (n2v * n2c)))::BIGINT AS milli
+        |  FROM m)
+        |SELECT label, max(n)::BIGINT AS n_vecs,
+        |       (sum(milli) // max(n))::BIGINT AS mean_cos2_milli,
+        |       min(milli)::BIGINT AS min_cos2_milli,
+        |       max(milli)::BIGINT AS max_cos2_milli
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
     "ml_kmeans" ->
       (kmeansA2Cte + """
