@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AnalyticsOps, ArchiveOps, CorpusOps, CtbOps, ExtraRelational, MiningOps, PipelineOps, Relational, ScaleOps, TemporalOps, TextOps, UdfQueries, VectorOps}
+import graft.ops.{AnalyticsOps, ArchiveOps, CorpusOps, CtbOps, ExtraRelational, MiningOps, PipelineOps, Relational, ScaleOps, StatsOps, TemporalOps, TextOps, UdfQueries, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ import graft.ops.{AnalyticsOps, ArchiveOps, CorpusOps, CtbOps, ExtraRelational, 
 object SparkEntry {
 
   private val packs: Seq[graft.ops.Tables.Pack] =
-    Seq(CtbOps, Relational, ExtraRelational, PipelineOps, TemporalOps, MiningOps, AnalyticsOps, CorpusOps, ScaleOps, TextOps, VectorOps, UdfQueries, ArchiveOps)
+    Seq(CtbOps, Relational, ExtraRelational, PipelineOps, TemporalOps, MiningOps, AnalyticsOps, CorpusOps, ScaleOps, StatsOps, TextOps, VectorOps, UdfQueries, ArchiveOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * pipeline_prep is the engine's composite: quality gate -> exact dedup ->

@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Distribution-drift and dependence statistics for training-data QA.
+  *
+  * A 100 TB ingestion pipeline re-trains on data whose distribution moves
+  * under it; the standard gate between "new snapshot" and "train on it" is
+  * a battery of drift tests (reference window vs current window) plus
+  * dependence checks between columns that are supposed to be independent.
+  * Reference scope: Abishek257/ETL_Data_Ingestion main.py:268-414 validates
+  * each batch structurally (schema/row checks) before load; these operators
+  * are the statistical extension of that gate.
+  *
+  * Engine discipline (the agg_corr rule): every statistic is computed from
+  * BIGINT counts/moments with at most a handful of IEEE float ops applied
+  * in the same order on identical integers in both engines — no
+  * transcendentals (ln/exp diverge across libm builds), so classic
+  * PSI/entropy forms are deliberately replaced by their integer-exact
+  * cousins (total-variation distance, chi-squared, KS-D).
+  *
+  * Scale shape shared by all five: ONE map-side-combinable hash aggregate
+  * collapses event/lineitem volume to a value-histogram or per-key moment
+  * frame that rides CARDINALITY (≤ a few hundred rows), and all cumulative
+  * /total passes run on that collapsed frame. Nothing here re-shuffles the
+  * raw fact table twice.
+  */
+object StatsOps extends Pack {
+
+  val queries: Map[String, Q] = Map(
+
+    "agg_chi2" -> ((s, d) => {
+      // Pearson chi-squared test of independence: o_orderpriority x
+      // o_orderstatus contingency table with per-cell contributions.
+      // Per cell: observed O, expected E = rowTot*colTot/N. The statistic
+      // is emitted per cell in exact micro-units: num = (O*N - rt*ct) is
+      // an EXACT double (|num| << 2^53), term_micro =
+      // floor(num*num*1e6 / (rt*ct*N)) — two IEEE multiplies + one IEEE
+      // divide + floor on identical integers, bit-equal cross-engine.
+      // A drifted/broken feed shows up as a fat term on one cell.
+      // Scale: one map-side-combinable count to the <=25-cell frame; row/
+      // col/grand totals are windows over that tiny frame (cardinality-
+      // bound, never data-bearing at scale).
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("observed"))
+      val wr = Window.partitionBy(col("o_orderpriority"))
+      val wc = Window.partitionBy(col("o_orderstatus"))
+      val wg = Window.partitionBy(lit(1))
+      cells
+        .withColumn("rt", sum(col("observed")).over(wr))
+        .withColumn("ct", sum(col("observed")).over(wc))
+        .withColumn("n", sum(col("observed")).over(wg))
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("observed"),
+          expr("(rt * ct * 1000) div n").as("expected_milli"),
+          expr("cast(floor(cast(observed * n - rt * ct as double)" +
+            " * cast(observed * n - rt * ct as double) * 1e6" +
+            " / cast(rt * ct * n as double)) as bigint)").as("term_micro"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
+    "agg_ks_test" -> ((s, d) => {
+      // Two-sample Kolmogorov-Smirnov D between the l_quantity
+      // distributions of two cohorts (orderkey parity stands in for the
+      // reference/current snapshot split). D = max_v |F1(v) - F2(v)| is
+      // computed EXACTLY in integers: per quantity value the cumulative
+      // counts c1, c2 give |c1*n2 - c2*n1| as BIGINT; the max is exact
+      // and only the final D = d_num / (n1*n2) is one IEEE division.
+      // Scale: one map-side-combinable count to the <=50-row value
+      // histogram; the cumulative window and totals ride that frame.
+      val hist = t(s, d, "lineitem")
+        .select(round(col("l_quantity")).cast("long").as("v"),
+          (col("l_orderkey") % 2).as("cohort"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c2"))
+      val wcum = Window.partitionBy(lit(1)).orderBy(col("v"))
+      val wg = Window.partitionBy(lit(1))
+      hist
+        .withColumn("cum1", sum(col("c1")).over(wcum))
+        .withColumn("cum2", sum(col("c2")).over(wcum))
+        .withColumn("n1", sum(col("c1")).over(wg))
+        .withColumn("n2", sum(col("c2")).over(wg))
+        .select(col("n1"), col("n2"),
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(col("dn")).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("ks_d"))
+    }),
+
+    "agg_drift_tvd" -> ((s, d) => {
+      // Total-variation distance between the same two cohort
+      // distributions — the integer-exact stand-in for PSI (whose ln()
+      // is not bit-stable cross-engine): TVD = Σ_v |p(v)-q(v)| / 2
+      // = Σ|c1*n2 - c2*n1| / (2*n1*n2), numerator exact BIGINT, one
+      // IEEE division at the end. Emitted per value too (top-5 diverging
+      // buckets) so the drift is attributable, not just detectable.
+      val hist = t(s, d, "lineitem")
+        .select(round(col("l_quantity")).cast("long").as("v"),
+          (col("l_orderkey") % 2).as("cohort"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c2"))
+      val wg = Window.partitionBy(lit(1))
+      hist
+        .withColumn("n1", sum(col("c1")).over(wg))
+        .withColumn("n2", sum(col("c2")).over(wg))
+        .withColumn("contrib", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(col("contrib")).as("tvd_num"),
+          max(col("contrib")).as("max_bucket_num"))
+        .select(col("n1"), col("n2"), col("tvd_num"),
+          (col("tvd_num").cast("double") /
+            (lit(2L) * col("n1") * col("n2")).cast("double")).as("tvd"),
+          col("max_bucket_num"))
+    }),
+
+    "agg_spearman" -> ((s, d) => {
+      // Spearman rank correlation between per-user event volume and
+      // per-user active-day span — "do heavy users stick around?".
+      // Min-rank (SQL rank()) tie convention, computed WITHOUT a global
+      // data-bearing window: rank(v) = 1 + Σ_{u<v} cnt(u) falls out of a
+      // cumulative sum over the value HISTOGRAM (agg_ks_test's trick),
+      // joined back on the value — so ranking scales with value
+      // cardinality, not user count. Pearson on the integer ranks uses
+      // agg_corr's exact-BIGINT moments; the readout is two IEEE sqrts,
+      // one multiply, one divide on identical integers.
+      val per = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          countDistinct(to_date(col("ts"))).as("y"))
+      def ranks(frame: org.apache.spark.sql.DataFrame, c: String) = {
+        val w = Window.partitionBy(lit(1)).orderBy(col(c))
+        frame.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn("rk",
+            sum(col("cnt")).over(w) - col("cnt") + lit(1L))
+          .select(col(c), col("rk"))
+      }
+      val rx = ranks(per, "x").withColumnRenamed("rk", "rx")
+      val ry = ranks(per, "y").withColumnRenamed("rk", "ry")
+      per.join(rx, "x").join(ry, "y")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"),
+          sum(col("rx") * col("ry")).as("sxy"))
+        .select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("spearman"))
+    }),
+
+    "agg_hhi" -> ((s, d) => {
+      // Herfindahl-Hirschman concentration of supplier share (quantity-
+      // weighted) within each return-flag cohort — "is one upstream
+      // source dominating the feed?", the supplier-mix twin of
+      // prep_mixture's source-mix accounting. Exact: per-supplier BIGINT
+      // quantity sums, Σ share² = Σ s_i² / tot² with both sums BIGINT and
+      // ONE IEEE division for the 0-10000 basis-point readout.
+      // Scale: two map-side-combinable aggregates (fact → supplier sums →
+      // cohort rollup); nothing else.
+      val sup = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_suppkey"), round(col("l_quantity")).cast("long").as("q"))
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(col("q")).as("sq"))
+      sup.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("sq")).as("tot"),
+          sum(col("sq") * col("sq")).as("ssq"))
+        .select(col("l_returnflag"), col("n_suppliers"),
+          ((col("ssq") * lit(10000L)).cast("double") /
+            (col("tot") * col("tot")).cast("double")).as("hhi_bp"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "agg_chi2" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS observed
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT o_orderpriority, o_orderstatus, observed,
+        |         sum(observed) OVER (PARTITION BY o_orderpriority)::BIGINT AS rt,
+        |         sum(observed) OVER (PARTITION BY o_orderstatus)::BIGINT AS ct,
+        |         sum(observed) OVER ()::BIGINT AS n
+        |  FROM cells)
+        |SELECT o_orderpriority, o_orderstatus, observed,
+        |       (rt * ct * 1000) // n AS expected_milli,
+        |       floor((observed * n - rt * ct)::DOUBLE
+        |             * (observed * n - rt * ct)::DOUBLE * 1e6
+        |             / (rt * ct * n)::DOUBLE)::BIGINT AS term_micro
+        |FROM tot ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "agg_ks_test" ->
+      """WITH hist AS (
+        |  SELECT round(l_quantity)::BIGINT AS v,
+        |         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |         sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT sum(c1) OVER (ORDER BY v)::BIGINT AS cum1,
+        |         sum(c2) OVER (ORDER BY v)::BIGINT AS cum2,
+        |         sum(c1) OVER ()::BIGINT AS n1,
+        |         sum(c2) OVER ()::BIGINT AS n2
+        |  FROM hist)
+        |SELECT n1, n2, max(abs(cum1 * n2 - cum2 * n1))::BIGINT AS d_num,
+        |       max(abs(cum1 * n2 - cum2 * n1))::DOUBLE / (n1 * n2)::DOUBLE AS ks_d
+        |FROM cum GROUP BY n1, n2""".stripMargin,
+
+    "agg_drift_tvd" ->
+      """WITH hist AS (
+        |  SELECT round(l_quantity)::BIGINT AS v,
+        |         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |         sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT abs(c1 * sum(c2) OVER () - c2 * sum(c1) OVER ())::BIGINT AS contrib,
+        |         sum(c1) OVER ()::BIGINT AS n1, sum(c2) OVER ()::BIGINT AS n2
+        |  FROM hist)
+        |SELECT n1, n2, sum(contrib)::BIGINT AS tvd_num,
+        |       sum(contrib)::DOUBLE / (2 * n1 * n2)::DOUBLE AS tvd,
+        |       max(contrib)::BIGINT AS max_bucket_num
+        |FROM c GROUP BY n1, n2""".stripMargin,
+
+    "agg_spearman" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*)::BIGINT AS x,
+        |         count(DISTINCT ts::DATE)::BIGINT AS y
+        |  FROM events GROUP BY user_id),
+        |hx AS (SELECT x, count(*)::BIGINT AS cnt FROM per GROUP BY x),
+        |rx AS (SELECT x, (sum(cnt) OVER (ORDER BY x) - cnt + 1)::BIGINT AS rx FROM hx),
+        |hy AS (SELECT y, count(*)::BIGINT AS cnt FROM per GROUP BY y),
+        |ry AS (SELECT y, (sum(cnt) OVER (ORDER BY y) - cnt + 1)::BIGINT AS ry FROM hy),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+        |         sum(rx * rx)::BIGINT AS sxx, sum(ry * ry)::BIGINT AS syy,
+        |         sum(rx * ry)::BIGINT AS sxy
+        |  FROM per JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT n,
+        |       (n * sxy - sx * sy)::DOUBLE /
+        |         (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE))
+        |         AS spearman
+        |FROM m""".stripMargin,
+
+    "agg_hhi" ->
+      """WITH sup AS (
+        |  SELECT l_returnflag, l_suppkey, sum(round(l_quantity)::BIGINT)::BIGINT AS sq
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, count(*)::BIGINT AS n_suppliers,
+        |       (sum(sq * sq) * 10000)::DOUBLE / (sum(sq) * sum(sq))::DOUBLE AS hhi_bp
+        |FROM sup GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -70,8 +70,18 @@ GLOBAL_WINDOW_ALLOWED = set()
 # in days (lifetimes can't exceed the corpus time range), not data volume.
 # text_zipf: the exchange feeds the LIMIT(20)-pruned top-word frame into
 # the rank window — bounded at 20 rows by the limit, not by data volume.
+# agg_chi2: the exchange feeds the priority x status contingency CELLS
+# into the row/col/grand-total windows — bounded by the categorical
+# domain product (5x3 here), not data volume.
+# agg_ks_test / agg_drift_tvd: the exchange feeds the quantity-value
+# HISTOGRAM into the cumulative/total windows — bounded by the value
+# domain (<=50 quantities), not data volume.
+# agg_spearman: the exchanges feed the two per-user-metric value
+# histograms into the rank cumulative windows — bounded by metric
+# cardinality (distinct activity counts), not user count.
 SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford", "events_survival",
-                            "text_zipf"}
+                            "text_zipf", "agg_chi2", "agg_ks_test",
+                            "agg_drift_tvd", "agg_spearman"}
 
 # ---------------------------------------------------------------------------
 # formatted-explain parsing
