@@ -488,6 +488,80 @@ object AnalyticsOps extends Pack {
           unix_timestamp(col("window.end")).as("w_end_s"),
           col("n"), col("cents"))
         .orderBy("w_start_s")
+    }),
+
+    "graph_clustering_coeff" -> ((s, d) => {
+      // Per-node LOCAL clustering coefficient over the near-dup pair
+      // graph — the node-level refinement of graph_triangles' global
+      // census: lcc(v) = 2·t(v)/(d(v)·(d(v)−1)) in exact permille names
+      // WHICH nodes sit inside cliquey template families (lcc→1000) vs
+      // on chain/bridge positions (lcc→0) — the triage graph_communities
+      // acts on. Triangle discovery reuses the degree-ordered orientation
+      // (each triangle found exactly once at its lowest-degree corner,
+      // per-node wedge work bounded by out-degree — the hub-skew bound);
+      // the corner explode then credits all three nodes. Exact integers
+      // throughout: (t·2000) div (d·(d−1)).
+      // Persists follow the triangleStats contract (harness sweeps).
+      val e0 = TextOps.simhashNearPairs(s, d)
+        .select(least(col("rep_a"), col("rep_b")).as("u"),
+          greatest(col("rep_a"), col("rep_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .persist()
+      val deg = e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .persist()
+      val ed = e0
+        .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+        .withColumn("ku", struct(col("du").as("kd"), col("u").as("kn")))
+        .withColumn("kv", struct(col("dv").as("kd"), col("v").as("kn")))
+      val out = ed.select(
+          when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+          when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
+        .withColumn("dst", col("kdst").getField("kn"))
+        .persist()
+      val triNodes = out.as("p").join(out.as("q"),
+          col("p.src") === col("q.src") && col("p.kdst") < col("q.kdst"))
+        .select(col("p.src").as("w0"), col("p.dst").as("wu"), col("q.dst").as("wv"))
+        .join(out.select(col("src").as("wu"), col("dst").as("wv")), Seq("wu", "wv"))
+        .select(explode(array(col("w0"), col("wu"), col("wv"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+      deg.join(triNodes, Seq("node"), "left")
+        .select(col("node").as("doc_id"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .withColumn("lcc_permille",
+          when(col("degree") >= 2,
+            expr("(triangles * 2000) div (degree * (degree - 1))"))
+            .otherwise(lit(0L)))
+        .orderBy("doc_id")
+    }),
+
+    "graph_reciprocity" -> ((s, d) => {
+      // Reciprocity of the DIRECTED behavior graph (event_type → next
+      // event_type per user sequence, self-loops excluded): the share of
+      // edges whose reverse also exists — near 10000 bp the "graph" is
+      // really an undirected co-occurrence (direction carries no signal);
+      // near 0 it is a genuine flow (funnels have direction). The
+      // companion diagnostic to events_transitions' top edges.
+      // Exact: edge counts are BIGINT, readout is ONE integer division
+      // to basis points. Scale shape: the lead window shuffles once on
+      // user_id; the distinct edge set rides type-pair cardinality; the
+      // reverse check is a self-join on the (src,dst) key.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val edges = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull && col("next_type") =!= col("event_type"))
+        .select(col("event_type").as("src"), col("next_type").as("dst"))
+        .distinct()
+      val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("has_rev", lit(1L))
+      edges.join(rev, Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce(col("has_rev"), lit(0L))).as("n_reciprocal"))
+        .select(col("n_edges"), col("n_reciprocal"),
+          expr("(n_reciprocal * 10000) div n_edges").as("reciprocity_bp"))
     })
   )
 
@@ -701,6 +775,45 @@ object AnalyticsOps extends Pack {
         |w AS (SELECT unnest([b, b - 10800]) AS w_start_s, c FROM p)
         |SELECT w_start_s, w_start_s + 21600 AS w_end_s,
         |       count(*)::BIGINT AS n, sum(c)::BIGINT AS cents
-        |FROM w GROUP BY w_start_s ORDER BY w_start_s""".stripMargin
+        |FROM w GROUP BY w_start_s ORDER BY w_start_s""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      (pairCte +
+        s""",
+           |e AS (
+           |  SELECT least(rep_a, rep_b) AS u, greatest(rep_a, rep_b) AS v
+           |  FROM pairs WHERE rep_a <> rep_b GROUP BY 1, 2),
+           |deg AS (
+           |  SELECT node, count(*)::BIGINT AS degree FROM (
+           |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+           |  GROUP BY node),
+           |tri AS (
+           |  SELECT node, count(*)::BIGINT AS triangles FROM (
+           |    SELECT unnest([e1.u, e1.v, e2.v]) AS node
+           |    FROM e e1
+           |    JOIN e e2 ON e1.v = e2.u
+           |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+           |  GROUP BY node)
+           |SELECT deg.node AS doc_id, degree,
+           |       coalesce(triangles, 0)::BIGINT AS triangles,
+           |       (CASE WHEN degree >= 2
+           |             THEN (coalesce(triangles, 0) * 2000) // (degree * (degree - 1))
+           |             ELSE 0 END)::BIGINT AS lcc_permille
+           |FROM deg LEFT JOIN tri ON deg.node = tri.node
+           |ORDER BY doc_id""".stripMargin),
+
+    "graph_reciprocity" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |  FROM events),
+        |e AS (
+        |  SELECT DISTINCT event_type AS src, next_type AS dst FROM seq
+        |  WHERE next_type IS NOT NULL AND next_type <> event_type),
+        |r AS (SELECT dst AS src, src AS dst, 1 AS has_rev FROM e)
+        |SELECT count(*)::BIGINT AS n_edges,
+        |       sum(coalesce(has_rev, 0))::BIGINT AS n_reciprocal,
+        |       ((sum(coalesce(has_rev, 0)) * 10000) // count(*))::BIGINT AS reciprocity_bp
+        |FROM e LEFT JOIN r ON e.src = r.src AND e.dst = r.dst""".stripMargin
   )
 }

@@ -551,10 +551,68 @@ object MiningOps extends Pack {
         .withColumn("block_size", count(lit(1)).over(bw))
         .withColumn("block_rep", min(col("word")).over(bw))
         .orderBy("word")
+    }),
+
+    "join_skyline" -> ((s, d) => {
+      // 2-D skyline (Pareto frontier) per market segment: the orders no
+      // other order in the segment beats on BOTH price and date (cheaper-
+      // or-equal AND earlier-or-equal, strictly better in one) — the
+      // multi-objective shortlist operator (Börzsönyi et al., ICDE'01)
+      // behind "best tradeoff" queries that top-k on a single weighted
+      // score cannot express. Exact-tie rule: identical (price, date)
+      // twins don't dominate each other — both survive.
+      //
+      // Scale shape — the window never carries the fact table: orders
+      // collapse to (segment, price) groups FIRST (any row later than
+      // its price-group's min date is dominated inside the group), the
+      // strictly-cheaper dominance check is ONE cumulative min over that
+      // price-domain-bounded frame (RANGE .. 1 PRECEDING = "strictly
+      // cheaper", exact on integer cents), and survivors join back to
+      // recover order identity. A segment-partitioned window over raw
+      // orders would funnel each segment through one task; this one
+      // rides price cardinality.
+      val o = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          unix_timestamp(col("o_orderdate")).as("date_s"))
+      val g = o.groupBy(col("c_mktsegment"), col("price_cents"))
+        .agg(min(col("date_s")).as("md"))
+      val wch = Window.partitionBy(col("c_mktsegment")).orderBy(col("price_cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val frontier = g
+        .withColumn("m1", min(col("md")).over(wch))
+        .filter(col("m1").isNull || col("m1") > col("md"))
+        .select(col("c_mktsegment"), col("price_cents"), col("md"))
+      o.join(frontier, Seq("c_mktsegment", "price_cents"))
+        .filter(col("date_s") === col("md"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          col("price_cents"), col("date_s"))
+        .orderBy("c_mktsegment", "price_cents", "date_s", "o_orderkey")
     })
   )
 
   val oracles: Map[String, String] = Map(
+
+    "join_skyline" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment, o_orderkey,
+        |         round(o_totalprice * 100)::BIGINT AS price_cents,
+        |         floor(epoch(o_orderdate))::BIGINT AS date_s
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        |  SELECT c_mktsegment, price_cents, min(date_s)::BIGINT AS md
+        |  FROM o GROUP BY 1, 2),
+        |f AS (
+        |  SELECT c_mktsegment, price_cents, md,
+        |         min(md) OVER (PARTITION BY c_mktsegment ORDER BY price_cents
+        |                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        |  FROM g)
+        |SELECT o.c_mktsegment, o.o_orderkey, o.price_cents, o.date_s
+        |FROM o JOIN f ON o.c_mktsegment = f.c_mktsegment
+        |             AND o.price_cents = f.price_cents
+        |WHERE o.date_s = f.md AND (f.m1 IS NULL OR f.m1 > f.md)
+        |ORDER BY o.c_mktsegment, o.price_cents, o.date_s, o.o_orderkey""".stripMargin,
 
     "events_seq_pairs" ->
       """WITH st AS (

@@ -526,10 +526,49 @@ object PipelineOps extends Pack {
           // the null-safe full outer makes exactly one row per key incl. NULL
           col("n_parts"), col("n_supps"))
         .orderBy(col("k").asc_nulls_first)
+    }),
+
+    "events_markov" -> ((s, d) => {
+      // First-order Markov transition MODEL of the behavior stream — the
+      // full conditional-probability table events_transitions' top-10
+      // count view is a preview of: P(next|cur) = c(cur,next)/c(cur,·)
+      // in exact basis points (the text_lm_score integer-conditional
+      // discipline applied to event types), plus each row's share of its
+      // source row so funnel designers read both "how likely" and "how
+      // much volume". Scale shape: the lead window shuffles once on
+      // user_id; counts collapse to the |types|² frame; the denominator
+      // is a rollup of the SAME counts (no second pass over events).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val trans = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val outTot = trans.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_out"))
+      trans.join(outTot, "event_type")
+        .select(col("event_type"), col("next_type"), col("n"), col("n_out"),
+          expr("(n * 10000) div n_out").as("p_bp"))
+        .orderBy("event_type", "next_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+
+    "events_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type, next_type, count(*)::BIGINT AS n FROM seq
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(n)::BIGINT AS n_out FROM tr GROUP BY 1)
+        |SELECT tr.event_type, tr.next_type, tr.n, tot.n_out,
+        |       ((tr.n * 10000) // tot.n_out)::BIGINT AS p_bp
+        |FROM tr JOIN tot USING (event_type)
+        |ORDER BY tr.event_type, tr.next_type""".stripMargin,
 
     "text_vocab_drift" ->
       """WITH wf AS (

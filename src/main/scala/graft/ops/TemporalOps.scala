@@ -740,6 +740,70 @@ object TemporalOps extends Pack {
         .select(col("day"), col("at_risk"), col("deaths"), col("censored"),
           expr("(deaths * 1000) div at_risk").as("hazard_permille"))
         .orderBy("day")
+    }),
+
+    "window_stochastic" -> ((s, d) => {
+      // Stochastic oscillator (%K/%D, 14-period, 3-period signal) over
+      // each event type's DAILY close series — where window_rsi reads
+      // momentum and window_bollinger mean-reversion, %K reads position-
+      // in-range: close at the frame's high → 10000 bp, at its low → 0.
+      // Exactness: close is a SELECTION (max_by on the (es, event_id)
+      // total order), %K = floor((close−lo)·10⁴ / (hi−lo)) is one exact
+      // integer multiply + one IEEE division + floor on identical
+      // integers — deterministic cross-engine (the agg_chi2 floor rule);
+      // %D = (k₀+k₁+k₂) div 3 stays in BIGINT. Warm-up rows (frame < 14)
+      // and flat frames (hi = lo) yield NULL, never 0/0 (window_rsi
+      // rule). Scale shape: ONE map-side-combinable daily aggregate
+      // collapses event volume to the calendar-bounded per-type series;
+      // all three windows share the (event_type, day) sort.
+      val daily = t(s, d, "events")
+        .select(col("event_type"), unix_timestamp(col("ts")).as("es"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("day", expr("es div 86400"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max_by(col("cents"), struct(col("es"), col("event_id"))).as("close"))
+      val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-13, 0)
+      val w1 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("hi", max(col("close")).over(wf))
+        .withColumn("lo", min(col("close")).over(wf))
+        .withColumn("nf", count(lit(1)).over(wf))
+        .withColumn("k_bp",
+          when(col("nf") === 14 && col("hi") > col("lo"),
+            expr("cast(floor(cast((close - lo) * 10000 as double)" +
+              " / cast(hi - lo as double)) as bigint)")))
+        .withColumn("k1", lag(col("k_bp"), 1).over(w1))
+        .withColumn("k2", lag(col("k_bp"), 2).over(w1))
+        .withColumn("d_bp",
+          when(col("k_bp").isNotNull && col("k1").isNotNull && col("k2").isNotNull,
+            expr("(k_bp + k1 + k2) div 3")))
+        .select(col("event_type"), col("day"), col("close"),
+          col("k_bp"), col("d_bp"))
+        .orderBy("event_type", "day")
+    }),
+
+    "window_vwap" -> ((s, d) => {
+      // Running volume-weighted average price per part — the execution-
+      // quality benchmark on the lineitem "tape": cumulative
+      // Σ(price)/Σ(qty) up to each ship date. Exactness: both cumulative
+      // sums are BIGINT (cents / whole units) under the default RANGE
+      // frame, so same-day peers share one exact prefix (tie order can't
+      // perturb the sums — the reason this is NOT a ROWS frame); vwap is
+      // ONE IEEE division per row on identical integers. Scale shape: a
+      // single l_partkey shuffle shared by the window sort and both
+      // running sums; partitions ride per-part history length.
+      val wc = Window.partitionBy(col("l_partkey")).orderBy(col("ds"))
+      t(s, d, "lineitem")
+        .select(col("l_partkey"), unix_timestamp(col("l_shipdate")).as("ds"),
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity")).cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"))
+        .withColumn("cum_q", sum(col("q")).over(wc))
+        .withColumn("cum_pc", sum(col("pc")).over(wc))
+        .withColumn("vwap_cents",
+          col("cum_pc").cast("double") / col("cum_q").cast("double"))
+        .orderBy("l_partkey", "ds", "l_orderkey", "l_linenumber", "pc", "q")
     })
   )
 
@@ -1193,6 +1257,56 @@ object TemporalOps extends Pack {
         |  FROM d)
         |SELECT day, at_risk, deaths, censored,
         |       (deaths * 1000 // at_risk)::BIGINT AS hazard_permille
-        |FROM r ORDER BY day""".stripMargin
+        |FROM r ORDER BY day""".stripMargin,
+
+    "window_stochastic" ->
+      """WITH ev AS (
+        |  SELECT event_type, floor(epoch(ts))::BIGINT AS es, event_id,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, (es // 86400)::BIGINT AS day,
+        |         last(cents ORDER BY es, event_id) AS close
+        |  FROM ev GROUP BY event_type, es // 86400),
+        |f AS (
+        |  SELECT event_type, day, close,
+        |         max(close) OVER win AS hi, min(close) OVER win AS lo,
+        |         count(*)   OVER win AS nf
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |k AS (
+        |  SELECT event_type, day, close,
+        |         CASE WHEN nf = 14 AND hi > lo
+        |              THEN floor(((close - lo) * 10000)::DOUBLE / (hi - lo)::DOUBLE)::BIGINT
+        |              END AS k_bp
+        |  FROM f),
+        |l AS (
+        |  SELECT event_type, day, close, k_bp,
+        |         lag(k_bp, 1) OVER (PARTITION BY event_type ORDER BY day) AS k1,
+        |         lag(k_bp, 2) OVER (PARTITION BY event_type ORDER BY day) AS k2
+        |  FROM k)
+        |SELECT event_type, day, close, k_bp,
+        |       CASE WHEN k_bp IS NOT NULL AND k1 IS NOT NULL AND k2 IS NOT NULL
+        |            THEN (k_bp + k1 + k2) // 3 END::BIGINT AS d_bp
+        |FROM l ORDER BY event_type, day""".stripMargin,
+
+    "window_vwap" ->
+      """WITH li AS (
+        |  SELECT l_partkey, floor(epoch(l_shipdate))::BIGINT AS ds,
+        |         l_orderkey, l_linenumber,
+        |         round(l_quantity)::BIGINT AS q,
+        |         round(l_extendedprice * 100)::BIGINT AS pc
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_partkey, ds, l_orderkey, l_linenumber, q, pc,
+        |         sum(q)  OVER win::BIGINT AS cum_q,
+        |         sum(pc) OVER win::BIGINT AS cum_pc
+        |  FROM li
+        |  WINDOW win AS (PARTITION BY l_partkey ORDER BY ds
+        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_partkey, ds, l_orderkey, l_linenumber, q, pc, cum_q, cum_pc,
+        |       cum_pc::DOUBLE / cum_q::DOUBLE AS vwap_cents
+        |FROM c ORDER BY l_partkey, ds, l_orderkey, l_linenumber, pc, q""".stripMargin
   )
 }
