@@ -1010,6 +1010,30 @@ object CorpusOps extends Pack {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_contaminated_grams"))
         .orderBy("doc_id")
+    }),
+
+    "text_hapax" -> ((s, d) => {
+      // Per-document hapax-legomenon profile: words occurring exactly
+      // once in the doc, as a share of its vocabulary — the lexical-
+      // richness axis next to text_ttr (type/token) and text_repetition
+      // (its inverse): natural prose runs high (~half its types are
+      // hapax), templated/boilerplate text runs low, keyword-stuffed spam
+      // lower still. Exact integers: permille by integer division.
+      // Scale shape: ONE (doc_id, h60(word)) map-side-combinable count —
+      // words shuffle as 8-byte hashes, never strings (the lm_score
+      // discipline; the oracle keeps raw strings, so a 60-bit collision
+      // would surface there) — then a per-doc rollup of the SAME counts.
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), h60(col("w")).as("hw"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_words"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("hapax_permille", expr("(n_hapax * 1000) div n_types"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1019,6 +1043,17 @@ object CorpusOps extends Pack {
   private def pairCte: String = AnalyticsOps.pairCte
 
   val oracles: Map[String, String] = Map(
+
+    "text_hapax" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w)
+        |SELECT doc_id, count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_words,
+        |       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |       ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT
+        |         AS hapax_permille
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_zipf" ->
       s"""WITH w AS (

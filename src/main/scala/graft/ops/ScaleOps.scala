@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -650,10 +651,65 @@ object ScaleOps extends Pack {
           expr("1000 - (1000 * ss) div (n_docs * n_docs)"))
         .select("source", "n_docs", "n_langs", "simpson_permille")
         .orderBy("source")
+    }),
+
+    "prep_curriculum" -> ((s, d) => {
+      // Curriculum-staging datasheet: docs bucketed into 4 difficulty
+      // stages by average word length (centichars — the cheap proxy
+      // curriculum-learning schedules actually start from), with per-
+      // stage doc/word budgets and corpus share — the "train easy→hard"
+      // twin of prep_length_buckets' padding view. Fixed integer stage
+      // edges (435/450/465 centichars, set at this corpus's quartiles), not quantiles: a curriculum must
+      // assign the SAME stage to the same doc on every run/engine/shard,
+      // which data-dependent edges can't promise under re-sharding.
+      // Exact: difficulty = (nospace_chars·100) div n_words.
+      // Scale shape: one narrow map + one 4-key map-side-combinable agg;
+      // the share rides a stage-domain-bounded (≤4-row) window
+      // (events_benford adjudication, bound in plan_audit.py).
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => w =!= "")).as("n_words"),
+          length(regexp_replace(col("text"), " ", "")).as("n_chars"))
+        .filter(col("n_words") > 0)
+        .withColumn("dc", expr("(cast(n_chars as bigint) * 100) div n_words"))
+        .withColumn("stage",
+          when(col("dc") <= 435, 1L).when(col("dc") <= 450, 2L)
+            .when(col("dc") <= 465, 3L).otherwise(4L))
+      val wg = Window.partitionBy(lit(1))
+      docs.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_total"),
+          min(col("dc")).as("min_dc"), max(col("dc")).as("max_dc"))
+        .withColumn("total_docs", sum(col("n_docs")).over(wg))
+        .withColumn("share_permille", expr("(n_docs * 1000) div total_docs"))
+        .select(col("stage"), col("n_docs"), col("n_words_total"),
+          col("min_dc"), col("max_dc"), col("share_permille"))
+        .orderBy("stage")
     })
   )
 
   val oracles: Map[String, String] = Map(
+
+    "prep_curriculum" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+        |         length(replace(text, ' ', '')) AS n_chars
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, n_words, (n_chars * 100) // n_words AS dc,
+        |         CASE WHEN (n_chars * 100) // n_words <= 435 THEN 1
+        |              WHEN (n_chars * 100) // n_words <= 450 THEN 2
+        |              WHEN (n_chars * 100) // n_words <= 465 THEN 3
+        |              ELSE 4 END AS stage
+        |  FROM docs WHERE n_words > 0),
+        |g AS (
+        |  SELECT stage::BIGINT AS stage, count(*)::BIGINT AS n_docs,
+        |         sum(n_words)::BIGINT AS n_words_total,
+        |         min(dc)::BIGINT AS min_dc, max(dc)::BIGINT AS max_dc
+        |  FROM st GROUP BY stage)
+        |SELECT stage, n_docs, n_words_total, min_dc, max_dc,
+        |       ((n_docs * 1000) // sum(n_docs) OVER ())::BIGINT AS share_permille
+        |FROM g ORDER BY stage""".stripMargin,
 
     "agg_quantile_edges" ->
       """WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders),

@@ -177,6 +177,79 @@ object StatsOps extends Pack {
           ((col("ssq") * lit(10000L)).cast("double") /
             (col("tot") * col("tot")).cast("double")).as("hhi_bp"))
         .orderBy("l_returnflag")
+    }),
+
+    "window_skewness" -> ((s, d) => {
+      // Rolling 14-day skewness of each type's daily close series — the
+      // asymmetry drift monitor next to window_bollinger's dispersion:
+      // a stable series reads ~0, a regime with occasional spikes reads
+      // hard positive long before the mean moves. Exact-moment form:
+      // g1 = √n·m3num / m2num^1.5 with m2num = n·Σx²−(Σx)² and
+      // m3num = n²·Σx³−3n·Σx·Σx²+2(Σx)³ both EXACT BIGINT (cents ≤ 5·10⁴
+      // keep n²Σx³ and (Σx)³ well inside Long at the 14-frame), then two
+      // IEEE sqrts + two muls + one div in identical order. Warm-up and
+      // zero-variance frames yield NULL (window_rsi rule).
+      // Scale shape: ONE daily map-side-combinable aggregate collapses
+      // event volume to the calendar-bounded per-type series; one window
+      // pass carries all three moment sums.
+      val daily = t(s, d, "events")
+        .select(col("event_type"), unix_timestamp(col("ts")).as("es"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("day", expr("es div 86400"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max_by(col("cents"), struct(col("es"), col("event_id"))).as("x"))
+      val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-13, 0)
+      daily
+        .withColumn("nf", count(lit(1)).over(wf))
+        .withColumn("s1", sum(col("x")).over(wf))
+        .withColumn("s2", sum(col("x") * col("x")).over(wf))
+        .withColumn("s3", sum(col("x") * col("x") * col("x")).over(wf))
+        .withColumn("m2num", expr("nf * s2 - s1 * s1"))
+        .withColumn("m3num",
+          expr("nf * nf * s3 - 3 * nf * s1 * s2 + 2 * s1 * s1 * s1"))
+        .withColumn("skew",
+          when(col("nf") === 14 && col("m2num") > 0,
+            expr("sqrt(cast(nf as double)) * cast(m3num as double)" +
+              " / (cast(m2num as double) * sqrt(cast(m2num as double)))")))
+        .select(col("event_type"), col("day"), col("x").as("close"),
+          col("m2num"), col("m3num"), col("skew"))
+        .orderBy("event_type", "day")
+    }),
+
+    "events_lorenz" -> ((s, d) => {
+      // Lorenz concentration curve of user activity: users ranked by
+      // event volume, split into min-rank deciles, each decile's exact
+      // share and cumulative share of total events in permille — the
+      // curve behind agg_gini's scalar ("the top decile is 40% of
+      // traffic" is the actionable form of "gini = 0.6"). Tied users
+      // share a min-rank and therefore a decile (deterministic; decile
+      // sizes may be uneven under heavy ties — documented convention).
+      // Scale shape (the agg_spearman trick): ranks come from a
+      // cumulative sum over the per-user-count HISTOGRAM, so the only
+      // per-user pass is ONE map-side-combinable count; every window
+      // rides the value-histogram / 10-row decile frames (allowlisted
+      // domain-bounded single partitions).
+      val per = t(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      val hx = per.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+      val wv = Window.partitionBy(lit(1)).orderBy(col("x"))
+      val wg = Window.partitionBy(lit(1))
+      val ranked = hx
+        .withColumn("rk", sum(col("cnt")).over(wv) - col("cnt") + lit(1L))
+        .withColumn("n_users", sum(col("cnt")).over(wg))
+        .withColumn("tot_events", sum(col("x") * col("cnt")).over(wg))
+        .withColumn("decile", expr("((rk - 1) * 10) div n_users + 1"))
+      val wd = Window.partitionBy(lit(1)).orderBy(col("decile"))
+      ranked.groupBy(col("decile"))
+        .agg(sum(col("cnt")).as("n_users"),
+          sum(col("x") * col("cnt")).as("n_events"),
+          min(col("tot_events")).as("tot"))
+        .withColumn("cum_events", sum(col("n_events")).over(wd))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          expr("(n_events * 1000) div tot").as("share_permille"),
+          expr("(cum_events * 1000) div tot").as("cum_permille"))
+        .orderBy("decile")
     })
   )
 
@@ -257,6 +330,56 @@ object StatsOps extends Pack {
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_returnflag, count(*)::BIGINT AS n_suppliers,
         |       (sum(sq * sq) * 10000)::DOUBLE / (sum(sq) * sum(sq))::DOUBLE AS hhi_bp
-        |FROM sup GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM sup GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "window_skewness" ->
+      """WITH ev AS (
+        |  SELECT event_type, floor(epoch(ts))::BIGINT AS es, event_id,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, (es // 86400)::BIGINT AS day,
+        |         last(cents ORDER BY es, event_id) AS x
+        |  FROM ev GROUP BY event_type, es // 86400),
+        |m AS (
+        |  SELECT event_type, day, x,
+        |         count(*)    OVER win AS nf,
+        |         sum(x)      OVER win AS s1,
+        |         sum(x*x)    OVER win AS s2,
+        |         sum(x*x*x)  OVER win AS s3
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |n AS (
+        |  SELECT event_type, day, x,
+        |         (nf * s2 - s1 * s1)::BIGINT AS m2num,
+        |         (nf * nf * s3 - 3 * nf * s1 * s2 + 2 * s1 * s1 * s1)::BIGINT AS m3num,
+        |         nf
+        |  FROM m)
+        |SELECT event_type, day, x AS close, m2num, m3num,
+        |       CASE WHEN nf = 14 AND m2num > 0
+        |            THEN sqrt(nf::DOUBLE) * m3num::DOUBLE
+        |                 / (m2num::DOUBLE * sqrt(m2num::DOUBLE)) END AS skew
+        |FROM n ORDER BY event_type, day""".stripMargin,
+
+    "events_lorenz" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY user_id),
+        |hx AS (SELECT x, count(*)::BIGINT AS cnt FROM per GROUP BY x),
+        |r AS (
+        |  SELECT x, cnt,
+        |         (sum(cnt) OVER (ORDER BY x) - cnt + 1)::BIGINT AS rk,
+        |         sum(cnt) OVER ()::BIGINT AS n_users,
+        |         sum(x * cnt) OVER ()::BIGINT AS tot_events
+        |  FROM hx),
+        |dec AS (
+        |  SELECT ((rk - 1) * 10) // n_users + 1 AS decile,
+        |         sum(cnt)::BIGINT AS n_users, sum(x * cnt)::BIGINT AS n_events,
+        |         min(tot_events)::BIGINT AS tot
+        |  FROM r GROUP BY 1)
+        |SELECT decile::BIGINT AS decile, n_users, n_events,
+        |       ((n_events * 1000) // tot)::BIGINT AS share_permille,
+        |       ((sum(n_events) OVER (ORDER BY decile) * 1000) // tot)::BIGINT AS cum_permille
+        |FROM dec ORDER BY decile""".stripMargin
   )
 }

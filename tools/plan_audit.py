@@ -79,9 +79,15 @@ GLOBAL_WINDOW_ALLOWED = set()
 # agg_spearman: the exchanges feed the two per-user-metric value
 # histograms into the rank cumulative windows — bounded by metric
 # cardinality (distinct activity counts), not user count.
+# prep_curriculum: the exchange feeds the 4-stage difficulty rollup into
+# the corpus-share window — bounded at 4 rows by the stage domain.
+# events_lorenz: the exchanges feed the per-user-count histogram (metric
+# cardinality) and the 10-row decile frame into rank/cumulative windows —
+# bounded by value domain and decile count, not user volume.
 SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford", "events_survival",
                             "text_zipf", "agg_chi2", "agg_ks_test",
-                            "agg_drift_tvd", "agg_spearman"}
+                            "agg_drift_tvd", "agg_spearman",
+                            "prep_curriculum", "events_lorenz"}
 
 # ---------------------------------------------------------------------------
 # formatted-explain parsing
