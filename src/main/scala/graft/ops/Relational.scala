@@ -458,6 +458,41 @@ object Relational extends Pack {
         .orderBy("user_id")
     }),
 
+    "events_funnel_window" -> ((s, d) => {
+      // TIME-BOXED funnel: events_funnel with a 7-day conversion budget
+      // per step — first view, first click within 7 days OF THAT VIEW,
+      // first purchase within 7 days of that click. The unbounded funnel
+      // credits a purchase two years later; attribution and campaign
+      // reporting never do. Output is the step summary (entrants +
+      // conversion in exact basis points), the form a funnel dashboard
+      // reads. Scale shape identical to events_funnel: three user_id-
+      // keyed aggregations chained on the previous stage's timestamp,
+      // then ONE scalar rollup (auto-allowed single-row aggregate).
+      val week = 604800L
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("es")).as("view_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .join(views, "user_id")
+        .filter(col("es") > col("view_s") && col("es") <= col("view_s") + week)
+        .groupBy(col("user_id")).agg(min(col("es")).as("click_s"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(clicks, "user_id")
+        .filter(col("es") > col("click_s") && col("es") <= col("click_s") + week)
+        .groupBy(col("user_id")).agg(min(col("es")).as("purchase_s"))
+      views
+        .join(clicks, Seq("user_id"), "left")
+        .join(purchases, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("click_s")).as("n_click_7d"),
+          count(col("purchase_s")).as("n_purchase_7d"))
+        .select(col("n_view"), col("n_click_7d"), col("n_purchase_7d"),
+          expr("(n_click_7d * 10000) div n_view").as("click_bp"),
+          expr("case when n_click_7d > 0 then (n_purchase_7d * 10000) div n_click_7d end")
+            .as("purchase_bp"))
+    }),
+
     // ---- sort / limit / set ops ------------------------------------------
     "sort_limit" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -883,6 +918,24 @@ object Relational extends Pack {
         |SELECT v.user_id, view_s, click_s, purchase_s
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY v.user_id""".stripMargin,
+
+    "events_funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS es FROM events),
+        |v AS (SELECT user_id, min(es) AS view_s FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(es) AS click_s FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND es > view_s AND es <= view_s + 604800
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(es) AS purchase_s FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND es > click_s AND es <= click_s + 604800
+        |      GROUP BY e.user_id),
+        |f AS (SELECT count(*)::BIGINT AS n_view, count(click_s)::BIGINT AS n_click_7d,
+        |             count(purchase_s)::BIGINT AS n_purchase_7d
+        |      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        |SELECT n_view, n_click_7d, n_purchase_7d,
+        |       ((n_click_7d * 10000) // n_view)::BIGINT AS click_bp,
+        |       (CASE WHEN n_click_7d > 0 THEN (n_purchase_7d * 10000) // n_click_7d END)::BIGINT
+        |         AS purchase_bp
+        |FROM f""".stripMargin,
 
     "sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -684,6 +684,40 @@ object ScaleOps extends Pack {
         .select(col("stage"), col("n_docs"), col("n_words_total"),
           col("min_dc"), col("max_dc"), col("share_permille"))
         .orderBy("stage")
+    }),
+
+    "prep_balanced_sample" -> ((s, d) => {
+      // EXACT-k class-balanced sampling: every language keeps exactly
+      // k = min(lang count) documents — the equal-representation set a
+      // fairness eval or per-class fine-tune wants, where
+      // sample_stratified/prep_mixture's rate-based keeps are only
+      // expected-count. Membership is deterministic (the keyed-md5 order,
+      // tie-broken by doc_id), so runs/engines/backfills agree doc-for-
+      // doc; kept_docid_sum pins the exact membership under the hash
+      // gate, n_kept = k is the balance identity.
+      // Scale shape: per-lang rank WITHOUT a lang-partitioned window
+      // funnel — ONE DistributedRank range exchange over (lang, hash)
+      // gives exact global row numbers; per-lang rank = rn − lang start
+      // offset, where the offsets ride the lang-count frame (domain-
+      // bounded window, allowlisted) and broadcast back.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("hk",
+          h60(concat(col("lang"), lit("#"), col("doc_id").cast("string"))))
+      val rk = DistributedRank.withGlobalRank(docs,
+        Seq(col("lang"), col("hk"), col("doc_id")), "rn")
+      val wl = Window.partitionBy(lit(1)).orderBy(col("lang"))
+      val wg = Window.partitionBy(lit(1))
+      val offs = rk.df.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+        .withColumn("start_rn", sum(col("n_orig")).over(wl) - col("n_orig"))
+        .withColumn("k", min(col("n_orig")).over(wg))
+      rk.df.join(broadcast(offs), "lang")
+        .filter(col("rn") - col("start_rn") <= col("k"))
+        .groupBy(col("lang"))
+        .agg(min(col("n_orig")).as("n_orig"), min(col("k")).as("k"),
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_docid_sum"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("lang")
     })
   )
 
@@ -710,6 +744,25 @@ object ScaleOps extends Pack {
         |SELECT stage, n_docs, n_words_total, min_dc, max_dc,
         |       ((n_docs * 1000) // sum(n_docs) OVER ())::BIGINT AS share_permille
         |FROM g ORDER BY stage""".stripMargin,
+
+    "prep_balanced_sample" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang,
+         |         ${h60Sql.format("lang || '#' || doc_id::VARCHAR")} AS hk
+         |  FROM documents),
+         |c AS (SELECT lang, count(*)::BIGINT AS n_orig FROM docs GROUP BY lang),
+         |kk AS (SELECT min(n_orig)::BIGINT AS k FROM c),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+         |  FROM docs)
+         |SELECT r.lang, min(c.n_orig)::BIGINT AS n_orig, min(kk.k)::BIGINT AS k,
+         |       count(*)::BIGINT AS n_kept,
+         |       sum(r.doc_id)::BIGINT AS kept_docid_sum,
+         |       min(r.doc_id)::BIGINT AS min_doc
+         |FROM r JOIN c USING (lang), kk
+         |WHERE r.rn <= kk.k
+         |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
 
     "agg_quantile_edges" ->
       """WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders),

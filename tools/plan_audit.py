@@ -84,10 +84,15 @@ GLOBAL_WINDOW_ALLOWED = set()
 # events_lorenz: the exchanges feed the per-user-count histogram (metric
 # cardinality) and the 10-row decile frame into rank/cumulative windows —
 # bounded by value domain and decile count, not user volume.
+# prep_balanced_sample: the exchange feeds the per-LANG count frame into
+# the start-offset/min-k windows — bounded by language cardinality, not
+# document volume (the doc-volume rank is DistributedRank's range
+# exchange, fully parallel).
 SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford", "events_survival",
                             "text_zipf", "agg_chi2", "agg_ks_test",
                             "agg_drift_tvd", "agg_spearman",
-                            "prep_curriculum", "events_lorenz"}
+                            "prep_curriculum", "events_lorenz",
+                            "prep_balanced_sample"}
 
 # ---------------------------------------------------------------------------
 # formatted-explain parsing
