@@ -506,6 +506,69 @@ object VectorOps extends Pack {
           call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))
         .orderBy(col("dot_q").desc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    "sim_recall_curve" -> ((s, d) => {
+      // Recall@10 vs nprobe SWEEP for the IVF index — the tuning curve an
+      // ANN deployment reads before picking its speed/recall point (the
+      // oracle-gated twin of PqIndex/IvfPq's spec-measured recalls):
+      // for nprobe ∈ {1,2,3,5,10(=exhaustive)}, how many of the TRUE
+      // top-10 does probing that many cells recover, plus the candidate
+      // volume each setting scans. nprobe = all cells IS the ground
+      // truth by construction, so recall_permille = 1000 gates the
+      // sweep's own consistency.
+      //
+      // Determinism: cells rank by exact-integer mean dot (one IEEE
+      // division of exact ints, ties by label); candidates rank by the
+      // integer dot with vec_id ties — both bit-stable cross-engine.
+      // Scale shape: the sweep fans each scored candidate out ≤5× (the
+      // sweep size, a constant); per-sweep top-10 is a rank-≤-k window
+      // that plans as WindowGroupLimit (each input partition forwards
+      // only its local top-10 per nprobe — bounded rows reach the
+      // shuffle); the cell-rank window rides the |cells| centroid frame
+      // (allowlisted, domain-bounded).
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+        .persist()
+      val probe = emb.filter(col("vec_id") === 0).select(col("q").as("pq"))
+      val cent = emb.select(col("label"), posexplode(col("q")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("cnt"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, sv))), x -> x.sv)").as("csum"),
+          max(col("cnt")).as("cnt"))
+      val wc = Window.partitionBy(lit(1)).orderBy(
+        (call_function("graft_dot_i64", col("csum"), col("pq")).cast("double") /
+          col("cnt")).desc, col("label").asc)
+      val cellRank = cent.crossJoin(broadcast(probe))
+        .withColumn("cell_rank", row_number().over(wc))
+        .select(col("label"), col("cell_rank"))
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(cellRank), "label")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("cell_rank"),
+          call_function("graft_dot_i64", col("q"), col("pq")).as("dot_q"))
+      val cand = scored
+        .select(col("vec_id"), col("cell_rank"), col("dot_q"),
+          explode(array(lit(1), lit(2), lit(3), lit(5), lit(10))).as("nprobe"))
+        .filter(col("cell_rank") <= col("nprobe"))
+      val wp = Window.partitionBy(col("nprobe"))
+        .orderBy(col("dot_q").desc, col("vec_id").asc)
+      val top = cand.withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= 10)
+        .select(col("nprobe"), col("vec_id"))
+      val exact = top.filter(col("nprobe") === 10)
+        .select(col("vec_id").as("true_id"))
+      val vol = cand.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cands"))
+      top.join(broadcast(exact), col("vec_id") === col("true_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_top"),
+          sum(when(col("true_id").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .join(vol, "nprobe")
+        .select(col("nprobe"), col("n_cands"), col("n_top"), col("n_hit"),
+          expr("(n_hit * 1000) div n_top").as("recall_permille"))
+        .orderBy("nprobe")
     })
   )
 
@@ -774,7 +837,45 @@ object VectorOps extends Pack {
         |pq AS (SELECT qe AS pq FROM q WHERE vec_id = 0)
         |SELECT c.vec_id AS vec_id, list_sum(list_transform(q.qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
         |FROM cand c, q, pq WHERE c.vec_id = q.vec_id
-        |ORDER BY dot_q DESC, c.vec_id ASC LIMIT 10""".stripMargin)
+        |ORDER BY dot_q DESC, c.vec_id ASC LIMIT 10""".stripMargin),
+
+    "sim_recall_curve" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+        |  FROM embeddings),
+        |p AS (SELECT qe AS pq FROM q WHERE vec_id = 0),
+        |sums AS (
+        |  SELECT label, d, sum(qe[d])::BIGINT AS sv, count(*)::BIGINT AS cnt
+        |  FROM q, (SELECT unnest(generate_series(1, 64)) AS d)
+        |  GROUP BY label, d),
+        |cent AS (SELECT label, max(cnt) AS cnt, list(sv ORDER BY d) AS csum FROM sums GROUP BY label),
+        |cr AS (
+        |  SELECT label, row_number() OVER (
+        |    ORDER BY (list_sum(list_transform(csum, (x, i) -> x * pq[i]))::BIGINT::DOUBLE / cnt) DESC,
+        |      label ASC) AS cell_rank
+        |  FROM cent, p),
+        |scored AS (
+        |  SELECT q.vec_id, cr.cell_rank,
+        |         list_sum(list_transform(qe, (x, i) -> x * pq[i]))::BIGINT AS dot_q
+        |  FROM q JOIN cr USING (label), p WHERE vec_id <> 0),
+        |cand AS (
+        |  SELECT vec_id, cell_rank, dot_q, nprobe
+        |  FROM scored, (SELECT unnest([1, 2, 3, 5, 10]) AS nprobe)
+        |  WHERE cell_rank <= nprobe),
+        |top AS (
+        |  SELECT nprobe, vec_id FROM (
+        |    SELECT nprobe, vec_id,
+        |           row_number() OVER (PARTITION BY nprobe ORDER BY dot_q DESC, vec_id ASC) AS rn
+        |    FROM cand) WHERE rn <= 10),
+        |ex AS (SELECT vec_id AS true_id FROM top WHERE nprobe = 10),
+        |vol AS (SELECT nprobe, count(*)::BIGINT AS n_cands FROM cand GROUP BY nprobe),
+        |hit AS (
+        |  SELECT t.nprobe, count(*)::BIGINT AS n_top,
+        |         sum(CASE WHEN e.true_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+        |  FROM top t LEFT JOIN ex e ON t.vec_id = e.true_id GROUP BY t.nprobe)
+        |SELECT h.nprobe, v.n_cands, h.n_top, h.n_hit,
+        |       ((h.n_hit * 1000) // h.n_top)::BIGINT AS recall_permille
+        |FROM hit h JOIN vol v USING (nprobe) ORDER BY nprobe""".stripMargin
   )
 
   // ---- production float paths (ScalaTest + bench; not oracle-compared) ----

@@ -38,7 +38,10 @@ BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim
                 "text_vocab_drift",
                 # 1-row token-total aggregate broadcast onto the
                 # LIMIT(20)-bounded top-word frame for the share permilles
-                "text_zipf"}
+                "text_zipf",
+                # the standard 1-row probe-vector broadcast of the sim_*
+                # plane (plus the 10-row exact top-10 set re-broadcast)
+                "sim_recall_curve"}
 
 # Queries whose plans must have ZERO Exchange partitioned on vec_id — the
 # fanout-groupBy-argmin regression guard. These rank a bounded candidate
@@ -88,11 +91,15 @@ GLOBAL_WINDOW_ALLOWED = set()
 # the start-offset/min-k windows — bounded by language cardinality, not
 # document volume (the doc-volume rank is DistributedRank's range
 # exchange, fully parallel).
+# sim_recall_curve: the exchanges feed the |cells|-row centroid frame
+# into the cell-rank window — bounded by cell count (~sqrt(n) lists at a
+# real deployment, 10 here), not corpus volume; the corpus-sized top-10
+# windows are nprobe-keyed and plan as WindowGroupLimit.
 SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford", "events_survival",
                             "text_zipf", "agg_chi2", "agg_ks_test",
                             "agg_drift_tvd", "agg_spearman",
                             "prep_curriculum", "events_lorenz",
-                            "prep_balanced_sample"}
+                            "prep_balanced_sample", "sim_recall_curve"}
 
 # ---------------------------------------------------------------------------
 # formatted-explain parsing
