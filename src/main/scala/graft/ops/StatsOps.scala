@@ -217,6 +217,67 @@ object StatsOps extends Pack {
         .orderBy("event_type", "day")
     }),
 
+    "agg_mannwhitney" -> ((s, d) => {
+      // Mann–Whitney U between the two cohort value distributions — the
+      // NONPARAMETRIC location test completing the drift battery (KS
+      // reads shape, TVD mass, U asks "is one cohort systematically
+      // larger?"). Doubled-U convention keeps ties integer-exact:
+      // 2·U1 = Σ_v c1(v)·(2·cum2(<v) + c2(v)) — EXACT BIGINT from the
+      // value histogram; the common-language effect size
+      // cles = 2U1/(2·n1·n2) is ONE IEEE division. The tie correction
+      // Σ(t³−t) is emitted as a factored BIGINT term (the events_autocorr
+      // house rule: z-score assembly stays with the consumer — combining
+      // it with n³-scale factors would overflow Long at corpus scale).
+      // Scale: same histogram collapse as agg_ks_test.
+      val hist = t(s, d, "lineitem")
+        .select(round(col("l_quantity")).cast("long").as("v"),
+          (col("l_orderkey") % 2).as("cohort"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c2"))
+      val wcum = Window.partitionBy(lit(1)).orderBy(col("v"))
+      val wg = Window.partitionBy(lit(1))
+      hist
+        .withColumn("cum2prev", sum(col("c2")).over(wcum) - col("c2"))
+        .withColumn("n1", sum(col("c1")).over(wg))
+        .withColumn("n2", sum(col("c2")).over(wg))
+        .withColumn("u_term", col("c1") * (lit(2L) * col("cum2prev") + col("c2")))
+        .withColumn("t", col("c1") + col("c2"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(col("u_term")).as("u1_x2"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+        .select(col("n1"), col("n2"), col("u1_x2"), col("tie_term"),
+          (col("u1_x2").cast("double") /
+            (lit(2L) * col("n1") * col("n2")).cast("double")).as("cles"))
+    }),
+
+    "agg_winsorized_mean" -> ((s, d) => {
+      // Winsorized mean of order value (5%/95% caps) — the robust
+      // location estimate a revenue monitor alarms on when raw means are
+      // whipsawed by outlier orders. Exact: the cap VALUES are the
+      // elements at fixed integer ranks (agg_quantile_edges' tie-
+      // insensitive k-th-smallest), clamping and the sum stay BIGINT
+      // cents, and the mean is ONE IEEE division. Scale: DistributedRank
+      // range exchange (fully parallel), a 1-row edge aggregate broadcast
+      // back onto the corpus scan (the events_rfm scalar shape), one
+      // map-side-combinable final aggregate.
+      val v = t(s, d, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      val rk = DistributedRank.withGlobalRank(v, Seq(col("c")), "rn")
+      val kLo = math.max(1L, (rk.n + 1) * 5 / 100)
+      val kHi = math.max(1L, (rk.n + 1) * 95 / 100)
+      val edges = rk.df.filter(col("rn") === kLo || col("rn") === kHi)
+        .agg(max(when(col("rn") === kLo, col("c"))).as("lo_c"),
+          max(when(col("rn") === kHi, col("c"))).as("hi_c"))
+      rk.df.crossJoin(broadcast(edges))
+        .select(col("lo_c"), col("hi_c"),
+          greatest(col("lo_c"), least(col("hi_c"), col("c"))).as("w"))
+        .groupBy(col("lo_c"), col("hi_c"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("win_sum"))
+        .select(col("n"), col("lo_c"), col("hi_c"), col("win_sum"),
+          (col("win_sum").cast("double") / col("n").cast("double")).as("win_mean"))
+    }),
+
     "events_lorenz" -> ((s, d) => {
       // Lorenz concentration curve of user activity: users ranked by
       // event volume, split into min-rank deciles, each decile's exact
@@ -361,6 +422,38 @@ object StatsOps extends Pack {
         |            THEN sqrt(nf::DOUBLE) * m3num::DOUBLE
         |                 / (m2num::DOUBLE * sqrt(m2num::DOUBLE)) END AS skew
         |FROM n ORDER BY event_type, day""".stripMargin,
+
+    "agg_mannwhitney" ->
+      """WITH hist AS (
+        |  SELECT round(l_quantity)::BIGINT AS v,
+        |         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |         sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT c1, c2, (c1 + c2)::BIGINT AS t,
+        |         (sum(c2) OVER (ORDER BY v) - c2)::BIGINT AS cum2prev,
+        |         sum(c1) OVER ()::BIGINT AS n1, sum(c2) OVER ()::BIGINT AS n2
+        |  FROM hist)
+        |SELECT n1, n2,
+        |       sum(c1 * (2 * cum2prev + c2))::BIGINT AS u1_x2,
+        |       sum(t * t * t - t)::BIGINT AS tie_term,
+        |       sum(c1 * (2 * cum2prev + c2))::DOUBLE / (2 * n1 * n2)::DOUBLE AS cles
+        |FROM c GROUP BY n1, n2""".stripMargin,
+
+    "agg_winsorized_mean" ->
+      """WITH v AS (
+        |  SELECT round(o_totalprice * 100)::BIGINT AS c,
+        |         row_number() OVER (ORDER BY round(o_totalprice * 100)::BIGINT) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM orders),
+        |e AS (
+        |  SELECT max(CASE WHEN rn = greatest(1, (n + 1) * 5 // 100) THEN c END)::BIGINT AS lo_c,
+        |         max(CASE WHEN rn = greatest(1, (n + 1) * 95 // 100) THEN c END)::BIGINT AS hi_c
+        |  FROM v)
+        |SELECT count(*)::BIGINT AS n, lo_c, hi_c,
+        |       sum(greatest(lo_c, least(hi_c, c)))::BIGINT AS win_sum,
+        |       sum(greatest(lo_c, least(hi_c, c)))::DOUBLE / count(*)::DOUBLE AS win_mean
+        |FROM v, e GROUP BY lo_c, hi_c""".stripMargin,
 
     "events_lorenz" ->
       """WITH per AS (

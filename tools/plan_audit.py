@@ -41,7 +41,10 @@ BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim
                 "text_zipf",
                 # the standard 1-row probe-vector broadcast of the sim_*
                 # plane (plus the 10-row exact top-10 set re-broadcast)
-                "sim_recall_curve"}
+                "sim_recall_curve",
+                # the 1-row winsor-edge aggregate broadcast back onto the
+                # corpus scan (events_rfm scalar shape)
+                "agg_winsorized_mean"}
 
 # Queries whose plans must have ZERO Exchange partitioned on vec_id — the
 # fanout-groupBy-argmin regression guard. These rank a bounded candidate
@@ -76,9 +79,9 @@ GLOBAL_WINDOW_ALLOWED = set()
 # agg_chi2: the exchange feeds the priority x status contingency CELLS
 # into the row/col/grand-total windows — bounded by the categorical
 # domain product (5x3 here), not data volume.
-# agg_ks_test / agg_drift_tvd: the exchange feeds the quantity-value
-# HISTOGRAM into the cumulative/total windows — bounded by the value
-# domain (<=50 quantities), not data volume.
+# agg_ks_test / agg_drift_tvd / agg_mannwhitney: the exchange feeds the
+# quantity-value HISTOGRAM into the cumulative/total windows — bounded by
+# the value domain (<=50 quantities), not data volume.
 # agg_spearman: the exchanges feed the two per-user-metric value
 # histograms into the rank cumulative windows — bounded by metric
 # cardinality (distinct activity counts), not user count.
@@ -97,7 +100,7 @@ GLOBAL_WINDOW_ALLOWED = set()
 # windows are nprobe-keyed and plan as WindowGroupLimit.
 SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford", "events_survival",
                             "text_zipf", "agg_chi2", "agg_ks_test",
-                            "agg_drift_tvd", "agg_spearman",
+                            "agg_drift_tvd", "agg_spearman", "agg_mannwhitney",
                             "prep_curriculum", "events_lorenz",
                             "prep_balanced_sample", "sim_recall_curve"}
 
