@@ -95,6 +95,46 @@ object StreamingAggs {
         col("n_events"), col("n_purchases"), col("cents"),
         expr("(n_purchases * 1000) div n_events").as("conv_permille"))
 
+  /** Streaming twin of the batch drift battery (`agg_drift_tvd`):
+    * per event-time tumbling window, the exact total-variation distance
+    * between the live value distribution and a FIXED reference histogram
+    * (the training snapshot's profile) — the "is production drifting off
+    * the data we trained on" alarm, finalized exactly once per window.
+    *
+    * `refCounts(i)` is the reference count of value bucket i (bucket =
+    * cents div 5000, capped into the last cell — ten fixed cells over the
+    * value domain). A fixed bucket DOMAIN is what makes this a single
+    * windowed aggregate: the per-window histogram is one conditional sum
+    * per cell (map-side combinable, mergeable across micro-batches
+    * through the state store), so no chained stateful aggregation is
+    * needed. TVD stays integer-exact (the StatsOps discipline):
+    * tvd_num = Σᵢ |cᵢ·n_ref − rᵢ·n_live| in BIGINT, readout
+    * (tvd_num·1000) div (2·n_ref·n_live) in exact permille.
+    * State: one row of 10 BIGINTs per open window — bounded by the
+    * watermark horizon; late events drop, history never restates.
+    */
+  def driftMonitor(events: DataFrame, refCounts: Seq[Long],
+      watermark: String = "2 minutes"): DataFrame = {
+    require(refCounts.length == 10 && refCounts.forall(_ >= 0) && refCounts.sum > 0,
+      "refCounts must be 10 non-negative cells with positive total")
+    val nRef = refCounts.sum
+    val bucket = least(lit(9), greatest(lit(0),
+      expr("cast(round(value * 100) as bigint) div 5000").cast("int")))
+    val cells = count(lit(1)).as("n_live") +: (0 until 10).map(i =>
+      sum(when(bucket === i, 1L).otherwise(0L)).as(s"c$i"))
+    val tvdNum = (0 until 10).map(i =>
+        abs(col(s"c$i") * lit(nRef) - lit(refCounts(i)) * col("n_live")))
+      .reduce(_ + _)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(cells.head, cells.tail: _*)
+      .withColumn("tvd_num", tvdNum)
+      .select(unix_timestamp(col("window.start")).as("bucket_s"),
+        col("n_live"), col("tvd_num"),
+        expr(s"(tvd_num * 1000) div (2 * $nRef * n_live)").as("tvd_permille"))
+  }
+
   /** Stream-static enrichment: join each micro-batch against a slowly
     * changing dimension. The static side is broadcast (re-planned per
     * batch, so an updated dim TABLE is re-read at its next batch) — the

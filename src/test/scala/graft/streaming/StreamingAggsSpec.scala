@@ -60,6 +60,38 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: exact TVD vs reference, merged across batches, finalized once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val events = mem.toDF.toDF("ts", "value")
+    // reference: uniform 10 per cell (n_ref = 100)
+    val q = StreamingAggs.driftMonitor(events, Seq.fill(10)(10L), "1 minute")
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    try {
+      // window [0,60): 4 events — cells: 0 (v=10 -> 1000c), 0 (v=20),
+      // 1 (v=60 -> 6000c), 9 (v=480 -> 48000c) — split across two
+      // micro-batches so the cell counters must merge in the state store
+      mem.addData((ts(5), 10.0), (ts(10), 20.0))
+      q.processAllAvailable()
+      mem.addData((ts(20), 60.0), (ts(30), 480.0))
+      q.processAllAvailable()
+      mem.addData((ts(200), 1.0)) // watermark 140 finalizes [0,60)
+      q.processAllAvailable()
+      val rows = spark.table("drift").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // live: c0=2, c1=1, c9=1, n_live=4, n_ref=100.
+      // tvd_num = |2*100-10*4| + |1*100-10*4|*2 (cells 1 and 9)
+      //         + |0*100-10*4|*7 = 160 + 60 + 60 + 280 = 560
+      // tvd_permille = 560*1000 div (2*100*4) = 700
+      assert(rows.toSeq == Seq((0L, 4L, 560L, 700L)), rows.toSeq)
+      // late event inside the finalized window must NOT restate the row
+      mem.addData((ts(15), 10.0))
+      q.processAllAvailable()
+      assert(spark.table("drift").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming A/B monitor: variant counters merge across batches, finalize once, match the batch twin") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
