@@ -513,6 +513,40 @@ object ScaleOps extends Pack {
         .orderBy("source")
     }),
 
+    "agg_bootstrap_ci" -> ((s, d) => {
+      // Percentile-bootstrap 95% confidence interval for the mean order
+      // value — sample_bootstrap's Poisson machinery carried to its
+      // statistical destination: 100 deterministic replicates, each row's
+      // copy count drawn from Poisson(1) via inverse-CDF on the keyed md5
+      // uniform (seeded by replicate AND key, so replicates are
+      // independent yet every engine/run/retry regenerates the identical
+      // resample). Replicate means are ONE IEEE division of exact BIGINT
+      // weighted sums; the CI endpoints are the 3rd/98th order statistics
+      // of the 100 means (mean ties broken by replicate id).
+      // Scale shape: constant ×100 in-row fanout, ONE map-side-combinable
+      // aggregate to the 100-row replicate frame; the rank window rides
+      // that frame (allowlisted, replicate-count bounded).
+      val th = bootThresholds
+      val u = h60(concat(lit("ci#"), col("b").cast("string"),
+        lit("#"), col("o_orderkey").cast("string")))
+      val k = when(u < th(0), 0L).when(u < th(1), 1L).when(u < th(2), 2L)
+        .when(u < th(3), 3L).when(u < th(4), 4L).otherwise(5L)
+      val reps = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("c"),
+          explode(expr("sequence(0, 99)")).as("b"))
+        .select(col("b"), col("c"), k.as("k"))
+        .groupBy(col("b"))
+        .agg(sum(col("k") * col("c")).as("wsum"), sum(col("k")).as("wn"))
+        .withColumn("mean_c",
+          col("wsum").cast("double") / col("wn").cast("double"))
+      val wr = Window.partitionBy(lit(1)).orderBy(col("mean_c"), col("b"))
+      reps.withColumn("rn", row_number().over(wr))
+        .agg(count(lit(1)).as("n_replicates"),
+          max(when(col("rn") === 3, col("mean_c"))).as("ci_lo_c"),
+          max(when(col("rn") === 98, col("mean_c"))).as("ci_hi_c"))
+    }),
+
     "join_spatial_grid" -> ((s, d) => {
       // radius self-join on synthetic points: the 20 closest customer
       // pairs within r=5000 in a 1e6 x 1e6 integer plane (coords derived
@@ -941,6 +975,32 @@ object ScaleOps extends Pack {
          |  (count(*) FILTER (WHERE k = 0))::BIGINT AS n_dropped,
          |  max(k)::BIGINT AS max_k
          |FROM kd GROUP BY source ORDER BY source""".stripMargin),
+
+    "agg_bootstrap_ci" ->
+      (s"""WITH f AS (
+         |  SELECT b, round(o_totalprice * 100)::BIGINT AS c,
+         |    ${h60Sql.format("'ci#'||b::VARCHAR||'#'||o_orderkey::VARCHAR")} AS u
+         |  FROM orders, (SELECT unnest(generate_series(0, 99)) AS b)),
+         |kd AS (
+         |  SELECT b, c,
+         |    CASE WHEN u < ${bootThresholds(0)} THEN 0
+         |         WHEN u < ${bootThresholds(1)} THEN 1
+         |         WHEN u < ${bootThresholds(2)} THEN 2
+         |         WHEN u < ${bootThresholds(3)} THEN 3
+         |         WHEN u < ${bootThresholds(4)} THEN 4
+         |         ELSE 5 END AS k
+         |  FROM f),
+         |reps AS (
+         |  SELECT b, sum(k * c)::BIGINT AS wsum, sum(k)::BIGINT AS wn
+         |  FROM kd GROUP BY b),
+         |m AS (
+         |  SELECT b, wsum::DOUBLE / wn::DOUBLE AS mean_c,
+         |         row_number() OVER (ORDER BY wsum::DOUBLE / wn::DOUBLE, b) AS rn
+         |  FROM reps)
+         |SELECT count(*)::BIGINT AS n_replicates,
+         |       max(CASE WHEN rn = 3 THEN mean_c END) AS ci_lo_c,
+         |       max(CASE WHEN rn = 98 THEN mean_c END) AS ci_hi_c
+         |FROM m""".stripMargin),
 
     "sample_weighted" ->
       (s"""SELECT doc_id, n_chars,

@@ -94,6 +94,9 @@ GLOBAL_WINDOW_ALLOWED = set()
 # the start-offset/min-k windows — bounded by language cardinality, not
 # document volume (the doc-volume rank is DistributedRank's range
 # exchange, fully parallel).
+# agg_bootstrap_ci: the exchange feeds the 100-row replicate-mean frame
+# into the order-statistic rank window — bounded by the replicate count,
+# not data volume.
 # sim_recall_curve: the exchanges feed the |cells|-row centroid frame
 # into the cell-rank window — bounded by cell count (~sqrt(n) lists at a
 # real deployment, 10 here), not corpus volume; the corpus-sized top-10
@@ -102,7 +105,8 @@ SINGLE_PARTITION_ALLOWED = {"sort_paginate", "events_benford", "events_survival"
                             "text_zipf", "agg_chi2", "agg_ks_test",
                             "agg_drift_tvd", "agg_spearman", "agg_mannwhitney",
                             "prep_curriculum", "events_lorenz",
-                            "prep_balanced_sample", "sim_recall_curve"}
+                            "prep_balanced_sample", "sim_recall_curve",
+                            "agg_bootstrap_ci"}
 
 # ---------------------------------------------------------------------------
 # formatted-explain parsing
