@@ -25,8 +25,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
       graft.ops.CtbOps, graft.ops.Relational, graft.ops.ExtraRelational,
       graft.ops.PipelineOps, graft.ops.TemporalOps, graft.ops.MiningOps,
       graft.ops.AnalyticsOps, graft.ops.CorpusOps, graft.ops.ScaleOps,
-      graft.ops.TextOps, graft.ops.VectorOps, graft.ops.UdfQueries,
-      graft.ops.ArchiveOps)
+      graft.ops.StatsOps, graft.ops.TextOps, graft.ops.VectorOps,
+      graft.ops.UdfQueries, graft.ops.ArchiveOps)
     val all = packs.flatMap(_.queries.keys)
     val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dups.isEmpty, s"duplicate query names: $dups")
