@@ -60,6 +60,20 @@ object ScaleOps extends Pack {
     out.toSeq
   }
 
+  /** [[bootThresholds]] rescaled to the mod-P universal-hash domain used by
+    * agg_bootstrap_ci (P = 2³¹−1): the same Poisson(1) inverse CDF, one
+    * double→long conversion, spliced as identical literals into both
+    * engines.
+    */
+  private val ciThresholds: Seq[Long] = {
+    val scale = 2147483647L.toDouble
+    var p = math.exp(-1.0)
+    var cum = p
+    val out = scala.collection.mutable.ArrayBuffer[Long]((cum * scale).toLong)
+    for (k <- 1 to 4) { p = p / k; cum += p; out += (cum * scale).toLong }
+    out.toSeq
+  }
+
   // morton bit-spreading masks (16-bit coord -> even bits of 32-bit word),
   // written as decimal so the identical literals appear in both engines
   private val M8 = 16711935L // 0x00FF00FF
@@ -525,16 +539,26 @@ object ScaleOps extends Pack {
       // of the 100 means (mean ties broken by replicate id).
       // Scale shape: constant ×100 in-row fanout, ONE map-side-combinable
       // aggregate to the 100-row replicate frame; the rank window rides
-      // that frame (allowlisted, replicate-count bounded).
-      val th = bootThresholds
-      val u = h60(concat(lit("ci#"), col("b").cast("string"),
-        lit("#"), col("o_orderkey").cast("string")))
+      // that frame (allowlisted, replicate-count bounded). The replicate
+      // uniforms come from ONE md5 per row pushed through a pinned
+      // universal-hash family (u_b = (h·(131+2b) + 17b) mod 2³¹−1 — the
+      // CountMin discipline), with the seed projection pinned BELOW the
+      // explode by a round-robin repartition barrier: CollapseProject
+      // otherwise folds the md5 into the Generate and re-hashes per
+      // replicate (the first cut paid 15M digests — 16.2 s at sf0.1; the
+      // let-idiom HOF form still paid the interpreted-lambda tax at
+      // 13.5 s; this barrier shape runs 2.1 s, and the 150k-row 20-byte
+      // seed shuffle it buys is noise at any scale).
+      val th = ciThresholds
+      val u = expr("pmod(hseed * (131 + 2 * b) + 17 * b, 2147483647L)")
       val k = when(u < th(0), 0L).when(u < th(1), 1L).when(u < th(2), 2L)
         .when(u < th(3), 3L).when(u < th(4), 4L).otherwise(5L)
       val reps = t(s, d, "orders")
-        .select(col("o_orderkey"),
-          round(col("o_totalprice") * 100).cast("long").as("c"),
-          explode(expr("sequence(0, 99)")).as("b"))
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"),
+          (h60(concat(lit("ci#"), col("o_orderkey").cast("string")))
+            % 2147483647L).as("hseed"))
+        .repartition()
+        .select(col("c"), col("hseed"), explode(expr("sequence(0, 99)")).as("b"))
         .select(col("b"), col("c"), k.as("k"))
         .groupBy(col("b"))
         .agg(sum(col("k") * col("c")).as("wsum"), sum(col("k")).as("wn"))
@@ -979,15 +1003,16 @@ object ScaleOps extends Pack {
     "agg_bootstrap_ci" ->
       (s"""WITH f AS (
          |  SELECT b, round(o_totalprice * 100)::BIGINT AS c,
-         |    ${h60Sql.format("'ci#'||b::VARCHAR||'#'||o_orderkey::VARCHAR")} AS u
+         |    (${h60Sql.format("'ci#'||o_orderkey::VARCHAR")} % 2147483647)
+         |      * (131 + 2 * b) + 17 * b AS uu
          |  FROM orders, (SELECT unnest(generate_series(0, 99)) AS b)),
          |kd AS (
          |  SELECT b, c,
-         |    CASE WHEN u < ${bootThresholds(0)} THEN 0
-         |         WHEN u < ${bootThresholds(1)} THEN 1
-         |         WHEN u < ${bootThresholds(2)} THEN 2
-         |         WHEN u < ${bootThresholds(3)} THEN 3
-         |         WHEN u < ${bootThresholds(4)} THEN 4
+         |    CASE WHEN uu % 2147483647 < ${ciThresholds(0)} THEN 0
+         |         WHEN uu % 2147483647 < ${ciThresholds(1)} THEN 1
+         |         WHEN uu % 2147483647 < ${ciThresholds(2)} THEN 2
+         |         WHEN uu % 2147483647 < ${ciThresholds(3)} THEN 3
+         |         WHEN uu % 2147483647 < ${ciThresholds(4)} THEN 4
          |         ELSE 5 END AS k
          |  FROM f),
          |reps AS (
