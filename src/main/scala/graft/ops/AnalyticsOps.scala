@@ -102,6 +102,37 @@ object AnalyticsOps extends Pack {
       .withColumn("cc_permille", expr("(n_triangles * 3000) div n_wedges"))
   }
 
+  /** Synchronous 3-round LPA over the near-dup pair graph, shared by
+    * graph_communities (the labels themselves) and graph_modularity (the
+    * partition-quality score). Returns (symmetrized distinct edge list,
+    * (node, label) frame). The edge frame is query-held-persisted (it is
+    * re-joined every round): released by the engine-entry convention —
+    * Verify/Bench sweep sc.getPersistentRDDs after every query (the
+    * contract pinned on SparkEntry.queries); standalone callers must
+    * sweep likewise.
+    */
+  private def lpaLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
+    val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
+      .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
+      .distinct().persist()
+    var lab = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to 3) {
+      val freq = lab.as("l")
+        .join(edges.as("e"), col("l.node") === col("e.src"))
+        .groupBy(col("e.dst").as("nd"), col("l.label").as("lb"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count, -label): max count wins, ties take the
+      // smallest label — one struct-max agg, no window needed
+      lab = freq
+        .groupBy(col("nd").as("node"))
+        .agg(max(struct(col("c"), (-col("lb")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+    }
+    (edges, lab)
+  }
+
   val queries: Map[String, Q] = Map(
 
     "graph_triangles" -> ((s, d) => {
@@ -213,30 +244,49 @@ object AnalyticsOps extends Pack {
       // (dst, label) count agg and a per-dst argmax, both map-side
       // combinable; labels are 8-byte ids, text never rides. Rounds are
       // FIXED (3), so lineage is bounded and needs no checkpoint chain.
-      val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
-      val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
-        .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
-        // query-held persist (edges are re-joined every LPA round):
-        // released by the engine-entry convention — Verify/Bench sweep
-        // sc.getPersistentRDDs after every query (the contract pinned on
-        // SparkEntry.queries); standalone callers must sweep likewise.
-        .distinct().persist()
-      var lab = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-      for (_ <- 1 to 3) {
-        val freq = lab.as("l")
-          .join(edges.as("e"), col("l.node") === col("e.src"))
-          .groupBy(col("e.dst").as("nd"), col("l.label").as("lb"))
-          .agg(count(lit(1)).as("c"))
-        // argmax by (count, -label): max count wins, ties take the
-        // smallest label — one struct-max agg, no window needed
-        lab = freq
-          .groupBy(col("nd").as("node"))
-          .agg(max(struct(col("c"), (-col("lb")).as("neg"))).as("m"))
-          .select(col("node"), (-col("m.neg")).as("label"))
-      }
+      val (_, lab) = lpaLabels(s, d)
       lab.select(col("node").as("doc_id"), col("label").as("community"))
         .orderBy("doc_id")
+    }),
+
+    "graph_modularity" -> ((s, d) => {
+      // Newman MODULARITY Q of the LPA community partition — the quality
+      // score for graph_communities' own output (Q = Σ_c [e_c/m −
+      // (d_c/2m)²]): near 0 the "communities" are no better than random
+      // edge placement, toward 1 they are genuinely dense families —
+      // the gate deciding whether community-wise dedup actions are safe.
+      // Exact: per-community q_num = 4m·e_in − d_sum² in BIGINT (valid
+      // for m < ~1.5·10⁹ edges — past that the factored per-community
+      // terms ship and consumers assemble in big-decimal, the
+      // events_autocorr rule), Q = Σq_num / (4m²) is ONE IEEE division.
+      // Scale shape: LPA rounds as in graph_communities; then one
+      // edges⋈labels⋈labels equi-join pair for internal edges, one
+      // degree rollup, and a scalar edge-count broadcast (events_rfm
+      // shape, allowlisted); everything map-side combinable.
+      val (edges, lab) = lpaLabels(s, d)
+      val e1 = edges.filter(col("src") < col("dst"))
+      val mEdges = e1.agg(count(lit(1)).as("mm"))
+      val lu = lab.select(col("node").as("src"), col("label").as("cu"))
+      val lv = lab.select(col("node").as("dst"), col("label").as("cv"))
+      val ein = e1.join(lu, "src").join(lv, "dst")
+        .filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("comm")).agg(count(lit(1)).as("e_in"))
+      val dsum = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .join(lab.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("label").as("comm"))
+        .agg(sum(col("dg")).as("d_sum"), count(lit(1)).as("n_nodes"))
+      dsum.join(ein, Seq("comm"), "left")
+        .select(col("comm"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+          col("d_sum"))
+        .crossJoin(broadcast(mEdges))
+        .select(col("comm"),
+          (lit(4L) * col("mm") * col("e_in") - col("d_sum") * col("d_sum")).as("q_num"),
+          col("mm"))
+        .agg(count(lit(1)).as("n_communities"), min(col("mm")).as("n_edges"),
+          sum(col("q_num")).as("q_num_sum"))
+        .select(col("n_communities"), col("n_edges"), col("q_num_sum"),
+          (col("q_num_sum").cast("double") /
+            (lit(4L) * col("n_edges") * col("n_edges")).cast("double")).as("modularity"))
     }),
 
     "graph_assortativity" -> ((s, d) => {
@@ -565,6 +615,36 @@ object AnalyticsOps extends Pack {
     })
   )
 
+  /** 3-round synchronous LPA as chained CTEs (expects `pairs` in scope,
+    * ends in `lab3(node, label)`) — shared by the graph_communities and
+    * graph_modularity oracles; the row_number tie-break mirrors the
+    * struct-max argmax.
+    */
+  private val lpaCte: String =
+    s""",
+       |edges AS (
+       |  SELECT rep_a AS src, rep_b AS dst FROM pairs
+       |  UNION SELECT rep_b, rep_a FROM pairs),
+       |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |f1 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+       |       FROM lab0 l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
+       |lab1 AS (SELECT node, label FROM (
+       |  SELECT node, label,
+       |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+       |  FROM f1) WHERE rn = 1),
+       |f2 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+       |       FROM lab1 l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
+       |lab2 AS (SELECT node, label FROM (
+       |  SELECT node, label,
+       |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+       |  FROM f2) WHERE rn = 1),
+       |f3 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+       |       FROM lab2 l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
+       |lab3 AS (SELECT node, label FROM (
+       |  SELECT node, label,
+       |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+       |  FROM f3) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "graph_triangles" ->
@@ -637,32 +717,34 @@ object AnalyticsOps extends Pack {
            |ORDER BY doc_id""".stripMargin),
 
     "graph_communities" ->
-      (pairCte +
-        s""",
-           |edges AS (
-           |  SELECT rep_a AS src, rep_b AS dst FROM pairs
-           |  UNION SELECT rep_b, rep_a FROM pairs),
-           |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-           |f1 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
-           |       FROM lab0 l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
-           |lab1 AS (SELECT node, label FROM (
-           |  SELECT node, label,
-           |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-           |  FROM f1) WHERE rn = 1),
-           |f2 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
-           |       FROM lab1 l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
-           |lab2 AS (SELECT node, label FROM (
-           |  SELECT node, label,
-           |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-           |  FROM f2) WHERE rn = 1),
-           |f3 AS (SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
-           |       FROM lab2 l JOIN edges e ON l.node = e.src GROUP BY e.dst, l.label),
-           |lab3 AS (SELECT node, label FROM (
-           |  SELECT node, label,
-           |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-           |  FROM f3) WHERE rn = 1)
+      (pairCte + lpaCte +
+        s"""
            |SELECT node AS doc_id, label AS community
            |FROM lab3 ORDER BY doc_id""".stripMargin),
+
+    "graph_modularity" ->
+      (pairCte + lpaCte +
+        s""",
+           |e1 AS (
+           |  SELECT least(rep_a, rep_b) AS u, greatest(rep_a, rep_b) AS v
+           |  FROM pairs GROUP BY 1, 2),
+           |mm AS (SELECT count(*)::BIGINT AS mm FROM e1),
+           |ein AS (
+           |  SELECT l1.label AS comm, count(*)::BIGINT AS e_in
+           |  FROM e1 JOIN lab3 l1 ON e1.u = l1.node JOIN lab3 l2 ON e1.v = l2.node
+           |  WHERE l1.label = l2.label GROUP BY 1),
+           |degm AS (SELECT src AS node, count(*)::BIGINT AS dg FROM edges GROUP BY src),
+           |ds AS (
+           |  SELECT l.label AS comm, sum(dg)::BIGINT AS d_sum
+           |  FROM degm JOIN lab3 l ON degm.node = l.node GROUP BY 1),
+           |per AS (
+           |  SELECT ds.comm, coalesce(ein.e_in, 0)::BIGINT AS e_in, ds.d_sum
+           |  FROM ds LEFT JOIN ein ON ds.comm = ein.comm)
+           |SELECT count(*)::BIGINT AS n_communities, min(mm.mm)::BIGINT AS n_edges,
+           |       sum(4 * mm.mm * e_in - d_sum * d_sum)::BIGINT AS q_num_sum,
+           |       sum(4 * mm.mm * e_in - d_sum * d_sum)::DOUBLE
+           |         / (4 * min(mm.mm) * min(mm.mm))::DOUBLE AS modularity
+           |FROM per, mm""".stripMargin),
 
     "graph_assortativity" ->
       (pairCte +

@@ -251,6 +251,40 @@ object StatsOps extends Pack {
             (lit(2L) * col("n1") * col("n2")).cast("double")).as("cles"))
     }),
 
+    "agg_welch_t" -> ((s, d) => {
+      // Welch's unequal-variance t statistic between the two cohorts —
+      // the parametric member of the drift battery (U/KS/TVD are its
+      // nonparametric siblings; Welch is what a metrics dashboard
+      // actually quotes). Exact-moment discipline: ONE pass collects
+      // both cohorts' BIGINT (n, Σx, Σx²); the variance numerators
+      // nᵢΣxᵢ²−(Σxᵢ)² stay exact and ship as factored columns (the
+      // events_autocorr rule — the Welch–Satterthwaite df assembly is
+      // the consumer's); t itself is a fixed sequence of IEEE ops on
+      // identical integers (divisions/sqrt in the same order in both
+      // engines — the denominators n²(n−1) are formed in DOUBLE because
+      // they overflow Long at corpus scale).
+      val m = t(s, d, "lineitem")
+        .select(round(col("l_quantity")).cast("long").as("x"),
+          (col("l_orderkey") % 2).as("cohort"))
+        .agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("cohort") === 0, col("x")).otherwise(0L)).as("s1"),
+          sum(when(col("cohort") === 0, col("x") * col("x")).otherwise(0L)).as("ss1"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("cohort") === 1, col("x")).otherwise(0L)).as("s2"),
+          sum(when(col("cohort") === 1, col("x") * col("x")).otherwise(0L)).as("ss2"))
+      m.select(col("n1"), col("n2"),
+          (col("n1") * col("ss1") - col("s1") * col("s1")).as("var_num1"),
+          (col("n2") * col("ss2") - col("s2") * col("s2")).as("var_num2"),
+          expr("(cast(s1 as double) / cast(n1 as double)" +
+            " - cast(s2 as double) / cast(n2 as double))" +
+            " / sqrt(cast(n1 * ss1 - s1 * s1 as double)" +
+            "          / (cast(n1 as double) * cast(n1 as double) * cast(n1 - 1 as double))" +
+            "        + cast(n2 * ss2 - s2 * s2 as double)" +
+            "          / (cast(n2 as double) * cast(n2 as double) * cast(n2 - 1 as double)))")
+            .as("welch_t"))
+    }),
+
     "agg_winsorized_mean" -> ((s, d) => {
       // Winsorized mean of order value (5%/95% caps) — the robust
       // location estimate a revenue monitor alarms on when raw means are
@@ -439,6 +473,26 @@ object StatsOps extends Pack {
         |       sum(t * t * t - t)::BIGINT AS tie_term,
         |       sum(c1 * (2 * cum2prev + c2))::DOUBLE / (2 * n1 * n2)::DOUBLE AS cles
         |FROM c GROUP BY n1, n2""".stripMargin,
+
+    "agg_welch_t" ->
+      """WITH m AS (
+        |  SELECT
+        |    sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN l_orderkey % 2 = 0 THEN round(l_quantity)::BIGINT ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN l_orderkey % 2 = 0 THEN round(l_quantity)::BIGINT * round(l_quantity)::BIGINT ELSE 0 END)::BIGINT AS ss1,
+        |    sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN l_orderkey % 2 = 1 THEN round(l_quantity)::BIGINT ELSE 0 END)::BIGINT AS s2,
+        |    sum(CASE WHEN l_orderkey % 2 = 1 THEN round(l_quantity)::BIGINT * round(l_quantity)::BIGINT ELSE 0 END)::BIGINT AS ss2
+        |  FROM lineitem)
+        |SELECT n1, n2,
+        |       (n1 * ss1 - s1 * s1)::BIGINT AS var_num1,
+        |       (n2 * ss2 - s2 * s2)::BIGINT AS var_num2,
+        |       (s1::DOUBLE / n1::DOUBLE - s2::DOUBLE / n2::DOUBLE)
+        |         / sqrt((n1 * ss1 - s1 * s1)::DOUBLE
+        |                  / (n1::DOUBLE * n1::DOUBLE * (n1 - 1)::DOUBLE)
+        |                + (n2 * ss2 - s2 * s2)::DOUBLE
+        |                  / (n2::DOUBLE * n2::DOUBLE * (n2 - 1)::DOUBLE)) AS welch_t
+        |FROM m""".stripMargin,
 
     "agg_winsorized_mean" ->
       """WITH v AS (

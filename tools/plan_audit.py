@@ -44,7 +44,10 @@ BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim
                 "sim_recall_curve",
                 # the 1-row winsor-edge aggregate broadcast back onto the
                 # corpus scan (events_rfm scalar shape)
-                "agg_winsorized_mean"}
+                "agg_winsorized_mean",
+                # the 1-row edge-count aggregate broadcast onto the
+                # per-community frame for the 4m*e_in - d^2 terms
+                "graph_modularity"}
 
 # Queries whose plans must have ZERO Exchange partitioned on vec_id — the
 # fanout-groupBy-argmin regression guard. These rank a bounded candidate
