@@ -113,6 +113,42 @@ object StreamingAggs {
     * State: one row of 10 BIGINTs per open window — bounded by the
     * watermark horizon; late events drop, history never restates.
     */
+  /** Streaming twin of `agg_ks_test`: per event-time window, the exact
+    * Kolmogorov–Smirnov D (over the same fixed 10-cell bucket domain as
+    * [[driftMonitor]]) between the live value distribution and the
+    * reference histogram — TVD reads total drifted mass, KS-D reads the
+    * worst single CDF gap, the two alarms a drift dashboard pairs.
+    * Integer-exact: d_num = maxᵢ |cumᵢ·n_ref − rcumᵢ·n_live| is a
+    * greatest() over ten BIGINT terms whose cumulative sums are plain
+    * column additions (the bucket domain is FIXED, so the CDF needs no
+    * window and no second stateful aggregate); readout
+    * (d_num·1000) div (n_ref·n_live) in exact permille. Same state
+    * bound and exactly-once semantics as driftMonitor.
+    */
+  def ksMonitor(events: DataFrame, refCounts: Seq[Long],
+      watermark: String = "2 minutes"): DataFrame = {
+    require(refCounts.length == 10 && refCounts.forall(_ >= 0) && refCounts.sum > 0,
+      "refCounts must be 10 non-negative cells with positive total")
+    val nRef = refCounts.sum
+    val refCum = refCounts.scanLeft(0L)(_ + _).tail // rcum_0..rcum_9
+    val bucket = least(lit(9), greatest(lit(0),
+      expr("cast(round(value * 100) as bigint) div 5000").cast("int")))
+    val cells = count(lit(1)).as("n_live") +: (0 until 10).map(i =>
+      sum(when(bucket === i, 1L).otherwise(0L)).as(s"c$i"))
+    val dNum = (0 until 10).map { i =>
+        val cum = (0 to i).map(j => col(s"c$j")).reduce(_ + _)
+        abs(cum * lit(nRef) - lit(refCum(i)) * col("n_live"))
+      }.reduce((a, b) => greatest(a, b))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(cells.head, cells.tail: _*)
+      .withColumn("d_num", dNum)
+      .select(unix_timestamp(col("window.start")).as("bucket_s"),
+        col("n_live"), col("d_num"),
+        expr(s"(d_num * 1000) div ($nRef * n_live)").as("ks_permille"))
+  }
+
   def driftMonitor(events: DataFrame, refCounts: Seq[Long],
       watermark: String = "2 minutes"): DataFrame = {
     require(refCounts.length == 10 && refCounts.forall(_ >= 0) && refCounts.sum > 0,

@@ -92,6 +92,38 @@ class StreamingAggsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KS monitor: exact worst CDF gap vs reference, merged across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val events = mem.toDF.toDF("ts", "value")
+    // reference: uniform 10 per cell (n_ref = 100, rcum_i = 10(i+1))
+    val q = StreamingAggs.ksMonitor(events, Seq.fill(10)(10L), "1 minute")
+      .writeStream.format("memory").queryName("ksmon").outputMode("append").start()
+    try {
+      // window [0,60): cells 0,0,1,9 (as in the drift test), split across
+      // batches so the cell counters must merge through the state store
+      mem.addData((ts(5), 10.0), (ts(10), 20.0))
+      q.processAllAvailable()
+      mem.addData((ts(20), 60.0), (ts(30), 480.0))
+      q.processAllAvailable()
+      mem.addData((ts(200), 1.0)) // watermark 140 finalizes [0,60)
+      q.processAllAvailable()
+      val rows = spark.table("ksmon").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // live cum CDF (n=4): cum0=2, cum1=3, cum2..8=3, cum9=4.
+      // d_num_i = |cum_i*100 - 10(i+1)*4|: i=0: 160; i=1: 220; i=2: 180;
+      // i=3..8 decreasing then rising negative gap: |300-40(i+1)*... =
+      // i=8: |300-360|=60; max at i=1 -> 220. ks_permille = 220*1000
+      // div (100*4) = 550
+      assert(rows.toSeq == Seq((0L, 4L, 220L, 550L)), rows.toSeq)
+      // late event inside the finalized window must NOT restate the row
+      mem.addData((ts(15), 10.0))
+      q.processAllAvailable()
+      assert(spark.table("ksmon").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming A/B monitor: variant counters merge across batches, finalize once, match the batch twin") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
