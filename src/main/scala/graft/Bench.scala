@@ -131,18 +131,24 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     val record =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}"""
-    // The record goes BOTH to a file and to stdout (round-13 verdict #2):
-    // the driver's artifact parser has to pull the JSON out of interleaved
-    // sbt output and produced `parsed: null` three rounds running — the
-    // file is the unambiguous channel, and the stdout copy is printed as
-    // the final line so a last-line parse also works.
+    // Two channels, two shapes (round-14 verdict #1): the FULL record —
+    // per-query map included — goes to bench_result.json (the unambiguous
+    // artifact); stdout's FINAL line is a COMPACT summary with no
+    // per-query map. The driver keeps only a ~2 KB tail of stdout, and
+    // the full record is >25 KB, so printing it last still truncated
+    // mid-object and left BENCH_rN `parsed: null` four rounds running.
+    // The compact line is a few hundred bytes and always survives the
+    // tail window.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     Files.write(java.nio.file.Paths.get(outFile),
       (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},""" +
+        s""""sf":"$sfDir","failed":$failed,"queries_file":"$outFile"}"""
     spark.stop()
     deleteRecursively(ckptDir.toFile)
     System.out.flush()
-    println(record)
+    println(compact)
     System.out.flush()
   }
 
