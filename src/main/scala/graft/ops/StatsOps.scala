@@ -40,6 +40,13 @@ object StatsOps extends Pack {
       // floor(num*num*1e6 / (rt*ct*N)) — two IEEE multiplies + one IEEE
       // divide + floor on identical integers, bit-equal cross-engine.
       // A drifted/broken feed shows up as a fat term on one cell.
+      // Exactness bound (the graph_modularity convention): |O·N − rt·ct|
+      // ≤ N² must stay under 2⁵³ for the double to be exact, so the
+      // bit-equal contract holds for N ≤ 9·10⁷ orders; rt·ct·1000 ≤
+      // N²·10³ stays in Long to N ≤ 3·10⁹. Past 9·10⁷ rows, run the test
+      // per calendar shard (chi² is additive over disjoint partitions of
+      // the population) or assemble from the factored exact terms
+      // (observed, rt, ct, n are all emitted or derivable per cell).
       // Scale: one map-side-combinable count to the <=25-cell frame; row/
       // col/grand totals are windows over that tiny frame (cardinality-
       // bound, never data-bearing at scale).
@@ -185,10 +192,17 @@ object StatsOps extends Pack {
       // a stable series reads ~0, a regime with occasional spikes reads
       // hard positive long before the mean moves. Exact-moment form:
       // g1 = √n·m3num / m2num^1.5 with m2num = n·Σx²−(Σx)² and
-      // m3num = n²·Σx³−3n·Σx·Σx²+2(Σx)³ both EXACT BIGINT (cents ≤ 5·10⁴
-      // keep n²Σx³ and (Σx)³ well inside Long at the 14-frame), then two
+      // m3num = n²·Σx³−3n·Σx·Σx²+2(Σx)³ both EXACT BIGINT, then two
       // IEEE sqrts + two muls + one div in identical order. Warm-up and
       // zero-variance frames yield NULL (window_rsi rule).
+      // Exactness domain, ENFORCED (not just assumed): the largest cubic
+      // term is 3n·Σx·Σx² ≤ 3·14·(14x)·(14x²) = 8232·x³, inside Long for
+      // |x| ≤ 10⁵ cents (8232·10¹⁵ < 2⁶³−1 ≈ 9.22·10¹⁸). The guard below
+      // raise_error's on the collapsed DAILY frame (cardinality-bounded,
+      // never the fact table) if the value domain ever outgrows the bound,
+      // instead of letting Spark wrap Long while DuckDB's HUGEINT throws —
+      // the cross-engine parity break is loud on both sides. Today's
+      // events generator keeps cents ≤ 5·10⁴, half the enforced bound.
       // Scale shape: ONE daily map-side-combinable aggregate collapses
       // event volume to the calendar-bounded per-type series; one window
       // pass carries all three moment sums.
@@ -197,7 +211,12 @@ object StatsOps extends Pack {
           col("event_id"), round(col("value") * 100).cast("long").as("cents"))
         .withColumn("day", expr("es div 86400"))
         .groupBy(col("event_type"), col("day"))
-        .agg(max_by(col("cents"), struct(col("es"), col("event_id"))).as("x"))
+        .agg(max_by(col("cents"), struct(col("es"), col("event_id"))).as("x0"))
+        .withColumn("x", when(abs(col("x0")) <= lit(100000L), col("x0"))
+          .otherwise(raise_error(concat(
+            lit("window_skewness: |cents|="), abs(col("x0")).cast("string"),
+            lit(" exceeds the exact-Long moment domain (1e5)"))).cast("long")))
+        .drop("x0")
       val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(-13, 0)
       daily
