@@ -130,7 +130,12 @@ object AnalyticsOps extends Pack {
         .agg(max(struct(col("c"), (-col("lb")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("label"))
     }
-    (edges, lab)
+    // the fixed point is consumed up to 3× by callers (graph_modularity:
+    // lu, lv, and the degree rollup) — unpersisted, EACH consumption
+    // re-ran all three LPA rounds (measured r23: ~2.3 s of the query's
+    // 7.1 s subset median). Query-held persist under the documented
+    // caller-sweeps contract, same as `edges` above.
+    (edges, lab.persist())
   }
 
   val queries: Map[String, Q] = Map(
