@@ -63,6 +63,62 @@ class SinkJdbcSpec extends AnyFunSuite with SparkSpec {
     assert(countRows(url, "dest") == 5)
   }
 
+  test("chaos restart into Derby: crash in the at-least-once window loses nothing, dups nothing") {
+    // StreamingPrepSpec's chaos recipe pointed at the TRANSACTIONAL sink:
+    // DocGen micro-batch source (restart-safe offsets) -> foreachBatch ->
+    // SinkJdbc.writeBatchIdempotent (delete-then-append by batch_id). The
+    // injected failure fires AFTER batch 1's rows landed in Derby but
+    // BEFORE the engine committed the offset — restart replays batch 1
+    // with the same id and data, the delete absorbs the prior copy, and
+    // the final table equals the batch-mode truth.
+    import graft.sources.DocGenSource
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.functions._
+    val url = freshDb("jdbc_chaos")
+    SinkJdbc.init(url, "sink", "doc_id BIGINT NOT NULL, batch_id BIGINT NOT NULL")
+    val ckpt = Files.createTempDirectory("jdbc-chaos-ckpt").toString
+    val want = spark.read.format(classOf[DocGenSource].getName)
+      .option("rows", "300").option("partitions", "2").load()
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def runQuery(): Unit = {
+      val sinkFn: (Dataset[Row], Long) => Unit = { (df, id) =>
+        SinkJdbc.writeBatchIdempotent(df.toDF(), url, "sink", id)
+        if (id == 1 && crashArmed.getAndSet(false))
+          throw new RuntimeException("chaos: crash after sink write, before commit")
+      }
+      val q = spark.readStream.format(classOf[DocGenSource].getName)
+        .option("rows", "300").option("partitions", "2")
+        .option("rowsPerBatch", "120").load()
+        .select("doc_id")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sinkFn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runQuery())
+    assert(boom.getMessage.contains("chaos"), boom.getMessage)
+    val conn0 = java.sql.DriverManager.getConnection(url)
+    val orphan = try {
+      val rs = conn0.createStatement()
+        .executeQuery("SELECT count(*) FROM sink WHERE batch_id = 1")
+      rs.next(); rs.getLong(1)
+    } finally conn0.close()
+    assert(orphan > 0, "premise: Derby DID receive the batch the checkpoint never committed")
+
+    runQuery() // restart from the same checkpoint; crash disarmed
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "sink").load()
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(back.length == back.distinct.length,
+      "replayed batch must DELETE its prior rows, not append a second copy")
+    assert(back.toSet == want, "post-restart table must equal the batch-mode truth")
+  }
+
   test("idempotent replay: delete-then-append converges under batch re-delivery") {
     import spark.implicits._
     val url = freshDb("jdbc_idem")
