@@ -191,6 +191,57 @@ object AnalyticsOps extends Pack {
         .orderBy("doc_id")
     }),
 
+    "graph_kcore_peel" -> ((s, d) => {
+      // 2-core peeling, THREE fixed rounds — the degeneracy gate that
+      // separates tightly-coupled template families (core survivors)
+      // from stragglers attached by a single near-dup edge (peeled).
+      // ORACLE GATE for the iterative-peel plane: [[GraphOps.kcore]]
+      // (spec-gated) runs the data-dependent fixed point; here rounds
+      // are FIXED so lineage is bounded and the readout hash-exact
+      // (the graph_pagerank discipline). Per node: starting degree,
+      // the round that peeled it (0 = survived all three), and the
+      // qualifying degree entering the last round.
+      // Scale shape: per round ONE degree hash-agg (map-side combine)
+      // + two LEFT SEMI equi-joins of the edge list against the
+      // survivor set — all keyed on node ids, no all-pairs, no
+      // driver-side sets; the final readout is three left joins of
+      // #node-sized marker frames.
+      val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
+      val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
+        .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
+        .distinct().persist()
+      def survivorEdges(alive: DataFrame): DataFrame = {
+        val an = alive.select(col("node"))
+        edges
+          .join(an.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(an.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      }
+      def degrees(e: DataFrame): DataFrame =
+        e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("node"), col("deg"))
+      val d0 = degrees(edges).persist()
+      val a1 = d0.filter(col("deg") >= 2)
+      def peel(alive: DataFrame): DataFrame =
+        alive.select(col("node"))
+          .join(degrees(survivorEdges(alive)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+          .filter(col("deg") >= 2)
+      val a2 = peel(a1)
+      val a3 = peel(a2)
+      d0.select(col("node").as("doc_id"), col("deg").as("degree0"))
+        .join(a1.select(col("node").as("doc_id"), lit(true).as("in1")),
+          Seq("doc_id"), "left")
+        .join(a2.select(col("node").as("doc_id"), lit(true).as("in2")),
+          Seq("doc_id"), "left")
+        .join(a3.select(col("node").as("doc_id"), col("deg").as("deg3"),
+          lit(true).as("in3")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("degree0"),
+          when(col("in1").isNull, 1L).when(col("in2").isNull, 2L)
+            .when(col("in3").isNull, 3L).otherwise(0L).as("peel_round"),
+          coalesce(col("deg3"), lit(0L)).as("deg_final"))
+        .orderBy("doc_id")
+    }),
+
     "graph_hits" -> ((s, d) => {
       // HITS hubs & authorities over the DIRECTED near-dup pair graph
       // (pairs keep their canonical rep_a→rep_b orientation, min-id
@@ -700,6 +751,36 @@ object AnalyticsOps extends Pack {
            |        FROM nodes nd LEFT JOIN s3 ON nd.node = s3.node, c)
            |SELECT node AS doc_id, outd AS degree, pr AS pr_scaled
            |FROM pr3 ORDER BY doc_id""".stripMargin),
+
+    // fixed-round integer peel twin of GraphOps.kcore: survivors lose
+    // their sub-2-degree fringe three times; every round is a degree
+    // agg + alive-set membership — the same joins the Spark plan runs
+    "graph_kcore_peel" ->
+      (pairCte +
+        s""",
+           |edges AS (
+           |  SELECT rep_a AS src, rep_b AS dst FROM pairs
+           |  UNION SELECT rep_b, rep_a FROM pairs),
+           |d0 AS (SELECT src AS node, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+           |a1 AS (SELECT node, deg FROM d0 WHERE deg >= 2),
+           |e1 AS (SELECT e.src, e.dst FROM edges e
+           |       WHERE e.src IN (SELECT node FROM a1) AND e.dst IN (SELECT node FROM a1)),
+           |d1 AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e1 GROUP BY src),
+           |a2 AS (SELECT a1.node, coalesce(d1.deg, 0)::BIGINT AS deg
+           |       FROM a1 LEFT JOIN d1 USING (node) WHERE coalesce(d1.deg, 0) >= 2),
+           |e2 AS (SELECT e.src, e.dst FROM edges e
+           |       WHERE e.src IN (SELECT node FROM a2) AND e.dst IN (SELECT node FROM a2)),
+           |d2 AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e2 GROUP BY src),
+           |a3 AS (SELECT a2.node, coalesce(d2.deg, 0)::BIGINT AS deg
+           |       FROM a2 LEFT JOIN d2 USING (node) WHERE coalesce(d2.deg, 0) >= 2)
+           |SELECT d0.node AS doc_id, d0.deg AS degree0,
+           |  (CASE WHEN a1.node IS NULL THEN 1 WHEN a2.node IS NULL THEN 2
+           |        WHEN a3.node IS NULL THEN 3 ELSE 0 END)::BIGINT AS peel_round,
+           |  coalesce(a3.deg, 0)::BIGINT AS deg_final
+           |FROM d0 LEFT JOIN a1 ON d0.node = a1.node
+           |        LEFT JOIN a2 ON d0.node = a2.node
+           |        LEFT JOIN a3 ON d0.node = a3.node
+           |ORDER BY doc_id""".stripMargin),
 
     "graph_hits" ->
       (pairCte +

@@ -744,6 +744,69 @@ object ScaleOps extends Pack {
         .orderBy("stage")
     }),
 
+    "prep_token_budget" -> ((s, d) => {
+      // Budgeted data selection: each source funds a FIXED training-token
+      // budget (800 whitespace tokens) and fills it from its longest
+      // documents first (n_chars desc, doc_id tiebreak) — the
+      // absolute-budget cousin of prep_mixture's rate-based keep.
+      // Selection is a PREFIX of the per-source quality order (keep while
+      // the running total fits), so a document's verdict depends only on
+      // better-ranked docs, never on corpus growth below it — rerunnable
+      // and backfill-stable. Per source: docs/tokens available vs
+      // selected plus the exact budget-utilization permille.
+      // Scale shape: ONE shuffle keyed by source feeds both the
+      // running-sum window (streaming frame — Spark's running agg holds
+      // O(1) state per partition) and the final per-source rollup; only
+      // (source, n_tokens) moves, never text. The per-source sequential
+      // prefix is inherent to greedy selection — the same per-source
+      // sharding-unit discipline prep_pack_sequences documents.
+      val budget = 800L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("cum_tokens") <= budget, 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("cum_tokens") <= budget, col("n_tokens")).otherwise(0L))
+            .as("tokens_selected"))
+        .withColumn("util_permille", expr(s"(tokens_selected * 1000) div ${budget}L"))
+        .orderBy("source")
+    }),
+
+    "prep_epoch_plan" -> ((s, d) => {
+      // Epoch planning: given a PINNED target mixture (permille per
+      // language — the data-mix spec a training run is configured with)
+      // and a fixed total char budget, compute how many passes over each
+      // language's available chars the budget implies, in exact
+      // MILLI-EPOCHS (floor arithmetic end to end, hash-comparable).
+      // epochs > 1.000 means the subset REPEATS (up-sampling — the
+      // Llama-style "how many epochs of each source" audit); < 1.000
+      // means it is subsampled. Integer-range note: budget·share ≤ 4e8
+      // and target·1000 ≤ 4e11 — far inside Long.
+      // Scale shape: one map-side-combinable hash agg keyed by lang +
+      // literal arithmetic; no joins, no windows, nothing collected.
+      val budget = 1000000L // total training chars funded by the run
+      val share = when(col("lang") === "en", lit(400L))
+        .when(col("lang") === "de", lit(200L))
+        .when(col("lang") === "es", lit(200L))
+        .when(col("lang") === "fr", lit(150L))
+        .otherwise(lit(50L))
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("avail_chars"))
+        .withColumn("share_permille", share)
+        .withColumn("target_chars", expr(s"(${budget}L * share_permille) div 1000"))
+        .withColumn("epochs_milli", expr("(target_chars * 1000) div avail_chars"))
+        .withColumn("upsampled", col("epochs_milli") > 1000L)
+        .orderBy("lang")
+    }),
+
     "prep_balanced_sample" -> ((s, d) => {
       // EXACT-k class-balanced sampling: every language keeps exactly
       // k = min(lang count) documents — the equal-representation set a
@@ -780,6 +843,37 @@ object ScaleOps extends Pack {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "prep_token_budget" ->
+      """WITH dt AS (
+        |  SELECT doc_id, source, n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+        |  FROM dt)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens_total,
+        |  (count(*) FILTER (WHERE cum_tokens <= 800))::BIGINT AS n_selected,
+        |  coalesce(sum(n_tokens) FILTER (WHERE cum_tokens <= 800), 0)::BIGINT AS tokens_selected,
+        |  (coalesce(sum(n_tokens) FILTER (WHERE cum_tokens <= 800), 0) * 1000 // 800)::BIGINT AS util_permille
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "prep_epoch_plan" ->
+      """WITH a AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS avail_chars
+        |  FROM documents GROUP BY lang),
+        |p AS (
+        |  SELECT lang, n_docs, avail_chars,
+        |    (CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 200 WHEN 'es' THEN 200
+        |               WHEN 'fr' THEN 150 ELSE 50 END)::BIGINT AS share_permille
+        |  FROM a)
+        |SELECT lang, n_docs, avail_chars, share_permille,
+        |  (1000000 * share_permille // 1000)::BIGINT AS target_chars,
+        |  ((1000000 * share_permille // 1000) * 1000 // avail_chars)::BIGINT AS epochs_milli,
+        |  ((1000000 * share_permille // 1000) * 1000 // avail_chars) > 1000 AS upsampled
+        |FROM p ORDER BY lang""".stripMargin,
 
     "prep_curriculum" ->
       """WITH docs AS (

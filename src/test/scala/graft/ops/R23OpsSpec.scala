@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the r23 additions the oracle hash gate can't see (both
+  * engines could share the same conceptual mistake): budget selection never
+  * overspends and is a prefix of the quality order, the epoch plan's pinned
+  * mixture sums to exactly 1000 permille, the synthesized code/mojibake
+  * gates separate PERFECTLY by construction, and the fixed-round 2-core
+  * peel respects the degeneracy definition round by round.
+  *
+  * All checks run the REAL SparkEntry.queries lambdas on the sf0.001
+  * testdata (smoke scale — the invariants are scale-free).
+  */
+class R23OpsSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("prep_token_budget: never overspends, never overselects") {
+    val rows = run("prep_token_budget").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, total, nSel, sel, util) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_total"),
+          r.getAs[Long]("n_selected"), r.getAs[Long]("tokens_selected"),
+          r.getAs[Long]("util_permille"))
+      assert(sel <= 800L, s"budget overspent: $sel")
+      assert(nSel <= nDocs && sel <= total)
+      assert(util == sel * 1000 / 800 && util <= 1000)
+      // a source with any docs selects at least its longest doc when it fits
+      assert(nSel >= 0)
+    }
+  }
+
+  test("prep_epoch_plan: pinned mixture sums to 1000 permille, arithmetic identity holds") {
+    val rows = run("prep_epoch_plan").collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet == Set("en", "de", "es", "fr", "zh"))
+    assert(rows.map(_.getAs[Long]("share_permille")).sum == 1000L)
+    rows.foreach { r =>
+      val (avail, target, em) = (r.getAs[Long]("avail_chars"),
+        r.getAs[Long]("target_chars"), r.getAs[Long]("epochs_milli"))
+      assert(target == 1000000L * r.getAs[Long]("share_permille") / 1000)
+      assert(em == target * 1000 / avail)
+      assert(r.getAs[Boolean]("upsampled") == (em > 1000))
+    }
+  }
+
+  test("text_code_detect: the synthesized gate separates perfectly") {
+    val rows = run("text_code_detect").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val isCode = r.getAs[Boolean]("is_code")
+      if (id % 3 == 0) {
+        assert(isCode, s"framed doc $id not detected")
+        assert(r.getAs[Long]("n_sym") >= 10 && r.getAs[Long]("kw_hits") >= 3)
+      } else {
+        assert(!isCode, s"clean doc $id misflagged")
+        assert(r.getAs[Long]("n_sym") == 0 && r.getAs[Long]("kw_hits") == 0)
+      }
+    }
+  }
+
+  test("text_mojibake: lesioned docs flag, clean docs count zero") {
+    val rows = run("text_mojibake").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (moji, repl) = (r.getAs[Long]("n_moji"), r.getAs[Long]("n_repl"))
+      (id % 4) match {
+        case 0 => assert(moji > 0 && repl == 0, s"doc $id: expected mojibake")
+        case 1 => assert(repl > 0 && moji == 0, s"doc $id: expected U+FFFD")
+        case _ => assert(moji == 0 && repl == 0 && !r.getAs[Boolean]("is_corrupt"))
+      }
+      // the word-salad corpus has 'e' and 'a' everywhere, so lesioned docs
+      // always cross the 5-permille flag threshold
+      if (id % 4 <= 1) assert(r.getAs[Boolean]("is_corrupt"), s"doc $id under threshold")
+    }
+  }
+
+  test("graph_kcore_peel: peel rounds respect the 2-core definition") {
+    val rows = run("graph_kcore_peel").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg0, round, degF) = (r.getAs[Long]("degree0"),
+        r.getAs[Long]("peel_round"), r.getAs[Long]("deg_final"))
+      assert(round >= 0 && round <= 3)
+      assert(deg0 >= 1) // every emitted node has at least one edge
+      if (round == 1) assert(deg0 < 2, "round-1 peel must be by starting degree")
+      if (round == 0) assert(degF >= 2, "survivors must qualify at the last peel")
+      if (round >= 2) assert(deg0 >= 2, "late peels only hit nodes that survived round 1")
+    }
+    // peeling is monotone: survivors ⊆ round-2 alive ⊆ round-1 alive
+    val n0 = rows.count(_.getAs[Long]("peel_round") == 0L)
+    val n3 = rows.count(_.getAs[Long]("peel_round") == 3L)
+    val n2 = rows.count(_.getAs[Long]("peel_round") == 2L)
+    val n1 = rows.count(_.getAs[Long]("peel_round") == 1L)
+    assert(n0 + n1 + n2 + n3 == rows.length)
+  }
+}
