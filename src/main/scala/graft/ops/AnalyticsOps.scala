@@ -220,12 +220,17 @@ object AnalyticsOps extends Pack {
         e.groupBy("src").agg(count(lit(1)).as("deg"))
           .select(col("src").as("node"), col("deg"))
       val d0 = degrees(edges).persist()
-      val a1 = d0.filter(col("deg") >= 2)
+      // each alive set feeds ~5 consumers (two semi-join sides, the next
+      // peel's degree agg, its own left join, the final readout) — persist
+      // the #node-sized frames so a round's semi-joins run once, not per
+      // consumer (caller sweeps per the SparkEntry persist contract)
       def peel(alive: DataFrame): DataFrame =
         alive.select(col("node"))
           .join(degrees(survivorEdges(alive)), Seq("node"), "left")
           .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
           .filter(col("deg") >= 2)
+          .persist()
+      val a1 = d0.filter(col("deg") >= 2).persist()
       val a2 = peel(a1)
       val a3 = peel(a2)
       d0.select(col("node").as("doc_id"), col("deg").as("degree0"))
