@@ -78,6 +78,28 @@ class R23OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("graph_kcore_peel agrees with the unbounded k-core fixed point") {
+    // cross-gate between the fixed-round oracle row and the spec-gated
+    // full kernel, on the SAME near-dup graph: 2-core peeling only ever
+    // removes nodes outside the 2-core, so every peeled node must have
+    // coreness <= 1 and every coreness>=2 node must survive all three
+    // rounds. (The converse inclusion holds only on convergence, which
+    // three rounds don't promise — so it is deliberately not asserted.)
+    import org.apache.spark.sql.functions.col
+    val pairs = TextOps.simhashNearPairs(spark, sf)
+      .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+    val cores = GraphOps.kcore(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val peel = run("graph_kcore_peel").collect()
+    assert(peel.map(_.getAs[Long]("doc_id")).toSet == cores.keySet,
+      "peel and kcore must cover the same node set")
+    peel.foreach { r =>
+      val (id, round) = (r.getAs[Long]("doc_id"), r.getAs[Long]("peel_round"))
+      if (round > 0) assert(cores(id) <= 1, s"node $id peeled but core=${cores(id)}")
+      if (cores(id) >= 2) assert(round == 0L, s"node $id core=${cores(id)} but peeled r$round")
+    }
+  }
+
   test("graph_kcore_peel: peel rounds respect the 2-core definition") {
     val rows = run("graph_kcore_peel").collect()
     assert(rows.nonEmpty)
