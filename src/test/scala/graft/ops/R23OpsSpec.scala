@@ -29,9 +29,32 @@ class R23OpsSpec extends AnyFunSuite with SparkSpec {
       assert(sel <= 800L, s"budget overspent: $sel")
       assert(nSel <= nDocs && sel <= total)
       assert(util == sel * 1000 / 800 && util <= 1000)
-      // a source with any docs selects at least its longest doc when it fits
-      assert(nSel >= 0)
     }
+    // a source with any docs selects at least its longest doc when it fits:
+    // recompute the head of each source's selection order (n_chars desc,
+    // doc_id asc) and require n_selected >= 1 wherever that doc's token
+    // count is within the 800-token budget
+    import org.apache.spark.sql.functions._
+    val firstTok = graft.ops.Tables.t(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    var nonVacuous = 0
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      if (firstTok(src) <= 800L) {
+        assert(r.getAs[Long]("n_selected") >= 1L,
+          s"source $src: longest doc fits the budget but nothing was selected")
+        nonVacuous += 1
+      }
+    }
+    assert(nonVacuous > 0, "fixture regression: no source's longest doc fits")
   }
 
   test("prep_epoch_plan: pinned mixture sums to 1000 permille, arithmetic identity holds") {
@@ -111,12 +134,18 @@ class R23OpsSpec extends AnyFunSuite with SparkSpec {
       if (round == 1) assert(deg0 < 2, "round-1 peel must be by starting degree")
       if (round == 0) assert(degF >= 2, "survivors must qualify at the last peel")
       if (round >= 2) assert(deg0 >= 2, "late peels only hit nodes that survived round 1")
+      // peeling only ever REMOVES edges, so the qualifying degree entering
+      // the last round can never exceed the starting degree
+      assert(degF <= deg0, "subgraph degree exceeded full-graph degree")
     }
-    // peeling is monotone: survivors ⊆ round-2 alive ⊆ round-1 alive
+    // the peel_round labels partition the node set (every node exactly once)
     val n0 = rows.count(_.getAs[Long]("peel_round") == 0L)
     val n3 = rows.count(_.getAs[Long]("peel_round") == 3L)
     val n2 = rows.count(_.getAs[Long]("peel_round") == 2L)
     val n1 = rows.count(_.getAs[Long]("peel_round") == 1L)
     assert(n0 + n1 + n2 + n3 == rows.length)
+    // a non-empty 2-core needs >= 3 nodes (each survivor has >= 2 surviving
+    // neighbors, and degree-2 needs at least a triangle)
+    assert(n0 == 0 || n0 >= 3, s"impossible 2-core size $n0")
   }
 }

@@ -34,19 +34,19 @@ def main() -> None:
     con.execute(f"CREATE VIEW reps AS SELECT unnest(generate_series(0, {R - 1})) AS s")
     src_docs = f"read_parquet('{src}/documents.parquet')"
     (koff,) = con.execute(f"SELECT max(doc_id) + 1 FROM {src_docs}").fetchone()
+    # suffix once in the inner select, derive n_chars from the SAME expression
+    # (a duplicated transform could silently drift between text and n_chars)
     con.execute(f"""
         COPY (
-          SELECT doc_id + s * {koff} AS doc_id,
-                 CASE WHEN s = 0 THEN text
-                      ELSE array_to_string(list_transform(
-                        string_split(text, ' '), w -> w || 'p' || s), ' ')
-                 END AS text,
-                 lang, source,
-                 CASE WHEN s = 0 THEN n_chars
-                      ELSE len(array_to_string(list_transform(
-                        string_split(text, ' '), w -> w || 'p' || s), ' '))
-                 END AS n_chars
-          FROM {src_docs}, reps
+          SELECT doc_id, text, lang, source, len(text) AS n_chars
+          FROM (
+            SELECT doc_id + s * {koff} AS doc_id,
+                   CASE WHEN s = 0 THEN text
+                        ELSE array_to_string(list_transform(
+                          string_split(text, ' '), w -> w || 'p' || s), ' ')
+                   END AS text,
+                   lang, source
+            FROM {src_docs}, reps)
           ORDER BY doc_id
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
     (n,) = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')").fetchone()
