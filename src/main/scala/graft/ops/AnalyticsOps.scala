@@ -25,7 +25,7 @@ object AnalyticsOps extends Pack {
     * ending in `pairs(rep_a, rep_b)` (house style: each oracle is
     * standalone SQL the driver can run verbatim).
     */
-  private[ops] val pairCte: String =
+  private val bandCte: String =
     s"""WITH tok AS (
        |  SELECT doc_id, w, count(*) AS wt, ('0x'||substr(md5(w),1,15))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
@@ -41,11 +41,28 @@ object AnalyticsOps extends Pack {
        |  SELECT simhash, min(doc_id) AS rep_doc FROM sh GROUP BY simhash),
        |bands AS (
        |  SELECT simhash, rep_doc, b, (simhash >> (b * 8)) & 255 AS bv
-       |  FROM reps, (SELECT unnest(generate_series(0, 3)) AS b)),
-       |pairs AS (
-       |  SELECT DISTINCT x.rep_doc AS rep_a, y.rep_doc AS rep_b
-       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.simhash < y.simhash
-       |  WHERE bit_count(xor(x.simhash, y.simhash)) BETWEEN 1 AND 3)""".stripMargin
+       |  FROM reps, (SELECT unnest(generate_series(0, 3)) AS b))""".stripMargin
+
+  private[ops] val pairCte: String =
+    bandCte +
+      s""",
+         |pairs AS (
+         |  SELECT DISTINCT x.rep_doc AS rep_a, y.rep_doc AS rep_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.simhash < y.simhash
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) BETWEEN 1 AND 3)""".stripMargin
+
+  /** The same pair graph with its hamming WEIGHT retained — the weighted
+    * edge list `pairsw(a, b, w)`, a < b — for the MST oracle row.
+    */
+  private val pairWCte: String =
+    bandCte +
+      s""",
+         |pairsw AS (
+         |  SELECT DISTINCT least(x.rep_doc, y.rep_doc) AS a,
+         |         greatest(x.rep_doc, y.rep_doc) AS b,
+         |         bit_count(xor(x.simhash, y.simhash))::BIGINT AS w
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.simhash < y.simhash
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) BETWEEN 1 AND 3)""".stripMargin
 
   /** Triangle census of an undirected graph given as (a, b) pairs in any
     * orientation (duplicates collapsed here). Degree-ordered orientation:
@@ -245,6 +262,37 @@ object AnalyticsOps extends Pack {
             .when(col("in3").isNull, 3L).otherwise(0L).as("peel_round"),
           coalesce(col("deg3"), lit(0L)).as("deg_final"))
         .orderBy("doc_id")
+    }),
+
+    "graph_mst_round" -> ((s, d) => {
+      // ONE Borůvka round over the WEIGHTED near-dup pair graph (edge
+      // weight = simhash hamming distance 1..3 — minimum weight picks the
+      // CLOSEST near-dup) — the oracle gate for the iterative-MSF plane:
+      // [[GraphOps.boruvkaMst]] (spec-gated against driver Kruskal) runs
+      // the data-dependent fixed point; here exactly one round runs so
+      // lineage is bounded and the readout hash-exact (the
+      // graph_kcore_peel discipline). Weights are heavily tied (three
+      // values), so the row exercises the (w, a, b) total order that
+      // makes the MSF unique — the determinism the whole plane rests on.
+      // Per selected edge: endpoints, weight, and how many nodes picked
+      // it (2 = mutual minimum, the halving guarantee's witness).
+      // Scale shape: one groupBy(a,b) dedupe, one union (each edge seen
+      // by both endpoints), ONE map-side-combined min-struct aggregate
+      // keyed by node, one count agg on the selected-edge key — all
+      // 8-byte-key shuffles, no self-joins beyond the shared kernel.
+      val e = TextOps.simhashNearPairs(s, d)
+        .select(least(col("rep_a"), col("rep_b")).as("a"),
+          greatest(col("rep_a"), col("rep_b")).as("b"), col("hamming").as("w"))
+        .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      val cand = e.select(col("a").as("node"),
+          struct(col("w"), col("a"), col("b")).as("pick"))
+        .union(e.select(col("b").as("node"),
+          struct(col("w"), col("a"), col("b")).as("pick")))
+      cand.groupBy(col("node")).agg(min(col("pick")).as("pick"))
+        .groupBy(col("pick.a").as("edge_a"), col("pick.b").as("edge_b"),
+          col("pick.w").as("w"))
+        .agg(count(lit(1)).as("n_pickers"))
+        .orderBy("edge_a", "edge_b")
     }),
 
     "graph_hits" -> ((s, d) => {
@@ -786,6 +834,24 @@ object AnalyticsOps extends Pack {
            |        LEFT JOIN a2 ON d0.node = a2.node
            |        LEFT JOIN a3 ON d0.node = a3.node
            |ORDER BY doc_id""".stripMargin),
+
+    // one Borůvka round: every node picks its minimum incident edge under
+    // the (w, a, b) total order (row_number twin of the min-struct argmax);
+    // the selected edge set with picker counts is the round's exact readout
+    "graph_mst_round" ->
+      (pairWCte +
+        s""",
+           |e AS (SELECT a, b, min(w)::BIGINT AS w FROM pairsw GROUP BY a, b),
+           |cand AS (
+           |  SELECT a AS node, w, a, b FROM e
+           |  UNION ALL SELECT b AS node, w, a, b FROM e),
+           |sel AS (
+           |  SELECT node, w, a, b FROM (
+           |    SELECT node, w, a, b,
+           |           row_number() OVER (PARTITION BY node ORDER BY w, a, b) AS rn
+           |    FROM cand) WHERE rn = 1)
+           |SELECT a AS edge_a, b AS edge_b, w, count(*)::BIGINT AS n_pickers
+           |FROM sel GROUP BY a, b, w ORDER BY edge_a, edge_b""".stripMargin),
 
     "graph_hits" ->
       (pairCte +

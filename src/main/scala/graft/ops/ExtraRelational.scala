@@ -543,6 +543,100 @@ object ExtraRelational extends Pack {
         .orderBy(col("revenue_c").desc, col("n_name"))
     }),
 
+    "join_q13_custdist" -> ((s, d) => {
+      // TPC-H Q13 shape: the order-count DISTRIBUTION over an OUTER join.
+      // The load-bearing subtlety is that the predicate lives in the JOIN
+      // CONDITION, not a WHERE — a post-filter would silently drop the
+      // zero-order customers the distribution exists to count (c_count=0
+      // is the histogram's biggest bucket). Two aggregates: the first
+      // (per customer) shuffles on c_custkey — the same key the left join
+      // just shuffled on, so AQE coalesces without a second exchange; the
+      // second groups the #customers-sized count frame into a handful of
+      // histogram rows (map-side combine collapses it before the tiny
+      // shuffle). No new shape survives to 100 TB any differently than
+      // join_left does — the distribution rollup is free.
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "join_q21_waiting" -> ((s, d) => {
+      // TPC-H Q21 shape: EXISTS and NOT EXISTS against the SAME fact
+      // table with different alias predicates — the multi-correlation
+      // decorrelation case. Here: suppliers who were the SOLE
+      // return-flagged ('R') supplier on a finished multi-supplier order
+      // (the schema has no receipt/commit dates, so the fault marker is
+      // the return flag; the correlation structure is Q21's exactly).
+      // Decorrelated form: the EXISTS becomes a LEFT SEMI and the NOT
+      // EXISTS a LEFT ANTI, both equi-joined on l_orderkey with the
+      // l_suppkey <> other_suppkey disqualifier riding the join condition
+      // — hash joins on the order key, never a per-row subquery loop.
+      // Scale shape: three shuffles on l_orderkey (the fact key), which
+      // AQE reuses across the semi/anti pair; supplier names arrive by a
+      // broadcast at the very end, after the fact rows have collapsed.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val flagged = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1
+        .join(others, col("l_orderkey") === col("ok2")
+          && col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(flagged, col("l_orderkey") === col("ok3")
+          && col("l_suppkey") =!= col("sk3"), "left_anti")
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
+    "join_q22_global" -> ((s, d) => {
+      // TPC-H Q22 shape: substring-bucketed anti-join gated by a SCALAR
+      // AVG subquery. Bucket = digits 8-9 of the zero-padded customer id
+      // in c_name (the schema has no c_phone; the substring-bucket
+      // IN-list is Q22's exactly). The scalar gate is made EXACT so the
+      // hash oracle can't wobble: instead of c_acctbal > avg(...) — a
+      // float division whose summation order differs per engine — both
+      // engines compare cents·n > total_cents in pure BIGINT (the house
+      // exact-integer discipline). The 1-row positive-balance aggregate
+      // broadcasts back onto the customer frame (the standard
+      // scalar-subquery BNLJ, allowlisted in plan_audit with this
+      // rationale); the anti-join condition is Q22's "no matching order"
+      // — every synthetic customer HAS orders, so the lapsed population
+      // is "no URGENT order" (the anti side carries a predicate, same
+      // decorrelated LEFT ANTI plan either way).
+      val codes = Seq("13", "31", "23", "29", "30", "18", "17")
+      val cust = t(s, d, "customer")
+        .withColumn("cntrycode", substring(col("c_name"), 17, 2))
+        .filter(col("cntrycode").isin(codes: _*))
+        .withColumn("cents", expr("bigint(round(c_acctbal * 100))"))
+      val gate = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("cents")).as("pos_cents"), count(lit(1)).as("n_pos"))
+      cust
+        .crossJoin(broadcast(gate))
+        .filter(col("cents") * col("n_pos") > col("pos_cents"))
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(DecimalType(10, 2))).cast("double")
+            .as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     "basket_rules" -> ((s, d) => {
       // Association rules on top of the basket kernel: for every pair
       // with support >= 3, directional confidence in exact permille
@@ -1051,6 +1145,47 @@ object ExtraRelational extends Pack {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue_c DESC, n_name""".stripMargin,
+
+    "join_q13_custdist" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "join_q21_waiting" ->
+      """SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+        |FROM lineitem l1
+        |JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    "join_q22_global" ->
+      """WITH cs AS (
+        |  SELECT c_custkey, c_acctbal, substring(c_name, 17, 2) AS cntrycode,
+        |         round(c_acctbal * 100)::BIGINT AS cents
+        |  FROM customer
+        |  WHERE substring(c_name, 17, 2) IN ('13','31','23','29','30','18','17')),
+        |gate AS (
+        |  SELECT sum(cents)::BIGINT AS pos_cents, count(*)::BIGINT AS n_pos
+        |  FROM cs WHERE c_acctbal > 0.0)
+        |SELECT cntrycode, count(*)::BIGINT AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS totacctbal
+        |FROM cs, gate
+        |WHERE cents * n_pos > pos_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     "basket_rules" ->
       """WITH it AS (

@@ -25,6 +25,10 @@ BNLJ_ALLOWED = {"join_range", "sim_topk", "sim_topk_native", "sim_ann_lsh", "sim
                 # scalar corpus-max (1-row aggregate) broadcast back onto the
                 # per-user frame — the standard scalar-subquery join shape
                 "events_rfm",
+                # TPC-H Q22's scalar avg gate as an exact-integer 1-row
+                # positive-balance aggregate broadcast onto the bucketed
+                # customer frame — the same scalar-subquery shape
+                "join_q22_global",
                 # same shape: the censor horizon (corpus-max last-seen, a
                 # 1-row aggregate) broadcast onto the per-user lifetimes
                 "events_survival",
