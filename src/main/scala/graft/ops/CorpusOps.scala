@@ -41,6 +41,39 @@ object CorpusOps extends Pack {
     * center-node self-join never exists. Returns (node_a, node_b, cn)
     * ordered by (node_a, node_b) after the (cn desc, a, b) top-k.
     */
+  /** The winnowed fingerprint frame — distinct (doc_id, fph) rows, the
+    * shared kernel of dedup_winnowing (and the measuring stick
+    * ScaleContractsSpec derives its exchange-row bounds from, so the
+    * contract uses the query's OWN selection, never a re-implementation).
+    *
+    * The gram-hash array is bound as a LAMBDA VARIABLE (`e`, via the
+    * transform(array(...), e -> ...)[0] let-idiom), NOT a projected
+    * column: CollapseProject inlines derived columns into every
+    * downstream reference, and an inlined `encs` would re-run all
+    * ~57 md5+conv gram hashes once PER WINDOW j (~53×/row — measured
+    * 100 s at sf0.1 vs sub-second with the binding).
+    *
+    * Query-held persist (fps feeds the df cap AND both sides of the
+    * candidate self-join): released by the engine-entry convention —
+    * Verify/Bench sweep sc.getPersistentRDDs after every query (the
+    * TrainingDataPrep contract); any standalone caller must sweep
+    * likewise or unpersist the plan's cached leaves itself.
+    */
+  private[ops] def winnowFps(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 12) // need >= 1 full window of 4-grams
+      .withColumn("fps", expr(
+        """transform(array(transform(sequence(0, size(toks) - 4), i ->
+          |    cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 11), 16, 10) as bigint)
+          |      * 65536L + greatest(65535L - i, 0L))), e ->
+          |  array_distinct(transform(sequence(0, size(e) - 5), j ->
+          |    array_min(slice(e, j + 1, 5)))))[0]""".stripMargin))
+      .select(col("doc_id"), explode(col("fps")).as("enc"))
+      .select(col("doc_id"), expr("enc div 65536L").as("fph"))
+      .distinct()
+      .persist()
+
   private[ops] def commonNeighbors(raw: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     val e = raw
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
@@ -242,31 +275,7 @@ object CorpusOps extends Pack {
       // (doc_id, fingerprint) 8-byte pairs shuffle; a df cap (≤ 10
       // docs) drops boilerplate fingerprints so no hot hash key can
       // explode the candidate join (the dedup_ngram discipline).
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 12) // need >= 1 full window of 4-grams
-      // the gram-hash array is bound as a LAMBDA VARIABLE (`e`, via the
-      // transform(array(...), e -> ...)[0] let-idiom), NOT a projected
-      // column: CollapseProject inlines derived columns into every
-      // downstream reference, and an inlined `encs` would re-run all
-      // ~57 md5+conv gram hashes once PER WINDOW j (~53×/row — measured
-      // 100 s at sf0.1 vs sub-second with the binding)
-      val fps = docs
-        .withColumn("fps", expr(
-          """transform(array(transform(sequence(0, size(toks) - 4), i ->
-            |    cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 11), 16, 10) as bigint)
-            |      * 65536L + greatest(65535L - i, 0L))), e ->
-            |  array_distinct(transform(sequence(0, size(e) - 5), j ->
-            |    array_min(slice(e, j + 1, 5)))))[0]""".stripMargin))
-        .select(col("doc_id"), explode(col("fps")).as("enc"))
-        .select(col("doc_id"), expr("enc div 65536L").as("fph"))
-        .distinct()
-        // query-held persist (fps feeds the df cap AND both sides of the
-        // candidate self-join): released by the engine-entry convention —
-        // Verify/Bench sweep sc.getPersistentRDDs after every query (the
-        // TrainingDataPrep contract); any standalone caller must sweep
-        // likewise or unpersist the plan's cached leaves itself.
-        .persist()
+      val fps = winnowFps(s, d)
       val kept = fps.join(
         fps.groupBy("fph").agg(count(lit(1)).as("df")).filter(col("df") <= 10), "fph")
       kept.as("x").join(kept.as("y"),

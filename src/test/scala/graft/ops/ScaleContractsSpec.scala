@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured shuffle-volume CONTRACTS for the heaviest kernels: the
+  * scale-shape comments ("only 8-byte keys shuffle", "candidates come from
+  * the band join, never all-pairs", "the df cap bounds pair expansion")
+  * become pinned bounds on the rows every Exchange in the executed plan
+  * actually carried, read from the plan's own SQLMetrics. A row-inflation
+  * regression — banding before the reps collapse, a dropped df cap, an
+  * accidental pre-join explode — breaks these asserts even while results
+  * stay correct (the oracle gate can't see HOW a correct answer was
+  * computed; this spec can).
+  *
+  * Bounds are derived from the data by the queries' OWN building blocks
+  * (simhashOf / simhashNearPairs / winnowFps), never re-implementations,
+  * so the contract measures shuffle geometry, not algorithm agreement.
+  */
+class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- executed-plan exchange harvesting ---------------------------------
+
+  /** Every node of the EXECUTED plan, descending through the adaptive
+    * wrapper, materialized query stages, reused exchanges, and cached
+    * sub-plans (persisted frames hide their build shuffles under
+    * InMemoryTableScan); identity-deduped so a reused exchange or a
+    * twice-scanned cache counts once.
+    */
+  private def flatten(p: SparkPlan,
+      seen: java.util.IdentityHashMap[SparkPlan, AnyRef]): Seq[SparkPlan] =
+    if (seen.containsKey(p)) Nil
+    else {
+      seen.put(p, p)
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten(_, seen))
+    }
+
+  /** Runs the frame and returns (outputColumns, rowsCarried) for every
+    * exchange the plan executed: shuffle exchanges report records written
+    * to the wire, broadcast exchanges the rows collected for the build.
+    */
+  private def exchangeRows(df: DataFrame): Seq[(String, Long)] = {
+    df.collect()
+    flatten(df.queryExecution.executedPlan, new java.util.IdentityHashMap)
+      .flatMap {
+        case s: ShuffleExchangeLike =>
+          s.metrics.get("shuffleRecordsWritten")
+            .map(m => (s.output.map(_.name).mkString(","), m.value))
+        case b: BroadcastExchangeLike =>
+          b.metrics.get("numOutputRows")
+            .map(m => (b.output.map(_.name).mkString(","), m.value))
+        case _ => None
+      }
+  }
+
+  private def sweep(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  private def assertAllUnder(ex: Seq[(String, Long)], bound: Long,
+      what: String): Unit = {
+    assert(ex.nonEmpty, s"$what: no exchanges found — traversal regression")
+    ex.foreach { case (cols, rows) =>
+      assert(rows <= bound,
+        s"$what: exchange [$cols] carried $rows rows > bound $bound")
+    }
+  }
+
+  // ---- measured bound ingredients (sf0.001 corpus) ------------------------
+
+  /** (nDocs, nReps, wBand, nPairs): corpus size, distinct fingerprints,
+    * band-sharing rep pairs Σ_{(b,bv)} C(n,2) (the exact band-join output
+    * volume), verified near-dup pairs.
+    */
+  private def kernelStats(d: String): (Long, Long, Long, Long) = {
+    val sh = TextOps.simhashOf(spark, d)
+    val nDocs = sh.count()
+    val reps = sh.groupBy("simhash").agg(min("doc_id").as("rep_doc"))
+    val nReps = reps.count()
+    val wBand = reps
+      .select(col("simhash"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv", expr("(simhash >> (b * 8)) & 255"))
+      .groupBy("b", "bv").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("(n * (n - 1)) div 2")).as("w")).first().getLong(0)
+    val nPairs = TextOps.simhashNearPairs(spark, d).count()
+    sweep()
+    (nDocs, nReps, wBand, nPairs)
+  }
+
+  test("simhashNearPairs: band-join exchanges carry 4x|reps|, never 4x|docs|") {
+    // heavy-dup corpus (sf0.001 replicated 5x as EXACT copies): the reps
+    // collapse is MATERIAL here — banding before it would visibly blow the
+    // bound — while the replicas keep the real corpus's near-dup pairs
+    val d = dupDir
+    val (nDocs, nReps, wBand, nPairs) = kernelStats(d)
+    assert(nReps * 4 <= nDocs,
+      s"fixture regression: dup collapse not material ($nReps reps / $nDocs docs)")
+    assert(nPairs > 0, "fixture regression: near-dup graph is empty")
+    val ex = exchangeRows(TextOps.simhashNearPairs(spark, d))
+    sweep()
+    val bandEx = ex.filter(_._1.contains("bv"))
+    assert(bandEx.nonEmpty, "no band-join exchange found")
+    bandEx.foreach { case (cols, rows) =>
+      assert(rows <= 4 * nReps,
+        s"band exchange [$cols] carried $rows rows > 4x|reps| = ${4 * nReps} " +
+          s"(4x|docs| would be ${4 * nDocs} — reps collapse regressed?)")
+    }
+    // everything else in the kernel: the reps aggregate (<= |docs|) and the
+    // candidate distinct (<= band-join output volume)
+    assertAllUnder(ex, Seq(nDocs, 4 * nReps, wBand).max, "simhashNearPairs")
+  }
+
+  test("graph_kcore_peel: every exchange bounded by the kernel + edge volume") {
+    val (nDocs, nReps, wBand, nPairs) = kernelStats(sf)
+    assert(nPairs > 0, "fixture regression: near-dup graph is empty")
+    val bound = Seq(nDocs, 4 * nReps, wBand, 2 * nPairs).max
+    val ex = exchangeRows(graft.SparkEntry.queries("graph_kcore_peel")(spark, sf))
+    sweep()
+    assertAllUnder(ex, bound, "graph_kcore_peel")
+  }
+
+  test("graph_mst_round: every exchange bounded by the kernel + edge volume") {
+    val (nDocs, nReps, wBand, nPairs) = kernelStats(sf)
+    val bound = Seq(nDocs, 4 * nReps, wBand, 2 * nPairs).max
+    val ex = exchangeRows(graft.SparkEntry.queries("graph_mst_round")(spark, sf))
+    sweep()
+    assertAllUnder(ex, bound, "graph_mst_round")
+  }
+
+  test("graph_common_neighbors: pair generation bounded by the wedge count") {
+    val (nDocs, nReps, wBand, nPairs) = kernelStats(sf)
+    // wedges = Σ_v C(deg(v), 2) over the undirected pair graph — the exact
+    // in-row candidate volume; the all-pairs shape this replaced would be
+    // C(|V|, 2)-ish and is NOT a function of the degree distribution
+    val pairs = TextOps.simhashNearPairs(spark, sf)
+      .select(least(col("rep_a"), col("rep_b")).as("u"),
+        greatest(col("rep_a"), col("rep_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val wedges = pairs.select(col("u").as("node"))
+      .union(pairs.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("(deg * (deg - 1)) div 2")).as("w")).first().getLong(0)
+    sweep()
+    assert(wedges > 0, "fixture regression: no wedges in the pair graph")
+    val bound = Seq(nDocs, 4 * nReps, wBand, 2 * nPairs, wedges).max
+    val ex = exchangeRows(
+      graft.SparkEntry.queries("graph_common_neighbors")(spark, sf))
+    sweep()
+    assertAllUnder(ex, bound, "graph_common_neighbors")
+  }
+
+  test("dedup_winnowing: the df cap bounds candidate pairs; dropping it would not") {
+    // boilerplate corpus: every doc shares a 9-token run, so winnowing's
+    // local guarantee plants >= 1 fingerprint with df = |docs| in every
+    // document — exactly the hot key the df cap exists to drop
+    val d = synthDir
+    val fps = CorpusOps.winnowFps(spark, d)
+    val nFps = fps.count()
+    val dfs = fps.groupBy("fph").agg(count(lit(1)).as("df"))
+    val capped = dfs.filter(col("df") <= 10)
+      .agg(coalesce(sum(expr("(df * (df - 1)) div 2")), lit(0L))).first().getLong(0)
+    val uncapped = dfs
+      .agg(sum(expr("(df * (df - 1)) div 2"))).first().getLong(0)
+    val hotDf = dfs.agg(max("df")).first().getLong(0)
+    sweep()
+    assert(hotDf == 300L,
+      s"fixture regression: boilerplate fingerprint df = $hotDf, expected 300")
+    assert(capped > 0, "fixture regression: no in-cap pairs")
+    // the teeth: without the cap the pair-agg exchange would have to carry
+    // the hot key's C(300, 2) = 44850 pairs — far beyond the contract bound
+    val bound = Seq(nFps, capped).max
+    assert(uncapped > 2 * bound,
+      s"fixture regression: cap not material (uncapped $uncapped vs bound $bound)")
+    val ex = exchangeRows(graft.SparkEntry.queries("dedup_winnowing")(spark, d))
+    sweep()
+    assertAllUnder(ex, bound, "dedup_winnowing")
+  }
+
+  // ---- synthetic heavy-dup + boilerplate corpus ---------------------------
+
+  /** 300 docs = 60 distinct templates x 5 exact copies, every doc ending in
+    * the same 9-token boilerplate run: exact-dup collapse is material (the
+    * simhash contract's teeth) and one fingerprint appears in ALL docs (the
+    * df-cap contract's teeth).
+    */
+  private lazy val synthDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("contracts").toString
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog"
+    val rows = (0 until 300).map { id =>
+      val f = id % 60
+      val fam = (0 until 32).map(i => s"w${f}x$i").mkString(" ")
+      val text = s"$fam $boiler"
+      (id.toLong, text, "en", "s" + (id % 3), text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** sf0.001 documents replicated 5x as EXACT copies (id-shifted): every
+    * replica shares its original's simhash, so |reps| stays the corpus's
+    * 489 while |docs| becomes 2500 — the collapse a pre-collapse banding
+    * regression would pay for 5x over.
+    */
+  private lazy val dupDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("contracts-dup").toString
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+    (0 until 5).map(k => src.withColumn("doc_id",
+        col("doc_id") + lit(k.toLong * 100000L)))
+      .reduce(_.union(_))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+}
