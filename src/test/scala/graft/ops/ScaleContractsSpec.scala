@@ -193,6 +193,21 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
     assertAllUnder(ex, bound, "dedup_winnowing")
   }
 
+  test("join_asof: one window pass — no exchange exceeds the filtered event count") {
+    // the as-of join is ONE carry-forward window over the unioned stream;
+    // the naive rewrite it replaced (range self-join of clicks against all
+    // prior views) materializes a quadratic-per-user candidate set. The
+    // contract: every exchange carries at most the click+view row count —
+    // a candidate-set materialization cannot stay under it.
+    import org.apache.spark.sql.functions.col
+    val nCv = Tables.t(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view")).count()
+    assert(nCv > 0)
+    val ex = exchangeRows(graft.SparkEntry.queries("join_asof")(spark, sf))
+    sweep()
+    assertAllUnder(ex, nCv, "join_asof")
+  }
+
   // ---- synthetic heavy-dup + boilerplate corpus ---------------------------
 
   /** 300 docs = 60 distinct templates x 5 exact copies, every doc ending in
