@@ -54,6 +54,43 @@ object Bench {
     val queryTimeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "240").toLong
 
+    // Optional per-query spill accounting (dev-only; the driver never sets
+    // it): SPARK_GRAFT_SPILL=1 tallies executor memory/disk spill bytes per
+    // query from task-end metrics into the full record — the constrained-
+    // heap sweep's evidence channel (completion alone doesn't show where
+    // the memory pressure went). Attribution rides the sequential query
+    // loop: counters are snapshotted around each query after the async
+    // listener bus quiesces; the inter-query sweeps contribute only
+    // unpersist housekeeping, never spill.
+    val spillOn = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    if (spillOn) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            memSpilled.addAndGet(m.memoryBytesSpilled)
+            diskSpilled.addAndGet(m.diskBytesSpilled)
+            ()
+          }
+        }
+      })
+    def drainListeners(): Unit = if (spillOn) {
+      // task-end events arrive on the async listener bus — wait until the
+      // counters are stable for 200 ms (3 s hard cap) before snapshotting
+      var last = (memSpilled.get, diskSpilled.get)
+      var stableMs = 0
+      var waitedMs = 0
+      while (stableMs < 200 && waitedMs < 3000) {
+        Thread.sleep(50); waitedMs += 50
+        val cur = (memSpilled.get, diskSpilled.get)
+        if (cur == last) stableMs += 50 else { stableMs = 0; last = cur }
+      }
+    }
+    val spill = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+
     def sweep(): Unit = {
       // queries persist intermediates (dedup signatures etc.) — drop them
       // so later queries aren't charged for earlier queries' cache/GC.
@@ -121,7 +158,13 @@ object Bench {
       .getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
-    val results = names.map(n => n -> runOnce(n))
+    val results = names.map { n =>
+      val (m0, d0) = (memSpilled.get, diskSpilled.get)
+      val r = n -> runOnce(n)
+      drainListeners()
+      if (spillOn) spill(n) = (memSpilled.get - m0, diskSpilled.get - d0)
+      r
+    }
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_))  => "\"" + k + "\":-1"
@@ -129,8 +172,13 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
+    val spillJson = if (spillOn)
+      ",\"spill_bytes\":" + spill.map { case (k, (m, dd)) =>
+        "\"" + k + "\":[" + m + "," + dd + "]"
+      }.mkString("{", ",", "}")
+    else ""
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed$spillJson}"""
     // Two channels, two shapes (round-14 verdict #1): the FULL record —
     // per-query map included — goes to bench_result.json (the unambiguous
     // artifact); stdout's FINAL line is a COMPACT summary with no

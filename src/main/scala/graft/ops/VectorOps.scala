@@ -69,7 +69,7 @@ object VectorOps extends Pack {
   /** (vec_id, band, sig) for all 4 bands — sigs computed as columns (no
     * per-band recompute of q), then unpivoted via one explode.
     */
-  private def bandSigs(emb: DataFrame): DataFrame =
+  private[ops] def bandSigs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("q"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), sigColNative(b).as("sig"))): _*)).as("bs"))

@@ -208,6 +208,133 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
     assertAllUnder(ex, nCv, "join_asof")
   }
 
+  test("dedup_minhash: band exchanges carry 2 rows per doc — tokens never shuffle") {
+    // the round-4 rewrite's claim as a measured bound: the signature build
+    // is in-row (graft_minhash16), so the FIRST exchange of the whole query
+    // is the band repartition at 2 rows/doc and everything downstream rides
+    // band-collision volume. The textbook per-permutation explode this
+    // replaced moves ~|token instances| rows before any banding — the
+    // materiality assert pins that a token-explode regression cannot stay
+    // under the contract.
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val nTokens = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).first().getLong(0)
+    val wBand = TextOps.minhashBands(docs)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("(n * (n - 1)) div 2"))).first().getLong(0)
+    sweep()
+    // the teeth sit on the PRE-JOIN exchange: in-row signatures put
+    // 2 rows/doc on the wire where the token-explode build puts ~|token
+    // instances| (the post-join exchanges legitimately ride band-collision
+    // volume wBand — on this small-vocabulary corpus that exceeds the
+    // token count, so it can't be the materiality denominator)
+    assert(nTokens > 2 * (2 * nDocs),
+      s"fixture regression: token volume $nTokens not material vs 2x|docs| = ${2 * nDocs}")
+    val ex = exchangeRows(graft.SparkEntry.queries("dedup_minhash")(spark, sf))
+    sweep()
+    val bandEx = ex.filter(_._1.contains("band_hash"))
+    assert(bandEx.nonEmpty, "no band exchange found")
+    bandEx.foreach { case (cols, rows) =>
+      assert(rows <= 2 * nDocs,
+        s"band exchange [$cols] carried $rows rows > 2x|docs| = ${2 * nDocs} " +
+          s"(a token-explode build would carry ~$nTokens)")
+    }
+    assertAllUnder(ex, Seq(nDocs, 2 * nDocs, wBand).max, "dedup_minhash")
+  }
+
+  test("minhash clusters kernel: sig-reps collapse bounds the band join at 2x|reps|") {
+    // dedup_minhash_clusters/_drop hand their closure off through a
+    // reliable checkpoint (lineage truncation is the point), which hides
+    // the kernel's exchanges from the final plan — so the contract runs
+    // the kernel COMPOSITION itself: sigsOf -> identical-signature rep
+    // collapse -> bandsOfSigs -> minhashPairs, the exact legs
+    // minhashComponents executes before the closure. On the 5x exact-dup
+    // corpus the collapse is material: doc-level banding (the form that
+    // OOM'd an 8 GiB executor at sf1) would carry 2x|docs|.
+    val docs = Tables.t(spark, dupDir, "documents").select(col("doc_id"), col("text"))
+    val sigs = TextOps.sigsOf(docs)
+    val nSigs = sigs.count()
+    val reps = sigs.groupBy("sig").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), col("sig"))
+    val nReps = reps.count()
+    assert(nReps * 4 <= nSigs,
+      s"fixture regression: sig collapse not material ($nReps reps / $nSigs sigs)")
+    val wBand = TextOps.bandsOfSigs(reps)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("(n * (n - 1)) div 2"))).first().getLong(0)
+    sweep()
+    val bands = TextOps.bandsOfSigs(reps)
+    val ex = exchangeRows(TextOps.minhashPairs(bands, bands))
+    sweep()
+    val bound = Seq(nSigs, 2 * nReps, wBand).max
+    val bandEx = ex.filter(_._1.contains("band_hash"))
+    assert(bandEx.nonEmpty, "no band exchange found")
+    bandEx.foreach { case (cols, rows) =>
+      assert(rows <= 2 * nReps,
+        s"band exchange [$cols] carried $rows rows > 2x|reps| = ${2 * nReps} " +
+          s"(2x|docs| would be ${2 * nSigs} — sig-reps collapse regressed?)")
+    }
+    assertAllUnder(ex, bound, "minhash clusters kernel")
+  }
+
+  test("dedup_ngram: the df cap bounds the pair-agg exchange; uncapped would not") {
+    // synthDir: every doc ends in the same 9-token boilerplate run, so its
+    // all-boilerplate trigrams hit df = 300 > the 200 cap — the hot
+    // template key whose first live firing the r24 skew sweep measured at
+    // sf1 (BENCH_SKEW). Bound ingredients come from the kernel's OWN
+    // coverage-loss channel: with dfCap=1, droppedShingles is the full
+    // (g, df >= 2) distribution; df=1 shingles contribute no pairs and are
+    // covered by the token-volume term that bounds the index-build
+    // exchanges.
+    val docs = Tables.t(spark, synthDir, "documents")
+    val nDocs = docs.count()
+    val nTokens = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).first().getLong(0)
+    val dfs = TextOps.ngramNearDups(docs, dfCap = 1).droppedShingles.persist()
+    val hotDf = dfs.agg(max("df")).first().getLong(0)
+    val capped = dfs.filter(col("df") <= 200)
+      .agg(coalesce(sum(expr("(df * (df - 1)) div 2")), lit(0L)))
+      .first().getLong(0)
+    val uncapped = dfs
+      .agg(sum(expr("(df * (df - 1)) div 2"))).first().getLong(0)
+    sweep()
+    assert(hotDf == nDocs,
+      s"fixture regression: boilerplate shingle df = $hotDf, expected $nDocs")
+    assert(capped > 0, "fixture regression: no in-cap pairs")
+    val bound = Seq(nDocs, nTokens, capped).max
+    // the teeth: each all-boilerplate trigram alone prices C(300, 2) =
+    // 44850 pair instances — dropping the cap cannot stay under the bound
+    assert(uncapped > 2 * bound,
+      s"fixture regression: cap not material (uncapped $uncapped vs bound $bound)")
+    val ex = exchangeRows(graft.SparkEntry.queries("dedup_ngram")(spark, synthDir))
+    sweep()
+    assertAllUnder(ex, bound, "dedup_ngram")
+  }
+
+  test("dedup_embcos: sign-LSH band join carries 4 rows per vector, never all-pairs") {
+    // candidates come from the (band, sig) equi-join — 4 signature rows
+    // per vector and Σ_(band,sig) C(n,2) collision pairs; an all-pairs
+    // regression (the O(n²) cosine join the LSH exists to avoid) must
+    // carry C(|vecs|, 2) rows, far beyond the contract bound.
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), VectorOps.qvec(col("embedding")).as("q"))
+    val nVecs = emb.count()
+    val wBand = VectorOps.bandSigs(emb)
+      .groupBy("band", "sig").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("(n * (n - 1)) div 2"))).first().getLong(0)
+    sweep()
+    val bound = Seq(nVecs, 4 * nVecs, wBand).max
+    val allPairs = nVecs * (nVecs - 1) / 2
+    assert(allPairs > 2 * bound,
+      s"fixture regression: all-pairs $allPairs not material vs bound $bound")
+    val ex = exchangeRows(graft.SparkEntry.queries("dedup_embcos")(spark, sf))
+    sweep()
+    assertAllUnder(ex, bound, "dedup_embcos")
+  }
+
   // ---- synthetic heavy-dup + boilerplate corpus ---------------------------
 
   /** 300 docs = 60 distinct templates x 5 exact copies, every doc ending in
