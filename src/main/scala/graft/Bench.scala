@@ -18,9 +18,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // dev-only override (driver never sets it): the constrained-heap sweep
+    // measures partition sizing as the memory-pressure defense — more,
+    // smaller shuffle partitions shrink every per-task buffer, which is the
+    // production lever when heap per core drops (the 100 TB sizing rule:
+    // partitions scale with data over memory, not with cores)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as

@@ -3,10 +3,15 @@
 
 The memory-pressure axis of the scale evidence: the SAME heavy-query
 subset runs at sf1 as interleaved solo triples under the protocol heap
-(SPARK_DRIVER_MEM=8g — the standing local[32] box: ~150 MB execution
-memory per task slot) and under a 4x-constrained heap (2g: ~33 MB per
-slot, i.e. a executor-memory-per-core budget well below a production
-executor's). Per query the citable number is the median of 3; the
+(SPARK_DRIVER_MEM=8g on local[32]: 250 MB heap per concurrent task slot)
+and under a half-per-slot constrained heap (4g/32: 125 MB per slot, an
+eighth of a typical production executor's 1 GB/core). The measured
+boundary below the constrained arm is recorded in BASELINE.md: 62 MB
+per slot (2g/32) OOMs in the wedge-expansion stage regardless of a 4x
+shuffle-partition raise, while the same 2g heap at 8 slots (250 MB per
+slot) completes — heap per CONCURRENT slot, not total heap and not
+partition count, is the invariant the heaviest kernels need.
+Per query the citable number is the median of 3; the
 lowmem ratio divides the constrained median by the SAME-SESSION control
 median so the ambient band and subset inflation cancel. Runs carry
 SPARK_GRAFT_SPILL=1, so the constrained runs' evidence is not just
@@ -14,7 +19,7 @@ SPARK_GRAFT_SPILL=1, so the constrained runs' evidence is not just
 pressure went (graceful spill, not OOM, is the claim under test).
 
 Usage: bench_lowmem_protocol.py c8_1.json c8_2.json c8_3.json \
-         c2_1.json c2_2.json c2_3.json > BENCH_LOWMEM.json
+         c4_1.json c4_2.json c4_3.json > BENCH_LOWMEM.json
 """
 import json
 import statistics
@@ -35,7 +40,7 @@ def med_spill(runs, q, idx):
 
 def main() -> None:
     paths = sys.argv[1:7]
-    assert len(paths) == 6, "need 3 control(8g) + 3 constrained(2g) run files"
+    assert len(paths) == 6, "need 3 control(8g) + 3 constrained(4g) run files"
     ctl = [json.load(open(p)) for p in paths[:3]]
     low = [json.load(open(p)) for p in paths[3:]]
     names = sorted(ctl[0]["queries"])
@@ -58,10 +63,11 @@ def main() -> None:
         "value": round(statistics.median([r["value"] for r in low]), 3),
         "unit": "sec",
         "protocol": ("median-of-3 interleaved solo subset runs at sf1, "
-                     "local[32], SPARK_DRIVER_MEM=8g control vs 2g "
-                     "constrained (4x less heap; ~33 MB execution memory "
-                     "per task slot), SPARK_GRAFT_SPILL=1 on all runs; "
-                     "same-session control cancels ambient"),
+                     "local[32], SPARK_DRIVER_MEM=8g control (250 MB "
+                     "heap/slot) vs 4g constrained (125 MB/slot), "
+                     "SPARK_GRAFT_SPILL=1 on all runs; same-session "
+                     "control cancels ambient; 62 MB/slot OOM boundary "
+                     "probed separately"),
         "n_queries": len(names),
         "control_total": round(statistics.median([r["value"] for r in ctl]), 3),
         "control_run_totals": [round(r["value"], 3) for r in ctl],
