@@ -27,7 +27,7 @@ object TemporalOps extends Pack {
     * intervals. Shared by join_interval; same gaps-and-islands kernel as
     * the sessionize query, aggregated to one row per session.
     */
-  private def sessions(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[ops] def sessions(s: org.apache.spark.sql.SparkSession, d: String) = {
     val byU = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
     val run = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, d, "events")

@@ -193,6 +193,33 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
     assertAllUnder(ex, bound, "dedup_winnowing")
   }
 
+  test("join_interval: bin locality bounds every exchange; the quadratic join cannot") {
+    // the surface's biggest spiller (BENCH_LOWMEM: 12 GB at sf1) gets its
+    // geometry pinned: candidate volume is per-bin local density
+    // Σ_bin C(n_bin, 2), never |sessions|² — and the bin explode itself is
+    // bounded by total hours covered. Ingredients from the query's own
+    // sessions kernel; the hour binning mirrors the query's one-line
+    // sequence expression.
+    val nEvents = Tables.t(spark, sf, "events").count()
+    val sess = TemporalOps.sessions(spark, sf)
+    val nSess = sess.count()
+    val binned = sess.select(
+      explode(expr("sequence(s_start div 3600, s_end div 3600)")).as("hb"))
+    val nBins = binned.count()
+    val binPairs = binned.groupBy("hb").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("(n * (n - 1)) div 2"))).first().getLong(0)
+    sweep()
+    val bound = Seq(nEvents, nBins, binPairs).max
+    // the teeth: the nested-loop/range rewrite must materialize
+    // C(|sessions|, 2) candidates — far beyond per-bin local density
+    val allPairs = nSess * (nSess - 1) / 2
+    assert(allPairs > 2 * bound,
+      s"fixture regression: all-pairs $allPairs not material vs bound $bound")
+    val ex = exchangeRows(graft.SparkEntry.queries("join_interval")(spark, sf))
+    sweep()
+    assertAllUnder(ex, bound, "join_interval")
+  }
+
   test("join_asof: one window pass — no exchange exceeds the filtered event count") {
     // the as-of join is ONE carry-forward window over the unioned stream;
     // the naive rewrite it replaced (range self-join of clicks against all
