@@ -362,6 +362,29 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
     assertAllUnder(ex, bound, "dedup_embcos")
   }
 
+  test("text never shuffles: no exchange in the heavy text/dedup family carries the raw text column") {
+    // the design claim every text kernel's scale-shape comment makes —
+    // "words shuffle as 8-byte h60 hashes; text never does" — as a
+    // SCHEMA-of-exchange contract, orthogonal to the row-count bounds
+    // above: a regression that re-keys a shuffle on raw text (or forgets
+    // to project it away before a groupBy) moves corpus bytes through the
+    // wire at 100 TB even when row counts stay inside every bound. The
+    // raw column name is `text` end-to-end (Tables.t preserves it), so an
+    // exchange carrying it is exactly the regression.
+    val heavyText = Seq("text_wordcount", "text_gram_df", "text_cooccur",
+      "text_lm_score", "text_tfidf", "dedup_ngram", "dedup_winnowing",
+      "dedup_minhash", "dedup_simhash_near", "text_decontaminate")
+    heavyText.foreach { name =>
+      val ex = exchangeRows(graft.SparkEntry.queries(name)(spark, sf))
+      sweep()
+      assert(ex.nonEmpty, s"$name: no exchanges found — traversal regression")
+      ex.foreach { case (cols, _) =>
+        assert(!cols.split(",").contains("text"),
+          s"$name: exchange [$cols] carries the raw text column")
+      }
+    }
+  }
+
   // ---- synthetic heavy-dup + boilerplate corpus ---------------------------
 
   /** 300 docs = 60 distinct templates x 5 exact copies, every doc ending in
