@@ -374,13 +374,20 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
     val heavyText = Seq("text_wordcount", "text_gram_df", "text_cooccur",
       "text_lm_score", "text_tfidf", "dedup_ngram", "dedup_winnowing",
       "dedup_minhash", "dedup_simhash_near", "text_decontaminate")
+    // Not just the literal name `text`: the corpus-proportional WIDE
+    // derived columns too — the tokenized word array (`ws`) and the
+    // pre-hash shingle strings (`gs`) carry the same bytes under an
+    // alias, so a regression that shuffles before the h60 projection
+    // would pass a text-only check while still moving corpus bytes.
+    val wide = Set("text", "ws", "gs")
     heavyText.foreach { name =>
       val ex = exchangeRows(graft.SparkEntry.queries(name)(spark, sf))
       sweep()
       assert(ex.nonEmpty, s"$name: no exchanges found — traversal regression")
       ex.foreach { case (cols, _) =>
-        assert(!cols.split(",").contains("text"),
-          s"$name: exchange [$cols] carries the raw text column")
+        val hit = cols.split(",").filter(wide)
+        assert(hit.isEmpty,
+          s"$name: exchange [$cols] carries corpus-wide column(s) ${hit.mkString(",")}")
       }
     }
   }

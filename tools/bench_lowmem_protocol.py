@@ -35,7 +35,7 @@ def med(runs, q):
 
 def med_spill(runs, q, idx):
     return int(statistics.median(
-        [r.get("spill_bytes", {}).get(q, [0, 0])[idx] for r in runs]))
+        [r["spill_bytes"][q][idx] for r in runs]))
 
 
 def main() -> None:
@@ -44,9 +44,15 @@ def main() -> None:
     ctl = [json.load(open(p)) for p in paths[:3]]
     low = [json.load(open(p)) for p in paths[3:]]
     names = sorted(ctl[0]["queries"])
-    for r in ctl + low:
+    for p, r in zip(paths, ctl + low):
         assert sorted(r["queries"]) == names, "query sets differ across runs"
         assert r["failed"] == [], f"run has failures: {r['failed']}"
+        # graceful spill IS the claim under test: a run accidentally done
+        # without SPARK_GRAFT_SPILL=1 must fail here, not silently assemble
+        # a zero-spill artifact that asserts the opposite of the evidence
+        assert "spill_bytes" in r, f"{p}: no spill_bytes — rerun with SPARK_GRAFT_SPILL=1"
+        missing = [q for q in names if q not in r["spill_bytes"]]
+        assert not missing, f"{p}: spill_bytes missing queries {missing[:5]}"
 
     ctl_med = {q: round(med(ctl, q), 3) for q in names}
     low_med = {q: round(med(low, q), 3) for q in names}

@@ -200,8 +200,14 @@ def main():
             print(" ", b)
         sys.exit(1)
     n = len(sections) // 2
-    print(f"plan audit OK: {n} queries — no cartesians, no global windows, "
-          f"no data-bearing SinglePartition exchanges; BNLJ only in {sorted(BNLJ_ALLOWED)}")
+    # say exactly what is enforced: global windows / data-bearing
+    # SinglePartition exchanges are banned OUTSIDE the documented
+    # bounded-domain allowlists above (each entry carries an in-file
+    # row-bound rationale) — not absent from every plan
+    print(f"plan audit OK: {n} queries — no cartesians, no unapproved global "
+          f"windows, no unapproved data-bearing SinglePartition exchanges "
+          f"({len(SINGLE_PARTITION_ALLOWED)} allowlisted bounded-domain frames); "
+          f"BNLJ only in {sorted(BNLJ_ALLOWED)}")
 
 
 # ---------------------------------------------------------------------------
