@@ -11,8 +11,14 @@ object Verify {
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // dev-only master override (driver never sets it): the multi-JVM
+    // invariance pass runs the SAME surface under local-cluster[2,16,m]
+    // so shuffle blocks, broadcasts, and TypedImperativeAggregate partial
+    // states cross a real process/serialization boundary (local[n] keeps
+    // everything in one JVM and never exercises those paths)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
