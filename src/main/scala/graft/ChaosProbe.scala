@@ -44,6 +44,23 @@ object ChaosProbe {
     else { Seq("kill", "-9", out).!; Some(out) }
   }
 
+  private def executorCount(): Int = {
+    import scala.sys.process._
+    Seq("bash", "-c",
+      "pgrep -f CoarseGrainedExecutorBackend | wc -l").!!.trim.toInt
+  }
+
+  /** Block until the standalone workers have relaunched to `n` live
+    * executor processes — a control run scheduled onto a half-dead
+    * cluster would time-skew without testing anything.
+    */
+  private def awaitExecutors(n: Int, timeoutMs: Long = 90000): Unit = {
+    val t0 = System.nanoTime()
+    while (executorCount() < n && (System.nanoTime() - t0) / 1e6 < timeoutMs)
+      Thread.sleep(500)
+    Thread.sleep(2000) // registration lags process start
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val kernels = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -72,24 +89,32 @@ object ChaosProbe {
         .foreach(_.unpersist(blocking = false))
     }
 
+    val nExecutors = executorCount()
+    require(nExecutors >= 2, s"need >=2 executor processes, saw $nExecutors")
+
     var failures = List.empty[String]
     val results = kernels.map { name =>
       sweep()
+      awaitExecutors(nExecutors)
       val t0 = System.nanoTime()
       val control = rows(SparkEntry.queries(name)(spark, sfDir))
       val controlS = (System.nanoTime() - t0) / 1e9
       sweep()
       // kill mid-query; if the kill landed after the query ended (ambient
       // speedup), retry with an earlier kill point — an uninjected pass
-      // proves nothing
+      // proves nothing. A query ABORT under injection is a recorded
+      // failure (the pre-fix localCheckpoint rounds died exactly here),
+      // never a probe crash.
       var attempt = 0
       var frac = 0.4
       var injected = false
       var killedPid = "none"
       var chaosS = -1.0
       var matched = false
+      var err = ""
       while (!injected && attempt < 3) {
         attempt += 1
+        awaitExecutors(nExecutors)
         @volatile var endNanos = 0L
         @volatile var killNanos = Long.MaxValue
         val killDelayMs = math.max(800L, (controlS * frac * 1000).toLong)
@@ -102,12 +127,18 @@ object ChaosProbe {
         killer.setDaemon(true)
         val t1 = System.nanoTime()
         killer.start()
-        val out = rows(SparkEntry.queries(name)(spark, sfDir))
+        val out = try Right(rows(SparkEntry.queries(name)(spark, sfDir)))
+          catch { case e: Throwable => Left(e) }
         endNanos = System.nanoTime()
         killer.join(5000)
         chaosS = (endNanos - t1) / 1e9
         injected = killNanos < endNanos
-        matched = out == control
+        out match {
+          case Right(r) => matched = r == control; err = ""
+          case Left(e) =>
+            matched = false
+            err = e.toString.linesIterator.next().take(160)
+        }
         if (!injected) {
           System.err.println(s"[chaos] $name attempt $attempt: kill landed " +
             "after query end — retrying earlier")
@@ -117,9 +148,12 @@ object ChaosProbe {
       }
       if (!injected) failures ::= s"$name: kill never landed mid-query"
       else if (!matched)
-        failures ::= s"$name: recovered output differs from control"
+        failures ::= s"$name: " +
+          (if (err.nonEmpty) s"query aborted under executor loss: $err"
+           else "recovered output differs from control")
       System.err.println(f"[chaos] $name control=$controlS%.1fs " +
-        f"chaos=$chaosS%.1fs killed_pid=$killedPid injected=$injected match=$matched")
+        f"chaos=$chaosS%.1fs killed_pid=$killedPid injected=$injected match=$matched" +
+        (if (err.nonEmpty) s" err=$err" else ""))
       (name, controlS, chaosS, injected, matched)
     }
 

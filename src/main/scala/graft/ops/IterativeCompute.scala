@@ -23,24 +23,50 @@ private[ops] object IterativeCompute {
     */
   final class CheckpointChain(spark: SparkSession) {
     private val sc = spark.sparkContext
+
+    /** Executor-loss resilience (round-25, found live by [[graft.ChaosProbe]]):
+      * a localCheckpoint's blocks die with their executor, and because the
+      * lineage is CUT they are unrecoverable — on a real cluster one
+      * preempted/OOM-killed executor aborts the whole iterative query
+      * (`CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`). Multi-executor masters
+      * therefore cut each round's lineage to RELIABLE checkpoint files in
+      * the configured checkpoint dir (shared storage on a real cluster):
+      * a lost executor's tasks re-read the files from any surviving
+      * executor, which is exactly the recovery path the executor-loss
+      * probe exercises. In `local[n]` the "executor" IS the driver JVM —
+      * there is no independent loss mode to defend against — so the
+      * cheaper block-manager localCheckpoint stands and the protocol
+      * numbers are untouched. `spark.graft.iter.resilient` overrides the
+      * auto-detection either way.
+      */
+    private val resilient: Boolean =
+      sc.getConf.getOption("spark.graft.iter.resilient").map(_.toBoolean)
+        .getOrElse(!sc.isLocal) && sc.getCheckpointDir.isDefined
+
     private var liveIds: Set[Int] = Set.empty // round N (just materialized)
     private var prevIds: Set[Int] = Set.empty // round N-1 (may feed N's convergence check)
 
-    /** Eagerly checkpoint `df` locally. Keeps ONE superseded generation
-      * alive — convergence checks legitimately compare round N against round
-      * N-1, and a lineage-cut frame cannot recompute once its blocks are
-      * gone — and frees the generation before that (nothing can reference
-      * it anymore).
+    /** Eagerly checkpoint `df` — reliably (files) on multi-executor
+      * masters, locally (block manager) in `local[n]`. Keeps ONE
+      * superseded generation alive — convergence checks legitimately
+      * compare round N against round N-1, and a lineage-cut frame cannot
+      * recompute once its blocks are gone — and frees the generation
+      * before that (nothing can reference it anymore). Reliable rounds
+      * register no persistent RDDs; their files are reclaimed by the
+      * context cleaner (`cleanCheckpoints=true` in every entry point) or
+      * the entry point's checkpoint-dir deletion at exit.
       */
-    def next(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(true)
-      val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
-      releaseIds(prevIds)
-      prevIds = liveIds
-      liveIds = added
-      out
-    }
+    def next(df: DataFrame): DataFrame =
+      if (resilient) df.checkpoint()
+      else {
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val out = df.localCheckpoint(true)
+        val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
+        releaseIds(prevIds)
+        prevIds = liveIds
+        liveIds = added
+        out
+      }
 
     /** Release every generation still held. Only call once the results have
       * been consumed or re-materialized.
