@@ -40,7 +40,11 @@ private[ops] object IterativeCompute {
       * auto-detection either way.
       */
     private val resilient: Boolean =
-      sc.getConf.getOption("spark.graft.iter.resilient").map(_.toBoolean)
+      // runtime conf (inherits --conf at context creation, and stays
+      // settable per session — the suite gates the resilient path in
+      // local mode by flipping it, which a context-fixed SparkConf read
+      // would make impossible)
+      spark.conf.getOption("spark.graft.iter.resilient").map(_.toBoolean)
         .getOrElse(!sc.isLocal) && sc.getCheckpointDir.isDefined
 
     private var liveIds: Set[Int] = Set.empty // round N (just materialized)
@@ -56,17 +60,19 @@ private[ops] object IterativeCompute {
       * context cleaner (`cleanCheckpoints=true` in every entry point) or
       * the entry point's checkpoint-dir deletion at exit.
       */
-    def next(df: DataFrame): DataFrame =
-      if (resilient) df.checkpoint()
-      else {
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val out = df.localCheckpoint(true)
-        val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
-        releaseIds(prevIds)
-        prevIds = liveIds
-        liveIds = added
-        out
-      }
+    def next(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      // Dataset.checkpoint ALSO leaves its internal RDD persisted (the
+      // write-side cache), so BOTH branches run the same id-diff
+      // release; for reliable rounds the unpersist only drops the cache
+      // — the FILES stay, and that is what recovery reads.
+      val out = if (resilient) df.checkpoint() else df.localCheckpoint(true)
+      val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
+      releaseIds(prevIds)
+      prevIds = liveIds
+      liveIds = added
+      out
+    }
 
     /** Release every generation still held. Only call once the results have
       * been consumed or re-materialized.
