@@ -203,8 +203,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_RERUN_FACTOR", "5").toDouble
     val mediansPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_MEDIANS", "BENCH_LOCAL.json"))
+    // the committed medians are sf0.1 solo numbers — against any other
+    // scale factor EVERY query reads >5x and the whole run double-times,
+    // so the default file only applies at sf0.1 (the driver's bench sf);
+    // an explicit SPARK_GRAFT_MEDIANS opts in anywhere
+    val mediansApply = sys.env.contains("SPARK_GRAFT_MEDIANS") ||
+      sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val medians: Map[String, Double] =
-      if (!Files.isReadable(mediansPath)) Map.empty
+      if (!mediansApply || !Files.isReadable(mediansPath)) Map.empty
       else try {
         val text = Files.readString(mediansPath)
         // the artifact is flat inside "queries": { "name": secs, ... } —
