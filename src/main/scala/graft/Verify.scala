@@ -31,6 +31,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only speculative-attempt counter (driver never sets it): the
+    // speculation-determinism pass must prove duplicate attempts actually
+    // RACED (a run where zero tasks were speculated proves nothing), and
+    // the WARN log level above hides the scheduler's INFO marking lines —
+    // so count launched speculative attempts from the listener bus and
+    // print the total as the artifact's evidence channel.
+    val specCount = new java.util.concurrent.atomic.AtomicLong
+    if (sys.env.get("SPARK_GRAFT_COUNT_SPECULATIVE").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskStart(
+              e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+            if (e.taskInfo.speculative) { specCount.incrementAndGet(); () }
+        })
     // reliable-checkpoint scratch for iterative queries (see Bench)
     val ckptDir = Files.createTempDirectory("graft-verify-ckpt")
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
@@ -65,6 +79,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (sys.env.get("SPARK_GRAFT_COUNT_SPECULATIVE").contains("1"))
+      System.err.println(s"[verify] speculative_attempts=${specCount.get}")
     spark.stop()
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
