@@ -45,27 +45,35 @@ class ResilienceSpec extends AnyFunSuite with SparkSpec {
     val raw = spark.sparkContext.getCheckpointDir.get
     val dir = new java.io.File(
       if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw)
-    def nCkpts = Option(dir.listFiles()).map(_.length).getOrElse(0)
-    val before = nCkpts
+    def names = Option(dir.list()).map(_.toSet).getOrElse(Set.empty[String])
+    // NAME-diff, not count-diff: the context cleaner reclaims other
+    // queries' checkpoint dirs concurrently, so a count can stand still
+    // even as our round adds one
+    val before = names
     val out = withResilient(on = true) {
       val chain = new IterativeCompute.CheckpointChain(spark)
       chain.next(spark.range(1000).toDF("id"))
     }
     assert(out.count() == 1000)
-    assert(nCkpts > before,
+    assert(names.diff(before).nonEmpty,
       "resilient chain round ran but no reliable checkpoint dir appeared — " +
         "the branch silently fell back to localCheckpoint")
   }
 
   test("resilient rounds leave no persistent RDD blocks behind") {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // DELTA-based: the session is shared suite-wide, so other suites'
+    // persisted fixtures may be live — only blocks ADDED by this query
+    // count as leaks
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     withResilient(on = true)(rows("dedup_cluster_sizes"))
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
     // reliable rounds live in files, not the block manager (the id-diff
     // release also drops Dataset.checkpoint's internal write-side cache);
     // the one legitimate survivor is the HANDOFF result's own cache,
-    // which entry points sweep per query — so allow at most one id here
-    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
-      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keySet}")
+    // which entry points sweep per query — so allow at most one new id
+    assert(added.size <= 1, s"leaked blocks: $added")
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => added(id) }
+      .values.foreach(_.unpersist(blocking = false))
   }
 }
