@@ -414,6 +414,97 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("dedup_minhash hot family: blocked expansion spreads C(n,2) across tasks") {
+    // The r25 skew×decade finding (BENCH_SKEW10: 6.6× on ONE hot exact
+    // text), pinned as a per-TASK contract — exchange TOTALS can't see it,
+    // because the pair volume is the correct answer either way; what
+    // regressed was all of it being generated by the one task that owned
+    // the hot (band, hash) bucket. Fixture: a 1024-copy exact text on top
+    // of the sf0.001 corpus — one signature family, nblk = 16, C(1024,2)
+    // = 523,776 intra pairs. collect() keeps the final orderBy, so the
+    // pair-GENERATING join tasks write their rows to the sort exchange
+    // and per-task shuffleWriteMetrics.recordsWritten IS the per-task
+    // generated volume (early stages all write linear row counts).
+    //
+    // Config pins, restored after: AQE partition coalescing merges the
+    // fixture's ~16 MB of pairs into one reducer at THIS scale (a rescue
+    // that cannot fire on real volume, and that would hide exactly the
+    // concentration under test), and the suite's 4 shuffle partitions
+    // can't separate 16 (sig, bj) keys.
+    val H = 1024L
+    val onePairs = H * (H - 1) / 2
+    val conf = spark.conf
+    val savedCoalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val savedParts = conf.get("spark.sql.shuffle.partitions")
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    val heavyTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleWriteMetrics.recordsWritten
+          maxTask.getAndUpdate(c => math.max(c, r)): Unit
+          // 4096 = ExpandBlock^2, one grid cell's worth — only the pair
+          // expansion writes this much from one task (linear stages carry
+          // <= |docs| + H rows total)
+          if (r >= 4096) heavyTasks.incrementAndGet(): Unit
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows = try {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "32")
+      graft.SparkEntry.queries("dedup_minhash")(spark, hotDir).collect()
+    } finally {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
+      conf.set("spark.sql.shuffle.partitions", savedParts)
+      // task-end events arrive on the async listener bus — wait stable
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 200 && waited < 3000) {
+        Thread.sleep(50); waited += 50
+        val cur = maxTask.get
+        if (cur == last) stable += 50 else { stable = 0; last = cur }
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    sweep()
+    val hotPairs = rows.count(r => r.getLong(0) >= HotBase && r.getLong(1) >= HotBase)
+    assert(hotPairs == onePairs,
+      s"hot family emitted $hotPairs pairs, want C($H,2) = $onePairs")
+    // teeth: the pre-r25 single-bucket expansion (and the BHJ plan the
+    // merge hints forbid) writes all C(H,2) pairs from ONE task = 2x the
+    // bound; the blocked plan's largest (sig, bj) key is nblk*B^2 = 65,536
+    // rows, an eighth of the family
+    assert(maxTask.get <= onePairs / 2,
+      s"one task wrote ${maxTask.get} shuffle records > C(H,2)/2 = ${onePairs / 2} " +
+        s"(a single-bucket expansion writes all $onePairs from one task)")
+    assert(heavyTasks.get >= 5,
+      s"only ${heavyTasks.get} tasks wrote >= one grid cell (4096 rows) — " +
+        "the quadratic expansion is not spreading")
+  }
+
+  private val HotBase = 10000000L
+
+  /** sf0.001 documents plus ONE exact text repeated 1024x (ids from
+    * [[HotBase]]) — the adversarial hot family of the r25 skew sweeps at
+    * contract-test scale.
+    */
+  private lazy val hotDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("contracts-hot").toString
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+    val hotText = (0 until 40).map(i => s"hotblk$i").mkString(" ")
+    val hot = spark.range(1024)
+      .select((col("id") + HotBase).as("doc_id"), lit(hotText).as("text"),
+        lit("en").as("lang"), lit("hot").as("source"),
+        lit(hotText.length).as("n_chars"))
+    val aligned = hot.select(src.schema.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType)): _*)
+    src.union(aligned).coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   /** sf0.001 documents replicated 5x as EXACT copies (id-shifted): every
     * replica shares its original's simhash, so |reps| stays the corpus's
     * 489 while |docs| becomes 2500 — the collapse a pre-collapse banding
