@@ -66,7 +66,16 @@ private[ops] object IterativeCompute {
       // write-side cache), so BOTH branches run the same id-diff
       // release; for reliable rounds the unpersist only drops the cache
       // — the FILES stay, and that is what recovery reads.
-      val out = if (resilient) df.checkpoint() else df.localCheckpoint(true)
+      // SERIALIZED block storage for the local branch (round-25 third-
+      // decade finding): deserialized unroll (putIteratorAsValues) books
+      // SAMPLED object-size estimates, so 32 tasks concurrently unrolling
+      // a 5M-row round frame under-reserve and raw-OOM the heap
+      // (dedup_simhash_clusters at sf100) where serialized unroll
+      // (putIteratorAsBytes) books exact bytes and degrades to disk.
+      // Round frames are compact (ids/labels) — SER is also ~3-5x denser.
+      val out = if (resilient) df.checkpoint()
+        else df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
       releaseIds(prevIds)
       prevIds = liveIds
