@@ -394,13 +394,29 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
 
   // ---- synthetic heavy-dup + boilerplate corpus ---------------------------
 
+  /** Temp fixture dir that does NOT outlive the JVM: repeated CI runs would
+    * otherwise accrete one parquet corpus per invocation. A shutdown hook
+    * (not afterAll) because the fixtures are lazy vals shared across tests
+    * while the shared session is still serving other suites.
+    */
+  private def tmpFixtureDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+    dir.toString
+  }
+
   /** 300 docs = 60 distinct templates x 5 exact copies, every doc ending in
     * the same 9-token boilerplate run: exact-dup collapse is material (the
     * simhash contract's teeth) and one fingerprint appears in ALL docs (the
     * df-cap contract's teeth).
     */
   private lazy val synthDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("contracts").toString
+    val dir = tmpFixtureDir("contracts")
     import spark.implicits._
     val boiler = "the quick brown fox jumps over the lazy dog"
     val rows = (0 until 300).map { id =>
@@ -414,25 +430,21 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
-  test("dedup_minhash hot family: blocked expansion spreads C(n,2) across tasks") {
-    // The r25 skew×decade finding (BENCH_SKEW10: 6.6× on ONE hot exact
-    // text), pinned as a per-TASK contract — exchange TOTALS can't see it,
-    // because the pair volume is the correct answer either way; what
-    // regressed was all of it being generated by the one task that owned
-    // the hot (band, hash) bucket. Fixture: a 1024-copy exact text on top
-    // of the sf0.001 corpus — one signature family, nblk = 16, C(1024,2)
-    // = 523,776 intra pairs. collect() keeps the final orderBy, so the
-    // pair-GENERATING join tasks write their rows to the sort exchange
-    // and per-task shuffleWriteMetrics.recordsWritten IS the per-task
-    // generated volume (early stages all write linear row counts).
-    //
-    // Config pins, restored after: AQE partition coalescing merges the
-    // fixture's ~16 MB of pairs into one reducer at THIS scale (a rescue
-    // that cannot fire on real volume, and that would hide exactly the
-    // concentration under test), and the suite's 4 shuffle partitions
-    // can't separate 16 (sig, bj) keys.
-    val H = 1024L
-    val onePairs = H * (H - 1) / 2
+  /** Runs `body` with the per-task shuffle-write listener attached and the
+    * two config pins the per-task contracts need, returning (body result,
+    * max records one task wrote, number of tasks writing >= `heavyAt`).
+    *
+    * Config pins, restored after: AQE partition coalescing merges a
+    * fixture-scale pair volume into one reducer (a rescue that cannot fire
+    * on real volume, and that would hide exactly the concentration under
+    * test), and the suite's 4 shuffle partitions can't separate the
+    * expansion keys — so the contracts run at 32, the protocol rig's count.
+    * Drain is DETERMINISTIC: task-end events ride the async listener bus,
+    * so the counters are read only after `LiveListenerBus.waitUntilEmpty`
+    * (via the [[org.apache.spark.GraftTestHooks]] shim) — a wall-clock
+    * stability poll under-reads on a loaded machine.
+    */
+  private def perTaskShuffleWrites[T](heavyAt: Long)(body: => T): (T, Long, Long) = {
     val conf = spark.conf
     val savedCoalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     val savedParts = conf.get("spark.sql.shuffle.partitions")
@@ -445,43 +457,59 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
         if (m != null) {
           val r = m.shuffleWriteMetrics.recordsWritten
           maxTask.getAndUpdate(c => math.max(c, r)): Unit
-          // 4096 = ExpandBlock^2, one grid cell's worth — only the pair
-          // expansion writes this much from one task (linear stages carry
-          // <= |docs| + H rows total)
-          if (r >= 4096) heavyTasks.incrementAndGet(): Unit
+          if (r >= heavyAt) heavyTasks.incrementAndGet(): Unit
         }
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    val rows = try {
+    val result = try {
       conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       conf.set("spark.sql.shuffle.partitions", "32")
-      graft.SparkEntry.queries("dedup_minhash")(spark, hotDir).collect()
+      body
     } finally {
       conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
       conf.set("spark.sql.shuffle.partitions", savedParts)
-      // task-end events arrive on the async listener bus — wait stable
-      var last = -1L; var stable = 0; var waited = 0
-      while (stable < 200 && waited < 3000) {
-        Thread.sleep(50); waited += 50
-        val cur = maxTask.get
-        if (cur == last) stable += 50 else { stable = 0; last = cur }
-      }
+      org.apache.spark.GraftTestHooks.drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
     }
     sweep()
+    (result, maxTask.get, heavyTasks.get)
+  }
+
+  test("dedup_minhash hot family: blocked expansion spreads C(n,2) across tasks") {
+    // The r25 skew×decade finding (BENCH_SKEW10: 6.6× on ONE hot exact
+    // text), pinned as a per-TASK contract — exchange TOTALS can't see it,
+    // because the pair volume is the correct answer either way; what
+    // regressed was all of it being generated by the one task that owned
+    // the hot (band, hash) bucket. Fixture: a 1024-copy exact text on top
+    // of the sf0.001 corpus — one signature family, nblk = 16, C(1024,2)
+    // = 523,776 intra pairs. collect() keeps the final orderBy, so the
+    // pair-GENERATING join tasks write their rows to the sort exchange
+    // and per-task shuffleWriteMetrics.recordsWritten IS the per-task
+    // generated volume (early stages all write linear row counts).
+    val H = 1024L
+    val onePairs = H * (H - 1) / 2
+    // one grid cell's pair output (= ExpandBlock², derived from the kernel's
+    // own constant so a block-size retune retunes the contract with it) —
+    // only the pair expansion writes this much from one task (linear stages
+    // carry <= |docs| + H rows total)
+    val gridCell = TextOps.ExpandBlock.toLong * TextOps.ExpandBlock
+    val (rows, maxTask, heavyTasks) =
+      perTaskShuffleWrites(gridCell) {
+        graft.SparkEntry.queries("dedup_minhash")(spark, hotDir).collect()
+      }
     val hotPairs = rows.count(r => r.getLong(0) >= HotBase && r.getLong(1) >= HotBase)
     assert(hotPairs == onePairs,
       s"hot family emitted $hotPairs pairs, want C($H,2) = $onePairs")
     // teeth: the pre-r25 single-bucket expansion (and the BHJ plan the
     // merge hints forbid) writes all C(H,2) pairs from ONE task = 2x the
-    // bound; the blocked plan's largest (sig, bj) key is nblk*B^2 = 65,536
+    // bound; the blocked plan's largest (sig, bj) key is nblk·ExpandBlock²
     // rows, an eighth of the family
-    assert(maxTask.get <= onePairs / 2,
-      s"one task wrote ${maxTask.get} shuffle records > C(H,2)/2 = ${onePairs / 2} " +
+    assert(maxTask <= onePairs / 2,
+      s"one task wrote $maxTask shuffle records > C(H,2)/2 = ${onePairs / 2} " +
         s"(a single-bucket expansion writes all $onePairs from one task)")
-    assert(heavyTasks.get >= 5,
-      s"only ${heavyTasks.get} tasks wrote >= one grid cell (4096 rows) — " +
+    assert(heavyTasks >= 5,
+      s"only $heavyTasks tasks wrote >= one grid cell ($gridCell rows) — " +
         "the quadratic expansion is not spreading")
   }
 
@@ -492,7 +520,7 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
     * contract-test scale.
     */
   private lazy val hotDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("contracts-hot").toString
+    val dir = tmpFixtureDir("contracts-hot")
     val src = spark.read.parquet(s"$sf/documents.parquet")
     val hotText = (0 until 40).map(i => s"hotblk$i").mkString(" ")
     val hot = spark.range(1024)
@@ -511,7 +539,7 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
     * regression would pay for 5x over.
     */
   private lazy val dupDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("contracts-dup").toString
+    val dir = tmpFixtureDir("contracts-dup")
     val src = spark.read.parquet(s"$sf/documents.parquet")
     (0 until 5).map(k => src.withColumn("doc_id",
         col("doc_id") + lit(k.toLong * 100000L)))

@@ -15,6 +15,15 @@ Only documents.parquet is written (~580 MB parquet) — bench runs against
 /tmp/sf100 must restrict to documents-only queries via SPARK_GRAFT_QUERIES,
 and the per-query watchdog needs raising (SPARK_GRAFT_QUERY_TIMEOUT=1800).
 
+Edge case, INTENTIONAL and shared with make_sf10_docs.py (cross-decade
+consistency beats prettiness): an empty-text source row becomes the literal
+one-word doc 'r{s}' in replicas s >= 1, because DuckDB's
+string_split('', ' ') yields [''] and the suffix attaches to that empty
+word. Replica copies of empty docs therefore form small per-replica exact-
+dup families of their own instead of joining the source empty-doc family.
+Do NOT "fix" this here without regenerating every committed decade artifact
+(BENCH_SF10/BENCH_SF100) against the changed corpus.
+
 Usage: python3 tools/make_sf100_docs.py [src_sf10_dir] [dst_dir]
 """
 import pathlib

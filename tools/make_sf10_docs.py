@@ -16,6 +16,12 @@ suffix `p{s}` for replicas s >= 1 on top of sf1's `q{r}`:
 Only documents.parquet is written — bench runs against /tmp/sf10 must
 restrict to documents-only queries via SPARK_GRAFT_QUERIES.
 
+Edge case, INTENTIONAL and shared with make_sf100_docs.py: an empty-text
+source row becomes the literal one-word doc 'p{s}' in replicas s >= 1
+(string_split('', ' ') yields [''], so the suffix attaches to the empty
+word). Kept for cross-decade consistency with the committed BENCH_SF10/
+BENCH_SF100 artifacts — do not change without regenerating both.
+
 Usage: python3 tools/make_sf10_docs.py [src_sf1_dir] [dst_dir]
 """
 import pathlib
