@@ -513,6 +513,103 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
         "the quadratic expansion is not spreading")
   }
 
+  test("dedup_simhash_near hot family: reps collapse keeps every task linear") {
+    // The r25 verdict's remaining pair kernels get the same per-TASK pin as
+    // dedup_minhash: a 1024-copy exact text collapses to ONE fingerprint
+    // before banding, so under the hot family NO task writes more than the
+    // linear kernel volume. The regression this pins against: banding DOCS
+    // instead of distinct fingerprints routes all 4x1024 hot band rows into
+    // single (b, bv) buckets — the band exchange blows past 4x|reps| and the
+    // bucket-owning join tasks write hot-family x bucket-mates candidate
+    // rows. Both channels are asserted: per-task max AND the band-exchange
+    // totals on the SAME instrumented run.
+    val (nDocs, nReps, wBand, _) = kernelStats(hotDir)
+    // materiality for the band-total channel: the hot family makes docs
+    // dominate reps, so doc-level banding (4x|docs|) visibly blows the
+    // 4x|reps| band bound
+    assert(nDocs > 2 * nReps,
+      s"fixture regression: hot family not material ($nReps reps / $nDocs docs)")
+    val (ex, maxTask, _) = perTaskShuffleWrites(Long.MaxValue) {
+      exchangeRows(graft.SparkEntry.queries("dedup_simhash_near")(spark, hotDir))
+    }
+    val bandEx = ex.filter(_._1.contains("bv"))
+    assert(bandEx.nonEmpty, "no band-join exchange found")
+    bandEx.foreach { case (cols, rows) =>
+      assert(rows <= 4 * nReps,
+        s"band exchange [$cols] carried $rows rows > 4x|reps| = ${4 * nReps} " +
+          s"(doc-level banding would carry ${4 * nDocs})")
+    }
+    // per-task channel: no task generates more than half the candidate
+    // volume (a doc-level regression's hot-bucket join task writes
+    // 1024 x bucket-mates rows; a funneling plan writes all of wBand)
+    val bound = Seq(nDocs, 4 * nReps, wBand / 2).max
+    assert(maxTask <= bound,
+      s"one task wrote $maxTask shuffle records > bound $bound " +
+        s"(|docs| $nDocs, 4x|reps| ${4 * nReps}, wBand $wBand) — " +
+        "the hot family is concentrating in a single task")
+  }
+
+  test("dedup_ngram: in-row posting-list expansion spreads capped pairs across tasks") {
+    // The pair volume is generated IN-ROW per posting list (each shingle's
+    // <= C(dfCap,2) pairs in the task that owns the shingle key), so under
+    // the boilerplate corpus no task may write more than HALF the capped
+    // pair volume: a dropped df cap pushes the df=300 boilerplate shingle's
+    // C(300,2) = 44,850 pairs through ONE task, and a plan regression that
+    // funnels the expansion through one reducer concentrates all of it.
+    val docs = Tables.t(spark, synthDir, "documents")
+    val nDocs = docs.count()
+    // the index-build side is single-task on this one-file fixture (every
+    // (doc, gram) row leaves the scan task), so the linear floor of the
+    // per-task bound is the token volume, same as the exchange-total test
+    val nTokens = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).first().getLong(0)
+    val dfs = TextOps.ngramNearDups(docs, dfCap = 1).droppedShingles.persist()
+    val capped = dfs.filter(col("df") <= 200)
+      .agg(coalesce(sum(expr("(df * (df - 1)) div 2")), lit(0L))).first().getLong(0)
+    sweep()
+    val bound = math.max(nTokens, capped / 2)
+    val hotKeyPairs = nDocs * (nDocs - 1) / 2
+    assert(hotKeyPairs > 2 * bound,
+      s"fixture regression: uncapped hot key C($nDocs,2) = $hotKeyPairs " +
+        s"not material vs bound $bound")
+    val (_, maxTask, _) = perTaskShuffleWrites(Long.MaxValue) {
+      graft.SparkEntry.queries("dedup_ngram")(spark, synthDir).collect()
+    }
+    assert(maxTask <= bound,
+      s"one task wrote $maxTask shuffle records > bound $bound " +
+        s"(tokens $nTokens, capped pairs $capped) — a dropped df cap writes " +
+        s"the hot shingle's $hotKeyPairs from one task")
+  }
+
+  test("graph_common_neighbors: wedge generation never funnels through one task") {
+    // Candidates are generated in-row from each node's sorted adjacency
+    // list; with the graph's nodes hash-spread over the shuffle partitions
+    // no task may write more than half the total wedge volume. The center-
+    // node self-join this kernel replaced ships the full adjacency through
+    // an exchange keyed by center node, and a coalesce/global-sort
+    // regression funnels all wedges through one reducer — both breach.
+    val (nDocs, nReps, wBand, nPairs) = kernelStats(sf)
+    val pairs = TextOps.simhashNearPairs(spark, sf)
+      .select(least(col("rep_a"), col("rep_b")).as("u"),
+        greatest(col("rep_a"), col("rep_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val wedges = pairs.select(col("u").as("node"))
+      .union(pairs.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("(deg * (deg - 1)) div 2")).as("w")).first().getLong(0)
+    sweep()
+    assert(wedges > 0, "fixture regression: no wedges in the pair graph")
+    val linear = Seq(nDocs, 4 * nReps, wBand, 2 * nPairs).max
+    val (_, maxTask, _) = perTaskShuffleWrites(Long.MaxValue) {
+      graft.SparkEntry.queries("graph_common_neighbors")(spark, sf).collect()
+    }
+    val bound = math.max(linear, wedges / 2)
+    assert(maxTask <= bound,
+      s"one task wrote $maxTask shuffle records > bound $bound " +
+        s"(linear $linear, wedges $wedges) — wedge generation is funneling")
+  }
+
   private val HotBase = 10000000L
 
   /** sf0.001 documents plus ONE exact text repeated 1024x (ids from
