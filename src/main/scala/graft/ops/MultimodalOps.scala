@@ -168,7 +168,8 @@ object MultimodalOps {
       src_h: Int,
       out_w: Int,
       out_h: Int,
-      out_fp: String)       // fingerprint of the (stubbed) re-encoded payload
+      out_fp: String,       // fingerprint of the (stubbed) re-encoded payload
+      decoded: Boolean)     // true = real decode+resample, false = synthetic fallback
 
   /** Bounded-resolution resize (the image-normalization step of a training
     * pipeline): scale every image so its longer side is at most `maxDim`,
@@ -203,12 +204,12 @@ object MultimodalOps {
         val (ow, oh) = bounded(src.width, src.height)
         val resized = ImageCodec.resizeNearest(src, ow, oh)
         ResizedMedia(e.media_id, e.kind, src.width, src.height, ow, oh,
-          hex(ImageCodec.encodePpm(resized)))
+          hex(ImageCodec.encodePpm(resized)), decoded = true)
       case None =>
         val (w, h, _) = syntheticDecode(e.payload)
         val (ow, oh) = bounded(w, h)
         ResizedMedia(e.media_id, e.kind, w, h, ow, oh,
-          hex(e.payload ++ s"#resize:${ow}x$oh".getBytes("UTF-8")))
+          hex(e.payload ++ s"#resize:${ow}x$oh".getBytes("UTF-8")), decoded = false)
     }
   }
 
@@ -341,7 +342,8 @@ object MultimodalOps {
   case class SampledFrame(
       media_id: Long,
       frame_idx: Int,
-      frame_fp: String)
+      frame_fp: String,
+      decoded: Boolean)     // true = real frame bytes, false = synthetic fallback
 
   /** Video frame sampling: every `stride`-th frame of each video envelope
     * (frame 0 always included) as one row per kept frame. For PPM-stream
@@ -440,13 +442,15 @@ object MultimodalOps {
     decoded match {
       case Some(frames) =>
         (0 until frames.length by stride).iterator.map { idx =>
-          SampledFrame(e.media_id, idx, hex(ImageCodec.encodePpm(frames(idx))))
+          SampledFrame(e.media_id, idx, hex(ImageCodec.encodePpm(frames(idx))),
+            decoded = true)
         }
       case None =>
         val (_, _, nFrames) = syntheticDecode(e.payload)
         val base = hex(e.payload)
         (0 until nFrames by stride).iterator.map { idx =>
-          SampledFrame(e.media_id, idx, hex(s"$base#frame:$idx".getBytes("UTF-8")))
+          SampledFrame(e.media_id, idx, hex(s"$base#frame:$idx".getBytes("UTF-8")),
+            decoded = false)
         }
     }
   }
