@@ -77,7 +77,10 @@ object DedupClusters {
     */
   def components(pairs: DataFrame, maxIter: Int = 25,
       localMaxEdges: Long = LocalComponentsMaxEdges): DataFrame = {
-    val chain = new CheckpointChain(pairs.sparkSession)
+    // one size-dispatch group per query: the edges and labels chains must
+    // share the "a round frame crossed the local dispatch bound" evidence
+    val group = new IterativeCompute.DispatchGroup
+    val chain = new CheckpointChain(pairs.sparkSession, group)
     // Both edge orientations from ONE pass over the pair source (a
     // self-union would execute the upstream pair pipeline twice), then
     // materialized once for all iterations.
@@ -99,7 +102,7 @@ object DedupClusters {
     // the plan (and its analysis/stringification) grows exponentially —
     // localCheckpoint materializes AND cuts the lineage to the stored
     // partitions.
-    val labelChain = new CheckpointChain(pairs.sparkSession)
+    val labelChain = new CheckpointChain(pairs.sparkSession, group)
     var labels = labelChain.next(edges.select(col("dst").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")))
     var iter = 0
@@ -141,7 +144,7 @@ object DedupClusters {
       labelChain.release()
       val canon = edges.filter(col("src") > col("dst")) // self-edges drop; distinct inherited
       val allIds = edges.select(col("src").as("doc_id")).distinct()
-      return logNCore(canon, allIds, 60, chain)
+      return logNCore(canon, allIds, 60, group, chain)
     }
     chain.release() // edges
     handoff(labels, labelChain)
@@ -223,7 +226,8 @@ object DedupClusters {
     // algorithms must agree on coverage. Deriving edges AND the node set
     // from this one materialization also avoids executing the (possibly
     // expensive) upstream pair pipeline twice.
-    val srcChain = new CheckpointChain(pairs.sparkSession)
+    val group = new IterativeCompute.DispatchGroup
+    val srcChain = new CheckpointChain(pairs.sparkSession, group)
     val rawPairs = srcChain.next(pairs.select(col("doc_a"), col("doc_b")))
     val allIds = rawPairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
@@ -232,15 +236,16 @@ object DedupClusters {
       .select(greatest(col("doc_a"), col("doc_b")).as("src"),
         least(col("doc_a"), col("doc_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct(), allIds, maxIter, srcChain)
+      .distinct(), allIds, maxIter, group, srcChain)
   }
 
   /** Contraction core over an already-canonical (src > dst, distinct)
     * edge frame; `upstream` chains are released with the result handoff.
     */
   private def logNCore(canonEdges: DataFrame, allIds: DataFrame, maxIter: Int,
+      group: IterativeCompute.DispatchGroup,
       upstream: CheckpointChain*): DataFrame = {
-    val chain = new CheckpointChain(canonEdges.sparkSession)
+    val chain = new CheckpointChain(canonEdges.sparkSession, group)
     var edges = chain.next(canonEdges)
 
     // large-star: every node u links its LARGER neighbors to

@@ -67,13 +67,14 @@ object GraphOps {
   def bfsHops(edges: DataFrame, source: Option[Long] = None, maxIter: Int = 100): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val chain = new CheckpointChain(spark)
+    val group = new IterativeCompute.DispatchGroup
+    val chain = new CheckpointChain(spark, group)
     val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val e = chain.next(dir.union(dir.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val src0 = source.getOrElse(
       e.agg(min(col("src"))).head().getLong(0)) // one tiny scalar job; edge list already materialized
-    val distChain = new CheckpointChain(spark)
-    val frontierChain = new CheckpointChain(spark)
+    val distChain = new CheckpointChain(spark, group)
+    val frontierChain = new CheckpointChain(spark, group)
     var dist = distChain.next(Seq(src0).toDF("node").withColumn("hop", lit(0L)))
     var frontier = frontierChain.next(dist.select(col("node")))
     var hop = 0L
@@ -109,7 +110,8 @@ object GraphOps {
   private[ops] def pagerankWithRounds(edges: DataFrame, damping: Double = 0.85,
                maxIter: Int = 30, tol: Double = 1e-7): (DataFrame, Int) = {
     val spark = edges.sparkSession
-    val chain = new CheckpointChain(spark)
+    val group = new IterativeCompute.DispatchGroup
+    val chain = new CheckpointChain(spark, group)
 
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
     // one materialized pass: every edge carries its source's 1/out-degree so
@@ -124,7 +126,7 @@ object GraphOps {
     val n = nodes.count()
     val srcSet = wEdges.select(col("src").as("node")).distinct()
 
-    val rankChain = new CheckpointChain(spark)
+    val rankChain = new CheckpointChain(spark, group)
     var ranks = rankChain.next(nodes.withColumn("pr", lit(1.0 / n)))
     var iter = 0
     var delta = Double.MaxValue
@@ -181,8 +183,9 @@ object GraphOps {
     */
   def kcore(edges: DataFrame, maxK: Int = 1 << 20, maxRounds: Int = 100000): DataFrame = {
     val spark = edges.sparkSession
-    val chain = new CheckpointChain(spark)
-    val resChain = new CheckpointChain(spark)
+    val group = new IterativeCompute.DispatchGroup
+    val chain = new CheckpointChain(spark, group)
+    val resChain = new CheckpointChain(spark, group)
     val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
     // symmetrized: each undirected edge present in both orientations, so
@@ -193,7 +196,7 @@ object GraphOps {
     // drops to degree 0 and has no edge rows left — without this frame it
     // would vanish from the peel unassigned (its core is k−1 like any
     // other sub-k-degree node)
-    val nodeChain = new CheckpointChain(spark)
+    val nodeChain = new CheckpointChain(spark, group)
     var nodes = nodeChain.next(g.select(col("src").as("node")).distinct())
     var result = resChain.next(
       nodes.filter(lit(false)).withColumn("core", lit(0L)))
@@ -251,9 +254,10 @@ object GraphOps {
     */
   def boruvkaMst(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
     val spark = edges.sparkSession
-    val chain = new CheckpointChain(spark)
-    val compChain = new CheckpointChain(spark)
-    val mstChain = new CheckpointChain(spark)
+    val group = new IterativeCompute.DispatchGroup
+    val chain = new CheckpointChain(spark, group)
+    val compChain = new CheckpointChain(spark, group)
+    val mstChain = new CheckpointChain(spark, group)
     val e0 = chain.next(edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"),
