@@ -28,6 +28,32 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Data-size-derived shuffle parallelism (round-26): a fixed
+      // cpus-count partition default breaks first at scale — the sf100
+      // decade OOM'd dedup_minhash's final range-sort spill MERGE at 32
+      // partitions because per-task merge memory grows with rows per
+      // partition (BASELINE.md "Third scaling decade" finding 1). With
+      // AQE coalescing (on by default) every eligible shuffle STARTS at
+      // this partition count and trims to the advisory size, so the
+      // effective count scales with DATA while small stages still
+      // coalesce to a handful of tasks; shuffle.partitions above remains
+      // the non-AQE fallback. 1024 partitions covers ~32 GB per shuffle at
+      // the advisory below — beyond it a real cluster raises this with its
+      // core count (exactly the knob a 1000-executor deployment sets).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // Advisory size derived from HEAP PER SLOT, not the 64 MB default:
+      // a coalesced partition's compressed shuffle bytes inflate ~4-8x
+      // into sorter/join execution memory, and a fused SMJ stage runs two
+      // sorters plus an aggregation map per task — at 64 MB advisory on
+      // this rig's 250 MB/slot (8g/32) the sf100 label-prop stage starved
+      // the execution pool (UNABLE_TO_ACQUIRE_MEMORY in createHashMap).
+      // heapPerSlot/8 keeps a fused task's working set inside its slot
+      // (32 MB at 8g/32, 64 MB capped at 16g/32) — the same partitions-
+      // scale-with-data-over-memory rule as the lowmem sweep, applied to
+      // the knob AQE actually reads.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        math.min(64L << 20, math.max(8L << 20,
+          Runtime.getRuntime.maxMemory / cpus.toInt / 8)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as
@@ -178,7 +204,7 @@ object Bench {
     // specifically).
     var spillTaintedFrom: Option[String] = None
     val spillTainted = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = names.map { n =>
+    def runPass(): Seq[(String, Either[String, Double])] = names.map { n =>
       val (m0, d0) = (memSpilled.get, diskSpilled.get)
       val r = n -> runOnce(n)
       drainListeners()
@@ -189,16 +215,30 @@ object Bench {
       }
       r
     }
-    // Ambient-contention self-defense (round-16 verdict #4): a shared-host
-    // noise spike can inflate one query 10-70x in a single pass (r16's
-    // driver artifact read tiff_meta at 68x its committed solo median) and
-    // a reader without protocol context misreads it as a regression. If a
-    // committed protocol-median file is present (BENCH_LOCAL.json, the
-    // median-of-3 solo artifact), re-run ONCE any query whose time exceeds
-    // k x its committed median and report the min, flagged per query under
-    // "ambient_rerun": [first, rerun]. A REAL regression survives the
-    // re-run (both passes slow); an ambient spike doesn't. Worst case cost
-    // is bounded by the spike queries themselves (~1-2 min).
+    // Median-of-N in ONE invocation (round-26, verdict task 6): the per-
+    // round artifact was a single contended pass, so cross-round comparison
+    // required BASELINE.md exegesis (r16's 543 s vs r17's 277 s on an
+    // identical surface was ambient, not a regression). The timed pass now
+    // repeats up to SPARK_GRAFT_BENCH_RUNS times (default 3) under a wall-
+    // clock budget (SPARK_GRAFT_BENCH_BUDGET seconds of TIMED passes,
+    // default 1400 — a contended first pass shrinks the run count instead
+    // of risking the driver's global timeout), and the artifact carries the
+    // run totals + per-query MEDIANS. Same-JVM back-to-back passes are
+    // warmer than the cross-JVM protocol triple, so the committed
+    // BENCH_LOCAL.json denominator remains the cross-JVM number; within a
+    // round, medians kill one-pass ambient spikes by construction. The
+    // artifact file is re-written after EVERY completed pass, so a run
+    // killed mid-pass still leaves a valid artifact for the passes done.
+    val maxRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1400").toDouble
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+
+    // Ambient-contention self-defense (round-16 verdict #4), SINGLE-pass
+    // mode only (medians make it redundant at >= 2 passes): if a committed
+    // protocol-median file is present (BENCH_LOCAL.json), re-run ONCE any
+    // query whose time exceeds k x its committed median and report the
+    // min, flagged under "ambient_rerun": [first, rerun]. A REAL
+    // regression survives the re-run; an ambient spike doesn't.
     val rerunFactor =
       sys.env.getOrElse("SPARK_GRAFT_RERUN_FACTOR", "5").toDouble
     val mediansPath = java.nio.file.Paths.get(
@@ -225,37 +265,82 @@ object Bench {
           .filter(_._2 > 0).toMap
       } catch { case _: Exception => Map.empty }
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    val denoised = results.map {
-      case (n, Right(v)) if medians.get(n).exists(m => v > rerunFactor * m) =>
-        System.err.println(f"[bench] $n%s ${v}%.2fs > $rerunFactor x committed " +
-          f"median ${medians(n)}%.2fs — ambient re-run")
-        runOnce(n) match {
-          case Right(v2) => reruns(n) = (v, v2); n -> Right(math.min(v, v2))
-          case Left(_)   => n -> Right(v) // re-run failed: keep the honest first pass
-        }
-      case other => other
+
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Either[String, Double])]]
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    val qs = denoised.map {
-      case (k, Right(v)) => "\"" + k + "\":" + v
-      case (k, Left(_))  => "\"" + k + "\":-1"
-    }.mkString("{", ",", "}")
-    val failed = denoised.collect { case (k, Left(_)) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = denoised.collect { case (_, Right(v)) => v }.sum
-    val rerunJson = if (reruns.isEmpty) ""
-    else ",\"ambient_rerun\":" + reruns.map { case (k, (a, b)) =>
-      "\"" + k + "\":[" + a + "," + b + "]"
-    }.mkString("{", ",", "}")
-    val spillJson = if (spillOn)
-      ",\"spill_bytes\":" + spill.map { case (k, (m, dd)) =>
-        "\"" + k + "\":[" + m + "," + dd + "]"
-      }.mkString("{", ",", "}") +
-      (if (spillTainted.isEmpty) ""
-       else ",\"spill_tainted\":" + spillTainted.map("\"" + _ + "\"")
-         .mkString("[", ",", "]"))
-    else ""
-    val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed$rerunJson$spillJson}"""
+    // per-query median over the passes that succeeded for that query;
+    // failed iff NO pass succeeded. Even counts average the two middles.
+    def combined: Seq[(String, Either[String, Double])] = names.map { n =>
+      val vals = passes.flatMap(_.collectFirst { case (`n`, Right(v)) => v }).toSeq
+      if (vals.nonEmpty) n -> Right(median(vals))
+      else n -> Left(passes.head.collectFirst { case (`n`, Left(e)) => e }
+        .getOrElse("NoData"))
+    }
+    def runTotals: Seq[Double] =
+      passes.map(_.collect { case (_, Right(v)) => v }.sum).toSeq
+
+    def record(results: Seq[(String, Either[String, Double])]): String = {
+      val qs = results.map {
+        case (k, Right(v)) => "\"" + k + "\":" + v
+        case (k, Left(_))  => "\"" + k + "\":-1"
+      }.mkString("{", ",", "}")
+      val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      // headline value: median of the pass totals (the protocol number);
+      // a single pass degrades to the sum of its per-query times — which
+      // the ambient-rerun channel may have denoised, so sum the RESULTS
+      val total =
+        if (passes.length > 1) median(runTotals)
+        else results.collect { case (_, Right(v)) => v }.sum
+      val runsJson = ",\"runs\":" + passes.length +
+        ",\"run_totals\":" + runTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val rerunJson = if (reruns.isEmpty) ""
+      else ",\"ambient_rerun\":" + reruns.map { case (k, (a, b)) =>
+        "\"" + k + "\":[" + a + "," + b + "]"
+      }.mkString("{", ",", "}")
+      val spillJson = if (spillOn)
+        ",\"spill_bytes\":" + spill.map { case (k, (m, dd)) =>
+          "\"" + k + "\":[" + m + "," + dd + "]"
+        }.mkString("{", ",", "}") +
+        (if (spillTainted.isEmpty) ""
+         else ",\"spill_tainted\":" + spillTainted.map("\"" + _ + "\"")
+           .mkString("[", ",", "]"))
+      else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed$runsJson$rerunJson$spillJson}"""
+    }
+    def writeArtifact(results: Seq[(String, Either[String, Double])]): Unit =
+      Files.write(java.nio.file.Paths.get(outFile),
+        (record(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    var timedSec = 0.0
+    var lastPassSec = 0.0
+    while (passes.length < maxRuns &&
+        (passes.isEmpty || timedSec + lastPassSec <= budgetSec)) {
+      val t0 = System.nanoTime()
+      passes += runPass()
+      lastPassSec = (System.nanoTime() - t0) / 1e9
+      timedSec += lastPassSec
+      System.err.println(f"[bench] pass ${passes.length}/$maxRuns done in $lastPassSec%.1f s " +
+        f"(timed total $timedSec%.1f s, budget $budgetSec%.0f s)")
+      writeArtifact(combined) // progressive: a killed later pass still leaves a valid artifact
+    }
+
+    val results: Seq[(String, Either[String, Double])] =
+      if (passes.length > 1) combined
+      else combined.map { // single pass: the r16 ambient-rerun channel
+        case (n, Right(v)) if medians.get(n).exists(m => v > rerunFactor * m) =>
+          System.err.println(f"[bench] $n%s ${v}%.2fs > $rerunFactor x committed " +
+            f"median ${medians(n)}%.2fs — ambient re-run")
+          runOnce(n) match {
+            case Right(v2) => reruns(n) = (v, v2); n -> Right(math.min(v, v2))
+            case Left(_)   => n -> Right(v) // re-run failed: keep the honest first pass
+          }
+        case other => other
+      }
     // Two channels, two shapes (round-14 verdict #1): the FULL record —
     // per-query map included — goes to bench_result.json (the unambiguous
     // artifact); stdout's FINAL line is a COMPACT summary with no
@@ -264,12 +349,15 @@ object Bench {
     // mid-object and left BENCH_rN `parsed: null` four rounds running.
     // The compact line is a few hundred bytes and always survives the
     // tail window.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    Files.write(java.nio.file.Paths.get(outFile),
-      (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeArtifact(results)
+    val failedJson = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val headline =
+      if (passes.length > 1) median(runTotals)
+      else results.collect { case (_, Right(v)) => v }.sum
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},""" +
-        s""""sf":"$sfDir","failed":$failed,"queries_file":"$outFile"}"""
+      s"""{"metric":"total","value":$headline,"unit":"sec","n":${names.size},""" +
+        s""""runs":${passes.length},"sf":"$sfDir","failed":$failedJson,"queries_file":"$outFile"}"""
     spark.stop()
     deleteRecursively(ckptDir.toFile)
     System.out.flush()

@@ -20,6 +20,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      // data-size-derived shuffle parallelism via AQE coalescing — same
+      // rationale and values as Bench (see the comments there); keeps the
+      // correctness surface on the identical plan regime the bench runs
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        math.min(64L << 20, math.max(8L << 20,
+          Runtime.getRuntime.maxMemory / cpus.toInt / 8)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as
