@@ -8,13 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntrySpec extends AnyFunSuite with SparkSpec {
 
   test("every query has an oracle and every oracle has a query") {
-    // the driver contract's carve-out: non-SQL-expressible ops may omit the
-    // oracle (rows-only check). Every member must be justified here.
-    val rowsOnly = Set(
-      "media_prep" // binary codec pipeline over the DSv2 media generator —
-                   // exactness is pinned in the codec/prep/source specs
-    )
-    val q = SparkEntry.queries.keySet -- rowsOnly
+    // the carve-out for non-SQL-expressible ops is EMPTY since r26:
+    // media_prep (the last rows-only row) now returns the decoded-plane
+    // datasheet and is hash-gated by a symbolic oracle — every declared
+    // query must carry one
+    val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
