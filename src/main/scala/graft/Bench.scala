@@ -25,35 +25,48 @@ object Bench {
     // partitions scale with data over memory, not with cores)
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Advisory size derived from HEAP PER SLOT, not the 64 MB default:
+    // a coalesced partition's compressed shuffle bytes inflate ~4-8x
+    // into sorter/join execution memory, and a fused SMJ stage runs two
+    // sorters plus an aggregation map per task — at 64 MB advisory on
+    // this rig's 250 MB/slot (8g/32) the sf100 label-prop stage starved
+    // the execution pool (UNABLE_TO_ACQUIRE_MEMORY in createHashMap).
+    // heapPerSlot/8 keeps a fused task's working set inside its slot
+    // (32 MB at 8g/32, 64 MB capped at 16g/32) — the same partitions-
+    // scale-with-data-over-memory rule as the lowmem sweep, applied to
+    // the knob AQE actually reads.
+    val advisoryBytes = math.min(64L << 20, math.max(8L << 20,
+      Runtime.getRuntime.maxMemory / cpus.toInt / 8))
+    // Data-size-derived shuffle parallelism (round-26): a fixed cpus-count
+    // partition default breaks first at scale — the sf100 decade OOM'd
+    // dedup_minhash's final range-sort spill MERGE at 32 partitions
+    // because per-task merge memory grows with rows per partition
+    // (BASELINE.md "Third scaling decade" finding 1). With AQE coalescing
+    // (on by default) every eligible shuffle STARTS at the initial count
+    // below and trims to the advisory size. The initial count must itself
+    // scale with DATA, not be a large constant: at 1024 the sf0.1
+    // iterative/small-shuffle queries paid 2-4x in per-stage map-bucket
+    // and scheduling overhead (measured A/B: graph_modularity 8.2->19.8 s,
+    // text_vocab_drift 1.9->8.6 s). Rule: input bytes x8 (near-dup pair
+    // shuffles inflate ~5x over the input at the measured decades) over
+    // the advisory, clamped to [cpus, 4096] — sf0.1 (17.5 MB) lands on
+    // cpus (the protocol's historical value), sf100 (690 MB) on ~172
+    // (above the 128 the r25 spill-merge finding required). A real
+    // cluster sets the same pair of knobs from its input volume and
+    // executor sizing.
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    val initPartitions = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+      math.min(4096L, math.max(cpus.toLong,
+        dirBytes(new java.io.File(sfDir)) * 8 / advisoryBytes)).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      // Data-size-derived shuffle parallelism (round-26): a fixed
-      // cpus-count partition default breaks first at scale — the sf100
-      // decade OOM'd dedup_minhash's final range-sort spill MERGE at 32
-      // partitions because per-task merge memory grows with rows per
-      // partition (BASELINE.md "Third scaling decade" finding 1). With
-      // AQE coalescing (on by default) every eligible shuffle STARTS at
-      // this partition count and trims to the advisory size, so the
-      // effective count scales with DATA while small stages still
-      // coalesce to a handful of tasks; shuffle.partitions above remains
-      // the non-AQE fallback. 1024 partitions covers ~32 GB per shuffle at
-      // the advisory below — beyond it a real cluster raises this with its
-      // core count (exactly the knob a 1000-executor deployment sets).
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
-      // Advisory size derived from HEAP PER SLOT, not the 64 MB default:
-      // a coalesced partition's compressed shuffle bytes inflate ~4-8x
-      // into sorter/join execution memory, and a fused SMJ stage runs two
-      // sorters plus an aggregation map per task — at 64 MB advisory on
-      // this rig's 250 MB/slot (8g/32) the sf100 label-prop stage starved
-      // the execution pool (UNABLE_TO_ACQUIRE_MEMORY in createHashMap).
-      // heapPerSlot/8 keeps a fused task's working set inside its slot
-      // (32 MB at 8g/32, 64 MB capped at 16g/32) — the same partitions-
-      // scale-with-data-over-memory rule as the lowmem sweep, applied to
-      // the knob AQE actually reads.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initPartitions)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        math.min(64L << 20, math.max(8L << 20,
-          Runtime.getRuntime.maxMemory / cpus.toInt / 8)).toString)
+        advisoryBytes.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as

@@ -21,9 +21,18 @@ object Verify {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // data-size-derived shuffle parallelism via AQE coalescing — same
-      // rationale and values as Bench (see the comments there); keeps the
-      // correctness surface on the identical plan regime the bench runs
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // rationale and derivations as Bench (see the comments there); keeps
+      // the correctness surface on the identical plan regime the bench runs
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", {
+        def dirBytes(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+        val advisory = math.min(64L << 20, math.max(8L << 20,
+          Runtime.getRuntime.maxMemory / cpus.toInt / 8))
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+          math.min(4096L, math.max(cpus.toLong,
+            dirBytes(new java.io.File(sfDir)) * 8 / advisory)).toString)
+      })
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         math.min(64L << 20, math.max(8L << 20,
           Runtime.getRuntime.maxMemory / cpus.toInt / 8)).toString)
