@@ -27,16 +27,17 @@ Exit 0 iff the matrix matches expectations. Usage:
   python3 tools/checkpoint_oom_probe.py [heap=2g] [rows=200000000]
 """
 import json
+import os
 import subprocess
 import sys
 
 
 def run_arm(mode: str, heap: str, rows: str) -> tuple[int, dict | None]:
+    # inherit the environment (COURSIER_MODE=offline etc.), override the knobs
+    env = dict(os.environ, SPARK_DRIVER_MEM=heap, PROBE_ROWS=rows)
     p = subprocess.run(
         ["sbt", "-batch", f"runMain graft.ops.CheckpointOomProbe {mode}"],
-        cwd="/root/repo",
-        env={"PATH": "/usr/local/sbin:/usr/local/bin:/usr/sbin:/usr/bin:/sbin:/bin",
-             "HOME": "/root", "SPARK_DRIVER_MEM": heap, "PROBE_ROWS": rows},
+        cwd="/root/repo", env=env,
         capture_output=True, text=True, timeout=1800)
     rec = None
     for line in p.stdout.splitlines():
