@@ -25,48 +25,13 @@ object Bench {
     // partitions scale with data over memory, not with cores)
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    // Advisory size derived from HEAP PER SLOT, not the 64 MB default:
-    // a coalesced partition's compressed shuffle bytes inflate ~4-8x
-    // into sorter/join execution memory, and a fused SMJ stage runs two
-    // sorters plus an aggregation map per task — at 64 MB advisory on
-    // this rig's 250 MB/slot (8g/32) the sf100 label-prop stage starved
-    // the execution pool (UNABLE_TO_ACQUIRE_MEMORY in createHashMap).
-    // heapPerSlot/8 keeps a fused task's working set inside its slot
-    // (32 MB at 8g/32, 64 MB capped at 16g/32) — the same partitions-
-    // scale-with-data-over-memory rule as the lowmem sweep, applied to
-    // the knob AQE actually reads.
-    val advisoryBytes = math.min(64L << 20, math.max(8L << 20,
-      Runtime.getRuntime.maxMemory / cpus.toInt / 8))
-    // Data-size-derived shuffle parallelism (round-26): a fixed cpus-count
-    // partition default breaks first at scale — the sf100 decade OOM'd
-    // dedup_minhash's final range-sort spill MERGE at 32 partitions
-    // because per-task merge memory grows with rows per partition
-    // (BASELINE.md "Third scaling decade" finding 1). With AQE coalescing
-    // (on by default) every eligible shuffle STARTS at the initial count
-    // below and trims to the advisory size. The initial count must itself
-    // scale with DATA, not be a large constant: at 1024 the sf0.1
-    // iterative/small-shuffle queries paid 2-4x in per-stage map-bucket
-    // and scheduling overhead (measured A/B: graph_modularity 8.2->19.8 s,
-    // text_vocab_drift 1.9->8.6 s). Rule: input bytes x8 (near-dup pair
-    // shuffles inflate ~5x over the input at the measured decades) over
-    // the advisory, clamped to [cpus, 4096] — sf0.1 (17.5 MB) lands on
-    // cpus (the protocol's historical value), sf100 (690 MB) on ~172
-    // (above the 128 the r25 spill-merge finding required). A real
-    // cluster sets the same pair of knobs from its input volume and
-    // executor sizing.
-    def dirBytes(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
-    val initPartitions = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
-      math.min(4096L, math.max(cpus.toLong,
-        dirBytes(new java.io.File(sfDir)) * 8 / advisoryBytes)).toString)
-    val spark = SparkSession.builder()
+    // Both AQE partition knobs derive from heap/slot count/input volume —
+    // the shared rule every entry point applies (rationale + the measured
+    // failures pinning each clamp: [[GraftSession]])
+    val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initPartitions)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        advisoryBytes.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions),
+      cpus.toInt, sfDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as
@@ -80,6 +45,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceBoundedWindowWarnings()
     // reliable-checkpoint scratch for iterative queries (DedupClusters hands
     // its result off through checkpoint files so no block-manager storage
     // outlives a query); removed on exit
@@ -295,6 +261,11 @@ object Bench {
     }
     def runTotals: Seq[Double] =
       passes.map(_.collect { case (_, Right(v)) => v }.sum).toSeq
+    // per-pass failure counts: a query failing transiently in one pass
+    // deflates that pass's total, so run_totals are only comparable where
+    // these are zero — the artifact flags it instead of hiding it
+    def runFailed: Seq[Int] =
+      passes.map(_.count(_._2.isLeft)).toSeq
 
     def record(results: Seq[(String, Either[String, Double])]): String = {
       val qs = results.map {
@@ -303,14 +274,17 @@ object Bench {
       }.mkString("{", ",", "}")
       val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
-      // headline value: median of the pass totals (the protocol number);
-      // a single pass degrades to the sum of its per-query times — which
-      // the ambient-rerun channel may have denoised, so sum the RESULTS
-      val total =
-        if (passes.length > 1) median(runTotals)
-        else results.collect { case (_, Right(v)) => v }.sum
+      // headline value (round-27 advisory fix): multi-pass = SUM OF THE
+      // PER-QUERY MEDIANS — consistent with the "queries" map by
+      // construction, and immune to a transient one-pass failure deflating
+      // a pass total (median-of-pass-totals was not: the deflated total
+      // skewed the median while the per-query medians ignored it). A
+      // single pass degrades to the sum of its per-query times — which
+      // the ambient-rerun channel may have denoised, so sum the RESULTS.
+      val total = results.collect { case (_, Right(v)) => v }.sum
       val runsJson = ",\"runs\":" + passes.length +
-        ",\"run_totals\":" + runTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+        ",\"run_totals\":" + runTotals.map(t => f"$t%.3f").mkString("[", ",", "]") +
+        ",\"run_failed\":" + runFailed.mkString("[", ",", "]")
       val rerunJson = if (reruns.isEmpty) ""
       else ",\"ambient_rerun\":" + reruns.map { case (k, (a, b)) =>
         "\"" + k + "\":[" + a + "," + b + "]"
@@ -365,9 +339,8 @@ object Bench {
     writeArtifact(results)
     val failedJson = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val headline =
-      if (passes.length > 1) median(runTotals)
-      else results.collect { case (_, Right(v)) => v }.sum
+    // same rule as record(): sum of per-query medians (multi-pass) / times
+    val headline = results.collect { case (_, Right(v)) => v }.sum
     val compact =
       s"""{"metric":"total","value":$headline,"unit":"sec","n":${names.size},""" +
         s""""runs":${passes.length},"sf":"$sfDir","failed":$failedJson,"queries_file":"$outFile"}"""

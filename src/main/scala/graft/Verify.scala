@@ -17,25 +17,13 @@ object Verify {
     // states cross a real process/serialization boundary (local[n] keeps
     // everything in one JVM and never exercises those paths)
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val spark = SparkSession.builder()
+    // derived AQE partition knobs — ONE shared code path with Bench (and
+    // any embedder), so the correctness surface always runs the identical
+    // plan regime the bench measures (rationale: [[GraftSession]])
+    val spark = GraftSession.configure(SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      // data-size-derived shuffle parallelism via AQE coalescing — same
-      // rationale and derivations as Bench (see the comments there); keeps
-      // the correctness surface on the identical plan regime the bench runs
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", {
-        def dirBytes(f: java.io.File): Long =
-          if (f.isFile) f.length
-          else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
-        val advisory = math.min(64L << 20, math.max(8L << 20,
-          Runtime.getRuntime.maxMemory / cpus.toInt / 8))
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
-          math.min(4096L, math.max(cpus.toLong,
-            dirBytes(new java.io.File(sfDir)) * 8 / advisory)).toString)
-      })
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        math.min(64L << 20, math.max(8L << 20,
-          Runtime.getRuntime.maxMemory / cpus.toInt / 8)).toString)
+      .config("spark.sql.shuffle.partitions", cpus),
+      cpus.toInt, sfDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as
@@ -47,6 +35,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceBoundedWindowWarnings()
     // dev-only speculative-attempt counter (driver never sets it): the
     // speculation-determinism pass must prove duplicate attempts actually
     // RACED (a run where zero tasks were speculated proves nothing), and

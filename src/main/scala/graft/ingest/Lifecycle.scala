@@ -38,8 +38,21 @@ object Lifecycle {
 
   /** C4: route a file by rewriting its "Unprocessed" path segment — the exact
     * idiom the reference uses (`path.replace("Unprocessed", "Processed")`,
-    * main.py:493-494). Rename is atomic on HDFS/local; on object stores it is
-    * copy+delete, still safe because it happens after sink commit.
+    * main.py:493-494). Rename is atomic on HDFS/local; on an OBJECT STORE it
+    * is copy+delete, and a crash inside that window leaves the file at BOTH
+    * paths (copy done, delete pending) or at src with a PARTIAL dst (copy
+    * interrupted). Either way the source is never lost, so the driver loop's
+    * replay re-processes it — the reference's at-least-once contract
+    * (no-dedup-key streaming insert, main.py:459) already absorbs the
+    * duplicate sink rows. This method is therefore REPLAY-IDEMPOTENT: when
+    * the rename reports failure it distinguishes
+    *   - dst only (a PREVIOUS rename fully completed; this call is a replay)
+    *     → success, nothing to do;
+    *   - src AND dst (crashed mid copy+delete; dst may be a partial copy)
+    *     → drop dst — the conservative choice, src is the known-complete
+    *     bytes (the [[Sink.recoverCompact]] stage-and-swap rule) — and
+    *     rename again;
+    *   - src only / neither → a real failure, surfaced.
     */
   def route(spark: SparkSession, file: String, outcome: Outcome): String = {
     val target = outcome match {
@@ -50,8 +63,17 @@ object Lifecycle {
     val dst = new Path(target)
     val f = fs(spark, src)
     f.mkdirs(dst.getParent)
-    if (!f.rename(src, dst))
-      throw new java.io.IOException(s"rename $file -> $target failed")
+    if (!f.rename(src, dst)) {
+      val srcThere = f.exists(src)
+      if (!srcThere && f.exists(dst)) () // completed by a prior (crashed) call
+      else if (srcThere && f.exists(dst)) {
+        f.delete(dst, false)
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(
+            s"rename $file -> $target failed after dropping stale target")
+      } else
+        throw new java.io.IOException(s"rename $file -> $target failed")
+    }
     target
   }
 

@@ -218,44 +218,55 @@ object AnalyticsOps extends Pack {
       // (the graph_pagerank discipline). Per node: starting degree,
       // the round that peeled it (0 = survived all three), and the
       // qualifying degree entering the last round.
-      // Scale shape: per round ONE degree hash-agg (map-side combine)
-      // + two LEFT SEMI equi-joins of the edge list against the
-      // survivor set — all keyed on node ids, no all-pairs, no
-      // driver-side sets; the final readout is three left joins of
-      // #node-sized marker frames.
+      // Scale shape (round-27 DELTA-DEGREE rewrite — the r26 sf100
+      // measurement pinned the old per-round full-|edges| semi-join +
+      // re-aggregation shape as the 17.8×/decade real-growth driver,
+      // BASELINE.md "Third decade CLOSED"): round k's degrees need no
+      // edge re-aggregation at all, because
+      //   deg_k(v) = deg_{k-1}(v) − |edges v→removed_{k-1}|
+      // where removed_{k-1} is the SMALL fringe peeled last round.
+      // Counting v→removed over the FULL persisted edge list equals
+      // counting over the previous survivor subgraph — both endpoints of
+      // any such edge were alive last round — so the output (and the
+      // oracle hash) is unchanged. Each round therefore scans the
+      // persisted edges ONCE, hash-probing the BROADCAST removed set (no
+      // edge shuffle; a fringe past the 4M-node broadcast cap degrades
+      // to the plain shuffle join, i.e. the r26 shape), shuffles only
+      // the matched rows (map-side combine, ≤ Σdeg(removed) rows), and
+      // left-joins the node-sized delta into the survivor frame.
       val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
       val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
         .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
         .distinct().persist()
-      def survivorEdges(alive: DataFrame): DataFrame = {
-        val an = alive.select(col("node"))
-        edges
-          .join(an.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-          .join(an.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-      }
-      def degrees(e: DataFrame): DataFrame =
-        e.groupBy("src").agg(count(lit(1)).as("deg"))
-          .select(col("src").as("node"), col("deg"))
-      val d0 = degrees(edges).persist()
-      // each alive set feeds ~5 consumers (two semi-join sides, the next
-      // peel's degree agg, its own left join, the final readout) — persist
-      // the #node-sized frames so a round's semi-joins run once, not per
-      // consumer (caller sweeps per the SparkEntry persist contract)
-      def peel(alive: DataFrame): DataFrame =
-        alive.select(col("node"))
-          .join(degrees(survivorEdges(alive)), Seq("node"), "left")
-          .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
-          .filter(col("deg") >= 2)
+      val d0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg")).persist()
+      val bcastCap = 4L << 20
+      // prev: (node, deg) over the subgraph its own parent survivor set
+      // induces. Returns the NEXT survivor degrees: prev's deg>=2 nodes
+      // with deg over the subgraph THEY induce. Persisted — each round
+      // frame feeds the next round's two filters plus the readout
+      // (caller sweeps per the SparkEntry persist contract).
+      def peelDelta(prev: DataFrame): DataFrame = {
+        val removed = prev.filter(col("deg") < 2).select(col("node").as("dst"))
+        val probe = if (removed.count() <= bcastCap) broadcast(removed) else removed
+        val delta = edges.join(probe, Seq("dst"))
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("dd"))
+        prev.filter(col("deg") >= 2).join(delta, Seq("node"), "left")
+          .select(col("node"),
+            (col("deg") - coalesce(col("dd"), lit(0L))).as("deg"))
           .persist()
-      val a1 = d0.filter(col("deg") >= 2).persist()
-      val a2 = peel(a1)
-      val a3 = peel(a2)
+      }
+      val u1 = peelDelta(d0) // a1's nodes, degrees over the a1-subgraph
+      val u2 = peelDelta(u1) // a2's nodes, degrees over the a2-subgraph
       d0.select(col("node").as("doc_id"), col("deg").as("degree0"))
-        .join(a1.select(col("node").as("doc_id"), lit(true).as("in1")),
+        .join(d0.filter(col("deg") >= 2)
+          .select(col("node").as("doc_id"), lit(true).as("in1")),
           Seq("doc_id"), "left")
-        .join(a2.select(col("node").as("doc_id"), lit(true).as("in2")),
+        .join(u1.filter(col("deg") >= 2)
+          .select(col("node").as("doc_id"), lit(true).as("in2")),
           Seq("doc_id"), "left")
-        .join(a3.select(col("node").as("doc_id"), col("deg").as("deg3"),
+        .join(u2.filter(col("deg") >= 2)
+          .select(col("node").as("doc_id"), col("deg").as("deg3"),
           lit(true).as("in3")), Seq("doc_id"), "left")
         .select(col("doc_id"), col("degree0"),
           when(col("in1").isNull, 1L).when(col("in2").isNull, 2L)

@@ -168,13 +168,27 @@ object GraphOps {
     * graph is empty when k exceeds the degeneracy. Deterministic — the
     * removal set per round is degree-defined, no ordering choices.
     *
-    * Scale shape: each inner round is ONE degree aggregate (map-side
-    * combined on the node key) + two anti-joins to drop incident edges —
-    * work proportional to the surviving subgraph, which shrinks
-    * monotonically. Victim counts are driver scalars (the frontier-size
-    * pattern); per-round lineage cuts via [[IterativeCompute.CheckpointChain]],
-    * zero retained blocks after handoff. Rounds are bounded by the
-    * degeneracy (small on real web/dedup graphs) times cascade depth.
+    * Scale shape (round-27 DELTA-DEGREE rewrite — the r26 sf100
+    * measurement pinned the old per-round degree re-aggregation + two
+    * full-|edges| anti-joins as ~17.8×/decade real cost growth,
+    * BASELINE.md "Third decade CLOSED"): degrees are MAINTAINED, not
+    * recomputed — deg_k(v) = deg_{k-1}(v) − |edges v→removed_{k-1}|,
+    * where removed_{k-1} is the small victim set of the previous round.
+    * Each round scans the persisted edge frame once, hash-probing the
+    * BROADCAST victim set (no edge shuffle; a victim wave past the
+    * 4M-node broadcast cap degrades to a plain shuffle join), shuffles
+    * only the matched rows (map-side combine, ≤ Σdeg(victims)), and
+    * left-joins the node-sized delta into the survivor frame. Edges
+    * incident to earlier victims may linger in the frame — they can
+    * never probe-match (victims are always current survivors) — and are
+    * COMPACTED away by one semi-join pass whenever the live degree mass
+    * (Σdeg of survivors, free from the same aggregate that counts them)
+    * falls under half the materialized frame's rows, so total compaction
+    * work telescopes to O(|E|). Victim counts are driver scalars (the
+    * frontier-size pattern); per-round lineage cuts via
+    * [[IterativeCompute.CheckpointChain]], zero retained blocks after
+    * handoff. Rounds are bounded by the degeneracy (small on real
+    * web/dedup graphs) times cascade depth.
     *
     * Not oracle-comparable (unbounded iteration); GraphOpsSpec verifies
     * against a driver-side sequential peel on crafted and random graphs.
@@ -192,34 +206,51 @@ object GraphOps {
     // degree(v) = row count with src = v
     var g = chain.next(
       dir.union(dir.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    // explicit surviving-node set: a node whose NEIGHBORS are all removed
-    // drops to degree 0 and has no edge rows left — without this frame it
-    // would vanish from the peel unassigned (its core is k−1 like any
-    // other sub-k-degree node)
+    // the maintained survivor frame carries (node, CURRENT degree); a node
+    // whose neighbors are all removed decrements to degree 0 and peels
+    // like any other sub-k-degree node (its core is k−1) — the explicit
+    // frame keeps it from vanishing unassigned
     val nodeChain = new CheckpointChain(spark, group)
-    var nodes = nodeChain.next(g.select(col("src").as("node")).distinct())
+    var nodes = nodeChain.next(
+      g.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     var result = resChain.next(
-      nodes.filter(lit(false)).withColumn("core", lit(0L)))
+      nodes.filter(lit(false)).select(col("node"), lit(0L).as("core")))
+    // one aggregate job per use: survivor count + live degree mass
+    // (= directed edge rows of the survivor-induced subgraph, since the
+    // maintained degrees are exact)
+    def nodeStats(n: DataFrame): (Long, Long) = {
+      val r = n.agg(count(lit(1)), sum(col("deg"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val bcastCap = 4L << 20
     var k = 2
-    var alive = nodes.count()
+    var (alive, liveMass) = nodeStats(nodes)
+    var gMass = liveMass // rows in the materialized edge frame (incl. stale)
     var rounds = 0
     while (alive > 0 && k <= maxK && rounds < maxRounds) {
-      val degs = nodes.join(
-          g.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("d"), lit(0L)).as("deg"))
-      val victims = degs.filter(col("deg") < k).select(col("node"))
+      val victims = nodes.filter(col("deg") < k)
       val nv = victims.count()
       rounds += 1
       if (nv == 0) k += 1
       else {
         result = resChain.next(result.union(
-          victims.withColumn("core", lit(k.toLong - 1))))
-        nodes = nodeChain.next(nodes.join(victims, Seq("node"), "left_anti"))
-        g = chain.next(
-          g.join(victims, g("src") === victims("node"), "left_anti")
-            .join(victims, g("dst") === victims("node"), "left_anti"))
-        alive = nodes.count()
+          victims.select(col("node"), lit(k.toLong - 1).as("core"))))
+        val removed = victims.select(col("node").as("dst"))
+        val probe = if (nv <= bcastCap) broadcast(removed) else removed
+        val delta = g.join(probe, Seq("dst"))
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("dd"))
+        nodes = nodeChain.next(
+          nodes.filter(col("deg") >= k).join(delta, Seq("node"), "left")
+            .select(col("node"),
+              (col("deg") - coalesce(col("dd"), lit(0L))).as("deg")))
+        val s = nodeStats(nodes); alive = s._1; liveMass = s._2
+        if (alive > 0 && liveMass < gMass / 2) {
+          val nn = nodes.select(col("node"))
+          g = chain.next(
+            g.join(nn.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+              .join(nn.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi"))
+          gMass = liveMass
+        }
       }
     }
     IterativeCompute.handoff(result, resChain, nodeChain, chain)

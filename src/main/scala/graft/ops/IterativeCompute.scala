@@ -25,6 +25,15 @@ private[ops] object IterativeCompute {
     */
   final class DispatchGroup {
     @volatile private[IterativeCompute] var big: Boolean = false
+    /** Counter-evidence (round-27 advisory): the largest SANE plan-stats
+      * estimate whose class-1 probe MEASURED well under the bound. A loop
+      * whose stats chronically over-estimate (join-product stats inflate
+      * sub-MB frames 10³–10⁴×) would otherwise re-enter the DISK_ONLY
+      * probe on EVERY round, paying a disk write+read per iteration; once
+      * an estimate is probed small, later rounds re-probe only when the
+      * estimate GROWS materially (>2×) past the cleared level.
+      */
+    @volatile private[IterativeCompute] var clearedEst: BigInt = BigInt(-1)
   }
 
   /** Tracks the localCheckpoint blocks of an iterative loop's live frame and
@@ -125,16 +134,21 @@ private[ops] object IterativeCompute {
       //     already cut to an RDD scan reports the unknown-size sentinel
       //     (defaultSizeInBytes), which must not read as "huge".
       val bound = localReliableBytes
+      var probedEst: BigInt = BigInt(-1) // the estimate behind a class-1 probe
       val sizeClass: Int =
         if (resilient || bound <= 0) 0
         else if (group.big) 2
         else {
           val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
           val sane = est >= 0 && est < BigInt(Long.MaxValue) / 4
-          val hit = sane && est > bound
+          // counter-evidence gate: an estimate no bigger than 2× one this
+          // group already probed small is the same known-inflated signal —
+          // stay on the fast path instead of re-probing every round
+          val hit = sane && est > bound && est > group.clearedEst * 2
           if (debug) System.err.println(
-            s"[iter] size-dispatch est=$est sane=$sane bound=$bound diskProbe=$hit")
-          if (hit) 1 else 0
+            s"[iter] size-dispatch est=$est sane=$sane bound=$bound " +
+              s"cleared=${group.clearedEst} diskProbe=$hit")
+          if (hit) { probedEst = est; 1 } else 0
         }
       // Dataset.checkpoint ALSO leaves its internal RDD persisted (the
       // write-side cache), so BOTH branches run the same id-diff
@@ -163,8 +177,16 @@ private[ops] object IterativeCompute {
         val stored = sc.getRDDStorageInfo
           .filter(i => added.contains(i.id)).map(i => i.memSize + i.diskSize).sum
         if (stored > bound) group.big = true
+        // a probe that measures WELL under the bound (half, to keep frames
+        // near the boundary re-probing) clears its estimate level: the
+        // stats are proven inflated at that level, so equal-or-smaller
+        // estimates skip the per-round disk probe from here on
+        else if (sizeClass == 1 && stored <= bound / 2 &&
+            probedEst > group.clearedEst)
+          group.clearedEst = probedEst
         if (debug) System.err.println(
-          s"[iter] size-dispatch stored=$stored bound=$bound latched=${group.big}")
+          s"[iter] size-dispatch stored=$stored bound=$bound " +
+            s"latched=${group.big} cleared=${group.clearedEst}")
       }
       releaseIds(prevIds)
       prevIds = liveIds

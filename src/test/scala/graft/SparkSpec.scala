@@ -23,6 +23,10 @@ object SparkSpec {
     .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
     // let the context cleaner reclaim checkpoint files of GC'd frames
     .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    // keep catalog-touching suites (JDBC dialects) from dropping a
+    // spark-warehouse/ dir at the repo root (r26 verdict task 8)
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -35,6 +35,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SinkJdbcDialectsSpec extends AnyFunSuite with SparkSpec {
 
+  // Derby writes derby.log at derby.system.home (default: cwd — which
+  // left debris at the repo root, r26 verdict task 8). Point it at a temp
+  // dir BEFORE the engine loads; only this suite touches Derby, so the
+  // constructor runs early enough.
+  System.setProperty("derby.system.home",
+    java.nio.file.Files.createTempDirectory("derby-home").toString)
+
   // ---- arm 1: Derby in-memory through Spark's full JDBC writer -----------
 
   private def memDb(name: String): String = s"jdbc:derby:memory:$name;create=true"

@@ -610,6 +610,112 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
         s"(linear $linear, wedges $wedges) — wedge generation is funneling")
   }
 
+  test("dedup_winnowing: per-fingerprint expansion spreads capped pairs across tasks") {
+    // Same geometry as dedup_ngram's per-task pin, on the winnowing
+    // kernel (r26 verdict task 4): pairs are generated in the task that
+    // owns each fingerprint key, so no task may write more than half the
+    // CAPPED pair volume (plus the linear floor: this one-file fixture's
+    // scan task writes every (doc_id, fph) row). A dropped df cap pushes
+    // the boilerplate fingerprint's C(300,2) = 44,850 pairs through the
+    // one task owning that key — far past the bound.
+    val d = synthDir
+    val fps = CorpusOps.winnowFps(spark, d)
+    val nFps = fps.count()
+    val dfs = fps.groupBy("fph").agg(count(lit(1)).as("df"))
+    val capped = dfs.filter(col("df") <= 10)
+      .agg(coalesce(sum(expr("(df * (df - 1)) div 2")), lit(0L))).first().getLong(0)
+    val hotDf = dfs.agg(max("df")).first().getLong(0)
+    sweep()
+    val bound = math.max(nFps, capped / 2)
+    assert(hotDf * (hotDf - 1) / 2 > 2 * bound,
+      s"fixture regression: uncapped hot key C($hotDf,2) not material vs bound $bound")
+    val (_, maxTask, _) = perTaskShuffleWrites(Long.MaxValue) {
+      graft.SparkEntry.queries("dedup_winnowing")(spark, d).collect()
+    }
+    assert(maxTask <= bound,
+      s"one task wrote $maxTask shuffle records > bound $bound " +
+        s"(|fps| $nFps, capped pairs $capped) — a dropped df cap writes the " +
+        s"hot fingerprint's ${hotDf * (hotDf - 1) / 2} pairs from one task")
+  }
+
+  test("dedup_embcos hot family: band-bucket expansion never funnels through one task") {
+    // 256 identical vectors form one hot (band, sig) family per band —
+    // the four band keys hash-spread across the 32 shuffle partitions, so
+    // no task may write more than three bands' expansion (plus the linear
+    // floor); a funneling regression (global coalesce / all four buckets
+    // through one reducer) writes the whole wBand volume from one task.
+    val emb = Tables.t(spark, hotEmbDir, "embeddings")
+      .select(col("vec_id"), VectorOps.qvec(col("embedding")).as("q"))
+    val nVecs = emb.count()
+    val wBand = VectorOps.bandSigs(emb)
+      .groupBy("band", "sig").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("(n * (n - 1)) div 2"))).first().getLong(0)
+    sweep()
+    val linear = 4 * nVecs
+    assert(wBand > 2 * linear,
+      s"fixture regression: hot family not material (wBand $wBand, linear $linear)")
+    val bound = 3 * wBand / 4 + linear
+    val (_, maxTask, _) = perTaskShuffleWrites(Long.MaxValue) {
+      graft.SparkEntry.queries("dedup_embcos")(spark, hotEmbDir).collect()
+    }
+    assert(maxTask <= bound,
+      s"one task wrote $maxTask shuffle records > bound $bound " +
+        s"(4x|vecs| $linear, wBand $wBand) — the band buckets are funneling")
+  }
+
+  test("dedup_spans_near: prefix-key expansion spreads candidates across tasks") {
+    // 8 families x 48 near-dup single-block docs (6 shared + 2 unique
+    // tokens): every family pair shares exactly its 3 lowest-hash common
+    // tokens in the 5-slot prefix (unique df=1 keys sort first, the
+    // df·2^36 encoding guarantees it), so the candidate volume is
+    // 3 x 8 x C(48,2) join rows spread over 24 prefix keys. No task may
+    // write more than half of it; a funneled expansion writes all of it.
+    val d = spansDir
+    val res = graft.SparkEntry.queries("dedup_spans_near")(spark, d).collect()
+    sweep()
+    val famPairs = 48L * 47 / 2
+    assert(res.length == 8 * famPairs,
+      s"fixture regression: ${res.length} result pairs, want ${8 * famPairs}")
+    assert(res.forall(_.getLong(4) == 600L),
+      "fixture regression: every near-dup pair must sit at jacc 600")
+    val candTotal = 3 * 8 * famPairs // 3 shared prefix keys per family pair
+    val bound = candTotal / 2
+    val (_, maxTask, _) = perTaskShuffleWrites(Long.MaxValue) {
+      graft.SparkEntry.queries("dedup_spans_near")(spark, d).collect()
+    }
+    assert(maxTask <= bound,
+      s"one task wrote $maxTask shuffle records > bound $bound " +
+        s"(candidate volume $candTotal over 24 keys) — the prefix join is funneling")
+  }
+
+  test("join_interval: per-bin expansion spreads concurrent pairs across tasks") {
+    // The surface's biggest spiller (BENCH_LOWMEM: 12 GB at sf1) gets the
+    // per-task pin on top of its exchange-total contract: 16 hot hours of
+    // 64 concurrent single-event users each put C(64,2) pairs in 16
+    // separate bin keys — hash-spread over the 32 partitions, so no task
+    // may write more than half the bin-local pair volume, while a plan
+    // that funnels the interval join through one reducer writes all of it.
+    val d = hotEventsDir
+    val nEvents = Tables.t(spark, d, "events").count()
+    val binned = TemporalOps.sessions(spark, d).select(
+      explode(expr("sequence(s_start div 3600, s_end div 3600)")).as("hb"))
+    val nBins = binned.count()
+    val binPairs = binned.groupBy("hb").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("(n * (n - 1)) div 2"))).first().getLong(0)
+    sweep()
+    assert(binPairs > 2 * math.max(nEvents, nBins),
+      s"fixture regression: hot hours not material (binPairs $binPairs, " +
+        s"events $nEvents, bins $nBins)")
+    val bound = Seq(nEvents, nBins, binPairs / 2).max
+    val (_, maxTask, _) = perTaskShuffleWrites(Long.MaxValue) {
+      graft.SparkEntry.queries("join_interval")(spark, d).collect()
+    }
+    assert(maxTask <= bound,
+      s"one task wrote $maxTask shuffle records > bound $bound " +
+        s"(events $nEvents, bins $nBins, binPairs $binPairs) — " +
+        "the interval join is funneling")
+  }
+
   private val HotBase = 10000000L
 
   /** sf0.001 documents plus ONE exact text repeated 1024x (ids from
@@ -642,6 +748,60 @@ class ScaleContractsSpec extends AnyFunSuite with SparkSpec {
         col("doc_id") + lit(k.toLong * 100000L)))
       .reduce(_.union(_))
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** sf0.001 embeddings plus ONE vector repeated 256x (ids from
+    * [[HotBase]]) — the sign-LSH hot family: all copies collide in all
+    * four (band, sig) buckets.
+    */
+  private lazy val hotEmbDir: String = {
+    val dir = tmpFixtureDir("contracts-hotemb")
+    val src = spark.read.parquet(s"$sf/embeddings.parquet")
+    val one = src.orderBy("vec_id").limit(1).select(col("embedding"), col("label"))
+    val hot = spark.range(256).crossJoin(one)
+      .select((col("id") + HotBase).as("vec_id"), col("embedding"), col("label"))
+    val aligned = hot.select(src.schema.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType)): _*)
+    src.union(aligned).coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** 8 families x 48 single-block docs: 6 family-common tokens + 2
+    * per-doc unique tokens — every intra-family pair is a Jaccard-600
+    * near-dup whose candidates ride the family's 3 prefix-shared common
+    * tokens (see the dedup_spans_near per-task contract).
+    */
+  private lazy val spansDir: String = {
+    val dir = tmpFixtureDir("contracts-spans")
+    import spark.implicits._
+    val rows = for { f <- 0 until 8; i <- 0 until 48 } yield {
+      val common = (0 until 6).map(j => s"c${f}q$j").mkString(" ")
+      val text = s"$common u${f}x$i u${f}y$i"
+      ((f * 1000 + i).toLong, text, "en", "s0", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** sf0.001 events plus 16 hot hours of 64 fresh single-event users each
+    * (ids from [[HotBase]]): 16 bins of 64 mutually-concurrent singleton
+    * sessions — C(64,2) interval pairs per bin, spread over 16 bin keys.
+    */
+  private lazy val hotEventsDir: String = {
+    val dir = tmpFixtureDir("contracts-hotev")
+    val src = spark.read.parquet(s"$sf/events.parquet")
+    import spark.implicits._
+    val rows = for { h <- 0 until 16; u <- 0 until 64 } yield {
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.parse(f"2030-01-01T$h%02d:30:00Z"))
+      (90000000L + h * 1000 + u, ts, HotBase + h * 1000 + u, "view", 1.0, "{}")
+    }
+    val hot = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aligned = hot.select(src.schema.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType)): _*)
+    src.union(aligned).coalesce(1).write.parquet(s"$dir/events.parquet")
     dir
   }
 }

@@ -35,10 +35,18 @@ import sys
 def run_arm(mode: str, heap: str, rows: str) -> tuple[int, dict | None]:
     # inherit the environment (COURSIER_MODE=offline etc.), override the knobs
     env = dict(os.environ, SPARK_DRIVER_MEM=heap, PROBE_ROWS=rows)
-    p = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.ops.CheckpointOomProbe {mode}"],
-        cwd="/root/repo", env=env,
-        capture_output=True, text=True, timeout=1800)
+    try:
+        p = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.ops.CheckpointOomProbe {mode}"],
+            cwd="/root/repo", env=env,
+            capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        # a wedged arm (an OOM that hangs instead of exiting — plausible for
+        # the blockmanager reproduction) counts as not-completed, so the
+        # matrix verdict still prints instead of crashing the runner
+        print(f"[probe] {mode}: TIMEOUT after 1800s (arm killed)",
+              file=sys.stderr)
+        return -1, None
     rec = None
     for line in p.stdout.splitlines():
         line = line.removeprefix("[info] ").strip()
