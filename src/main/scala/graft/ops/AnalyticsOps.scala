@@ -86,12 +86,15 @@ object AnalyticsOps extends Pack {
     // build) re-evaluates once per reference (~9x, measured 16 s -> 2 s at
     // sf0.1). The bench/verify harness sweeps cached blocks after each
     // query.
+    // Input contract (r19): callers pass a DISTINCT pair list with a != b
+    // (true of the one caller, the simhash near-dup kernel), so the old
+    // .distinct() was a no-op Exchange over edge volume — dropped. Degree
+    // instances come from ONE explode pass over the persisted canonical
+    // edges instead of a two-branch self-union.
     val e0 = raw
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
       .persist()
-    val deg = e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .persist()
     // orient by (deg, id): struct comparison gives the total order directly
@@ -129,10 +132,12 @@ object AnalyticsOps extends Pack {
     * sweep likewise.
     */
   private def lpaLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
-    val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
-      .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
-      .distinct().persist()
+    // kernel pairs are distinct unordered rep pairs (a != b), so the
+    // exploded symmetrization is distinct by construction — the old
+    // union+distinct both re-executed the pair kernel per branch and paid
+    // an edge-volume Exchange (GraphOps.symmetrized doc)
+    val edges = GraphOps.symmetrized(
+      TextOps.simhashNearPairs(s, d), "rep_a", "rep_b").persist()
     var lab = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to 3) {
@@ -184,10 +189,10 @@ object AnalyticsOps extends Pack {
       // only big shuffle, same partitioning every round — plus a dst
       // hash-agg with map-side combine. Rounds are FIXED (3), so the
       // lineage is bounded and needs no checkpoint chain.
-      val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
-      val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
-        .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
-        .distinct().persist()
+      // symmetrized via explode: one kernel execution, no edge-volume
+      // distinct Exchange (kernel pairs are distinct with a != b)
+      val edges = GraphOps.symmetrized(
+        TextOps.simhashNearPairs(s, d), "rep_a", "rep_b").persist()
       val nodes = edges.groupBy("src").agg(count(lit(1)).as("outd"))
         .select(col("src").as("node"), col("outd")).persist()
       val n = math.max(nodes.count(), 1L) // one scalar job — control plane
@@ -234,10 +239,10 @@ object AnalyticsOps extends Pack {
       // to the plain shuffle join, i.e. the r26 shape), shuffles only
       // the matched rows (map-side combine, ≤ Σdeg(removed) rows), and
       // left-joins the node-sized delta into the survivor frame.
-      val pairs = TextOps.simhashNearPairs(s, d).select(col("rep_a"), col("rep_b"))
-      val edges = pairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
-        .union(pairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
-        .distinct().persist()
+      // symmetrized via explode: one kernel execution, no edge-volume
+      // distinct Exchange (kernel pairs are distinct with a != b)
+      val edges = GraphOps.symmetrized(
+        TextOps.simhashNearPairs(s, d), "rep_a", "rep_b").persist()
       val d0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg")).persist()
       val bcastCap = 4L << 20
@@ -291,14 +296,18 @@ object AnalyticsOps extends Pack {
       // by both endpoints), ONE map-side-combined min-struct aggregate
       // keyed by node, one count agg on the selected-edge key — all
       // 8-byte-key shuffles, no self-joins beyond the shared kernel.
-      val e = TextOps.simhashNearPairs(s, d)
+      // the kernel emits each unordered rep pair exactly once with its
+      // (pair-determined) hamming weight, so the old groupBy(a,b).min(w)
+      // dedupe was a no-op Exchange — dropped; both endpoint picks come
+      // from ONE explode pass instead of a self-union that executed the
+      // kernel twice (the GraphOps.symmetrized discipline)
+      val cand = TextOps.simhashNearPairs(s, d)
         .select(least(col("rep_a"), col("rep_b")).as("a"),
           greatest(col("rep_a"), col("rep_b")).as("b"), col("hamming").as("w"))
-        .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
-      val cand = e.select(col("a").as("node"),
-          struct(col("w"), col("a"), col("b")).as("pick"))
-        .union(e.select(col("b").as("node"),
-          struct(col("w"), col("a"), col("b")).as("pick")))
+        .select(explode(array(
+          struct(col("a").as("node"), struct(col("w"), col("a"), col("b")).as("pick")),
+          struct(col("b").as("node"), struct(col("w"), col("a"), col("b")).as("pick")))).as("x"))
+        .select(col("x.node").as("node"), col("x.pick").as("pick"))
       cand.groupBy(col("node")).agg(min(col("pick")).as("pick"))
         .groupBy(col("pick.a").as("edge_a"), col("pick.b").as("edge_b"),
           col("pick.w").as("w"))
@@ -324,10 +333,13 @@ object AnalyticsOps extends Pack {
       // equi-join of the score frame (a row per node) against the edge
       // list on its key + one map-side-combinable agg; edges never
       // self-join, rounds are fixed so lineage is bounded.
+      // kernel pairs are already distinct — the .distinct() was a no-op
+      // Exchange over edge volume, dropped; the node set comes from ONE
+      // explode pass over the persisted pairs instead of a self-union
       val pairs = TextOps.simhashNearPairs(s, d)
-        .select(col("rep_a").as("src"), col("rep_b").as("dst")).distinct().persist()
-      val nodes = pairs.select(col("src").as("node"))
-        .union(pairs.select(col("dst"))).distinct()
+        .select(col("rep_a").as("src"), col("rep_b").as("dst")).persist()
+      val nodes = pairs
+        .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       val a1 = pairs.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
       val h1 = pairs.join(a1, "dst")
         .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
@@ -424,19 +436,25 @@ object AnalyticsOps extends Pack {
       // Scale shape: one degree aggregate on 8-byte node ids, two
       // degree joins onto the edge list (sort-merge at scale), one
       // map-side-combinable moment rollup — no window, no all-pairs.
+      // kernel pairs are distinct unordered rep pairs with a != b: the old
+      // .distinct() was a no-op Exchange (dropped); degree instances and
+      // the both-orientations moment stream each come from ONE explode
+      // pass instead of self-unions that re-read (or re-computed) their
+      // input per branch (the GraphOps.symmetrized discipline)
       val e = TextOps.simhashNearPairs(s, d)
         .select(least(col("rep_a"), col("rep_b")).as("u"),
           greatest(col("rep_a"), col("rep_b")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
         .persist() // degree aggregate AND the moment pass both read it
-      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val both = e
         .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
         .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
         .select(col("du"), col("dv"))
-      val m = both.select(col("du").as("x"), col("dv").as("y"))
-        .union(both.select(col("dv").as("x"), col("du").as("y")))
+      val m = both.select(explode(array(
+          struct(col("du").as("x"), col("dv").as("y")),
+          struct(col("dv").as("x"), col("du").as("y")))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
@@ -462,11 +480,12 @@ object AnalyticsOps extends Pack {
       // shape: degrees via one union+count agg on 8-byte node ids, then
       // a ~60-row bucket rollup; both aggs map-side combine, and the
       // histogram is what you'd publish in a dataset card at 100 TB.
-      val e = TextOps.simhashNearPairs(s, d)
-        .select(least(col("rep_a"), col("rep_b")).as("u"),
-          greatest(col("rep_a"), col("rep_b")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      // kernel pairs are distinct unordered rep pairs with a != b, so the
+      // old least/greatest + distinct + two-branch union (which executed
+      // the kernel TWICE and paid an edge-volume Exchange) collapses to
+      // one explode of both endpoints per pair — same degree multiset
+      TextOps.simhashNearPairs(s, d)
+        .select(explode(array(col("rep_a"), col("rep_b"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .withColumn("bucket", length(bin(col("deg"))).cast("long"))
         .groupBy(col("bucket"))
@@ -672,13 +691,14 @@ object AnalyticsOps extends Pack {
       // the corner explode then credits all three nodes. Exact integers
       // throughout: (t·2000) div (d·(d−1)).
       // Persists follow the triangleStats contract (harness sweeps).
+      // kernel pairs are distinct unordered rep pairs with a != b: the old
+      // .distinct() was a no-op Exchange (dropped), and degree instances
+      // come from ONE explode pass over the persisted canonical edges
       val e0 = TextOps.simhashNearPairs(s, d)
         .select(least(col("rep_a"), col("rep_b")).as("u"),
           greatest(col("rep_a"), col("rep_b")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
         .persist()
-      val deg = e0.select(col("u").as("node")).union(e0.select(col("v").as("node")))
+      val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("degree"))
         .persist()
       val ed = e0

@@ -53,11 +53,10 @@ object CorpusOps extends Pack {
     * ~57 md5+conv gram hashes once PER WINDOW j (~53×/row — measured
     * 100 s at sf0.1 vs sub-second with the binding).
     *
-    * Query-held persist (fps feeds the df cap AND both sides of the
-    * candidate self-join): released by the engine-entry convention —
-    * Verify/Bench sweep sc.getPersistentRDDs after every query (the
-    * TrainingDataPrep contract); any standalone caller must sweep
-    * likewise or unpersist the plan's cached leaves itself.
+    * No persist (r19): dedup_winnowing now consumes the frame exactly
+    * once (the posting-list form replaced the df-cap join + self-join,
+    * which read it three times) — a cache materialization with a single
+    * reader is pure overhead.
     */
   private[ops] def winnowFps(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     t(s, d, "documents")
@@ -72,15 +71,19 @@ object CorpusOps extends Pack {
       .select(col("doc_id"), explode(col("fps")).as("enc"))
       .select(col("doc_id"), expr("enc div 65536L").as("fph"))
       .distinct()
-      .persist()
 
   private[ops] def commonNeighbors(raw: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    // Input contract (r19): callers pass a DISTINCT pair list with a != b
+    // (true of both callers, the simhash near-dup kernel), so the old
+    // .distinct() was a no-op Exchange over edge volume — dropped; both
+    // orientations come from ONE explode pass over the persisted edges.
     val e = raw
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
       .persist() // consumed by the adjacency build AND the anti join
-    val sym = e.union(e.select(col("v"), col("u")))
+    val sym = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
     val cand = sym.groupBy(col("u"))
       .agg(sort_array(collect_set(col("v"))).as("ns"))
       .select(explode(expr(
@@ -106,12 +109,17 @@ object CorpusOps extends Pack {
     * (interchangeable template variants) rather than the mere-contact one.
     */
   private[ops] def jaccardNeighbors(raw: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    // same input contract as commonNeighbors (r19): distinct pairs with
+    // a != b — no-op distinct dropped, symmetrize via one explode pass
+    // e is consumed exactly once now (adjacency and degrees both derive
+    // from the persisted adj below), so no persist — the old one backed
+    // the union's second branch, which the explode removed
     val e = raw
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .persist() // adjacency + degree both read it
-    val sym = e.union(e.select(col("v"), col("u")))
+    val sym = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
     val adj = sym.groupBy(col("u"))
       .agg(sort_array(collect_set(col("v"))).as("ns"))
       .persist() // candidate pairs AND degrees derive from it
@@ -275,12 +283,23 @@ object CorpusOps extends Pack {
       // (doc_id, fingerprint) 8-byte pairs shuffle; a df cap (≤ 10
       // docs) drops boilerplate fingerprints so no hot hash key can
       // explode the candidate join (the dedup_ngram discipline).
-      val fps = winnowFps(s, d)
-      val kept = fps.join(
-        fps.groupBy("fph").agg(count(lit(1)).as("df")).filter(col("df") <= 10), "fph")
-      kept.as("x").join(kept.as("y"),
-          col("x.fph") === col("y.fph") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // Posting-list form (r19, the dedup_ngram/basket_pairs kernel): ONE
+      // groupBy(fph) collects each fingerprint's sorted doc list; the df
+      // cap is a size filter on that list (2..10 — df-1 lists pair
+      // nothing) and candidate pairs expand IN-ROW, bounded at C(10,2) =
+      // 45 per fingerprint. This replaces the old df-count aggregate +
+      // cap join + fph self-join — three reads of the fingerprint frame
+      // (which therefore had to be persisted) and two extra Exchanges
+      // become one aggregation and one pair rollup. Same pairs, same
+      // counts: sorted list + upper-triangular expansion ≡ the join's
+      // doc_a < doc_b.
+      winnowFps(s, d)
+        .groupBy(col("fph")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 10))
+        .select(explode(expr(
+          "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"
+        )).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 3)
         .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
@@ -926,12 +945,21 @@ object CorpusOps extends Pack {
       graft.expressions.GraftFunctions.register(s)
       val bands = TextOps.minhashBands(
         t(s, d, "documents").select(col("doc_id"), col("text"))).persist()
+      // both-band duplicates are suppressed IN the join condition (emit the
+      // band-1 copy only when the band-0 hashes differ — an in-row check on
+      // the sigs both rows carry) instead of by a post-join distinct(),
+      // removing the Exchange over full candidate volume (the TextOps
+      // minhashPairs discipline; band-hash formula shared with bandsOfSigs)
+      def bh0(side: String): String =
+        (0 until 8).map(sl =>
+          s"((${97 + 13 * sl} * element_at($side.sig, ${sl + 1}) + $sl) % 2147483647L)")
+          .mkString(" + ")
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
-            && col("x.doc_id") < col("y.doc_id"))
+            && col("x.doc_id") < col("y.doc_id")
+            && (col("x.band") === 0 || expr(s"(${bh0("x")}) != (${bh0("y")})")))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           call_function("graft_agree_i64", col("x.sig"), col("y.sig")).as("n_agree"))
-        .distinct() // a pair matching in both bands appears twice
         .filter(col("n_agree") >= 10)
         .groupBy(col("n_agree"))
         .agg(count(lit(1)).as("n_pairs"))

@@ -34,6 +34,21 @@ import graft.ops.IterativeCompute.CheckpointChain
   */
 object GraphOps {
 
+  /** Both orientations of a pair list in ONE pass: explode replaces the
+    * `pairs.union(pairs.swap)` idiom, whose two branches each re-executed
+    * the (possibly expensive) upstream pair pipeline, and whose usual
+    * trailing `.distinct()` added an Exchange + HashAggregate over edge
+    * volume. Callers must pass a DISTINCT pair list with a != b (true of
+    * every near-dup pair kernel: pairs are keyed by an unordered rep pair,
+    * generated exactly once) — then the symmetrized set is distinct by
+    * construction and needs no shuffle at all (guide §2.4).
+    */
+  private[ops] def symmetrized(pairs: DataFrame, a: String, b: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** @param edges   (src: long, dst: long) directed edges; duplicates are
     *                collapsed (a repeated link is one edge, the usual
     *                web-graph convention)
@@ -70,25 +85,37 @@ object GraphOps {
     val group = new IterativeCompute.DispatchGroup
     val chain = new CheckpointChain(spark, group)
     val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val e = chain.next(dir.union(dir.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    // both orientations from ONE pass (r19): the old self-union executed
+    // the whole upstream pair pipeline once per branch; distinct stays —
+    // this is a public op whose callers may pass duplicate edges
+    val e = chain.next(dir.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct())
     val src0 = source.getOrElse(
       e.agg(min(col("src"))).head().getLong(0)) // one tiny scalar job; edge list already materialized
+    // Round shape (r19): ONE chain carrying (node, hop) — the frontier is
+    // dist.filter(hop == current), a narrow read of the just-materialized
+    // blocks, and the frontier size is the dist row-count delta. The old
+    // shape checkpointed frontier AND dist separately (3 fixed-floor jobs
+    // per round: two materializations + a count); this is 2.
     val distChain = new CheckpointChain(spark, group)
-    val frontierChain = new CheckpointChain(spark, group)
     var dist = distChain.next(Seq(src0).toDF("node").withColumn("hop", lit(0L)))
-    var frontier = frontierChain.next(dist.select(col("node")))
     var hop = 0L
+    var settled = 1L // rows in dist (after round k, nodes within k hops)
     var frontierSize = 1L
     while (frontierSize > 0 && hop < maxIter) {
+      val frontier = dist.filter(col("hop") === hop).select(col("node"))
       hop += 1
       val nbrs = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-      frontier = frontierChain.next(nbrs.join(dist, Seq("node"), "left_anti"))
-      frontierSize = frontier.count()
-      if (frontierSize > 0)
-        dist = distChain.next(dist.union(frontier.withColumn("hop", lit(hop))))
+      dist = distChain.next(dist.union(
+        nbrs.join(dist, Seq("node"), "left_anti").withColumn("hop", lit(hop))))
+      val n = dist.count()
+      frontierSize = n - settled
+      settled = n
     }
-    IterativeCompute.handoff(dist, distChain, frontierChain, chain)
+    IterativeCompute.handoff(dist, distChain, chain)
   }
 
   def pagerank(edges: DataFrame, damping: Double = 0.85,

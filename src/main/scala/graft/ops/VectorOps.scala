@@ -108,12 +108,25 @@ object VectorOps extends Pack {
       .select(col("vec_id"), qvec(col("embedding")).as("q"))
       .withColumn("n2", call_function("graft_dot_i64", col("q"), col("q")))
       .persist()
-    val sigs = bandSigs(emb)
+    // band rows carry ALL FOUR sigs (32 extra bytes/row) so the join can
+    // emit a multi-band-agreeing pair ONLY at its first agreeing band — an
+    // in-row check replacing the old post-join distinct(), which was an
+    // Exchange + HashAggregate over full candidate volume (the
+    // simhashNearPairs discipline, guide §2.4)
+    val sigs = emb
+      .select(col("vec_id"),
+        array((0 until 4).map(b => sigColNative(b)): _*).as("sigs"))
+      .select(col("vec_id"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
-          && col("x.vec_id") < col("y.vec_id"))
+          && col("x.vec_id") < col("y.vec_id")
+          && col("x.band") === when(
+            expr("element_at(x.sigs, 1) = element_at(y.sigs, 1)"), 0)
+            .when(expr("element_at(x.sigs, 2) = element_at(y.sigs, 2)"), 1)
+            .when(expr("element_at(x.sigs, 3) = element_at(y.sigs, 3)"), 2)
+            .otherwise(3))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
     cand
       .join(emb.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na2")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb2")), "id_b")
