@@ -84,14 +84,24 @@ object CorpusOps extends Pack {
         struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
-    val cand = sym.groupBy(col("u"))
+    // The adjacency exclusion rides the SAME rollup exchange (r19): each
+    // canonical edge contributes one marker row (edge=1) to the wedge-pair
+    // stream, and adjacent pairs drop on max(edge) — replacing the old
+    // left_anti join, which shuffled the pair rollup AND the edge list a
+    // second time. Wedge pairs come off the sorted adjacency list with
+    // na < nb, matching e's u < v canonical order, so the keys align.
+    val wedgePairs = sym.groupBy(col("u"))
       .agg(sort_array(collect_set(col("v"))).as("ns"))
       .select(explode(expr(
         "flatten(transform(ns, (a, i) -> transform(slice(ns, i + 2, size(ns)), b -> struct(a AS na, b AS nb))))"
       )).as("p"))
-      .groupBy(col("p.na").as("node_a"), col("p.nb").as("node_b"))
-      .agg(count(lit(1)).as("cn"))
-    cand.join(e, cand("node_a") === e("u") && cand("node_b") === e("v"), "left_anti")
+      .select(col("p.na").as("node_a"), col("p.nb").as("node_b"), lit(0L).as("edge"))
+    wedgePairs
+      .union(e.select(col("u").as("node_a"), col("v").as("node_b"), lit(1L).as("edge")))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(when(col("edge") === 0, 1)).as("cn"), max(col("edge")).as("adj"))
+      .filter(col("adj") === 0)
+      .select(col("node_a"), col("node_b"), col("cn"))
       .orderBy(col("cn").desc, col("node_a"), col("node_b"))
       .limit(k)
       .orderBy("node_a", "node_b")
@@ -753,7 +763,8 @@ object CorpusOps extends Pack {
       // map-side combinable; output is O(distinct sizes).
       DedupClusters.components(
           TextOps.simhashNearPairs(s, d)
-            .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
+            .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")),
+          distinctPairs = true)
         .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
@@ -979,7 +990,8 @@ object CorpusOps extends Pack {
       // algorithms on both the closure AND the pick, one answer.
       val comps = DedupClusters.components(
         TextOps.simhashNearPairs(s, d)
-          .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
+          .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")),
+        distinctPairs = true)
       comps
         .join(t(s, d, "documents").select(col("doc_id").as("m_doc"), col("n_chars")),
           comps("doc_id") === col("m_doc"))

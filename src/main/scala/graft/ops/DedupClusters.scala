@@ -72,11 +72,21 @@ object DedupClusters {
     * @param localMaxEdges driver union-find dispatch bound
     *                      ([[LocalComponentsMaxEdges]]; 0 forces the
     *                      distributed rounds — spec hook)
+    * @param distinctPairs r19: callers that guarantee DISTINCT unordered
+    *                      pairs with doc_a != doc_b (every near-dup pair
+    *                      kernel: each pair is generated exactly once at
+    *                      its first agreeing band/posting) may skip the
+    *                      symmetrized edge distinct — an Exchange +
+    *                      HashAggregate over 2x pair volume whose input is
+    *                      already a set. Duplicates would only inflate
+    *                      work, never change labels, but the default stays
+    *                      conservative for arbitrary callers.
     * @return (doc_id, component) — every doc appearing in any pair, labeled
     *         with its cluster's minimum doc_id
     */
   def components(pairs: DataFrame, maxIter: Int = 25,
-      localMaxEdges: Long = LocalComponentsMaxEdges): DataFrame = {
+      localMaxEdges: Long = LocalComponentsMaxEdges,
+      distinctPairs: Boolean = false): DataFrame = {
     // one size-dispatch group per query: the edges and labels chains must
     // share the "a round frame crossed the local dispatch bound" evidence
     val group = new IterativeCompute.DispatchGroup
@@ -84,11 +94,11 @@ object DedupClusters {
     // Both edge orientations from ONE pass over the pair source (a
     // self-union would execute the upstream pair pipeline twice), then
     // materialized once for all iterations.
-    val edges = chain.next(pairs.select(explode(array(
+    val sym = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct())
+    val edges = chain.next(if (distinctPairs) sym else sym.distinct())
 
     // one cheap job over the checkpointed blocks; decides the shape
     if (edges.count() <= localMaxEdges) {
@@ -306,8 +316,9 @@ object DedupClusters {
   }
 
   /** Doc ids to DROP so exactly one doc (the min id) survives per cluster. */
-  def dropIds(pairs: DataFrame, maxIter: Int = 25): DataFrame =
-    components(pairs, maxIter)
+  def dropIds(pairs: DataFrame, maxIter: Int = 25,
+      distinctPairs: Boolean = false): DataFrame =
+    components(pairs, maxIter, distinctPairs = distinctPairs)
       .filter(col("doc_id") =!= col("component"))
       .select("doc_id")
 }

@@ -55,7 +55,9 @@ object TrainingDataPrep {
     // query surface's persisted intermediates, it lives until the caller's
     // spark.catalog.clearCache() (Bench/Verify do this per query).
     val bands = TextOps.minhashBands(docs).persist()
-    DedupClusters.dropIds(TextOps.minhashPairs(bands, bands))
+    // distinctPairs: minhashPairs emits each verified pair exactly once
+    // (first-agreeing-band filter), so the edge distinct is a no-op
+    DedupClusters.dropIds(TextOps.minhashPairs(bands, bands), distinctPairs = true)
   }
 
   /** Doc ids sharing any word-4-gram with the benchmark corpus. */

@@ -386,7 +386,8 @@ object VectorOps extends Pack {
       // candidate at scale).
       DedupClusters.components(
           embcosNearPairs(s, d)
-            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+          distinctPairs = true)
         .select(col("doc_id").as("vec_id"), col("component"))
         .orderBy("vec_id")
     }),
