@@ -79,21 +79,25 @@ object AnalyticsOps extends Pack {
     * cc_permille = 3000 * triangles / wedges, the global clustering
     * coefficient in exact permille.
     */
-  private[ops] def triangleStats(raw: DataFrame): DataFrame = {
+  private[ops] def triangleStats(raw: DataFrame,
+      distinctPairs: Boolean = false): DataFrame = {
     // e0/deg/out are each consumed 2-3 times downstream (wedge self-join +
     // closing semi-join + degree stats) — without persist the WHOLE
     // upstream pipeline (for graph_triangles: the simhash fingerprint
     // build) re-evaluates once per reference (~9x, measured 16 s -> 2 s at
     // sf0.1). The bench/verify harness sweeps cached blocks after each
     // query.
-    // Input contract (r19): callers pass a DISTINCT pair list with a != b
-    // (true of the one caller, the simhash near-dup kernel), so the old
-    // .distinct() was a no-op Exchange over edge volume — dropped. Degree
-    // instances come from ONE explode pass over the persisted canonical
-    // edges instead of a two-branch self-union.
-    val e0 = raw
+    // distinctPairs (r19): the kernel-fed query passes true — its pairs
+    // are a distinct unordered set with a != b, so the generic
+    // dup-collapsing distinct would be a no-op Exchange over edge volume.
+    // Arbitrary callers (the spec's crafted graphs carry reversed and
+    // repeated edges) keep the collapsing default. Degree instances come
+    // from ONE explode pass over the persisted canonical edges instead of
+    // a two-branch self-union.
+    val canon = raw
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .persist()
+      .filter(col("u") =!= col("v"))
+    val e0 = (if (distinctPairs) canon else canon.distinct()).persist()
     val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .persist()
@@ -168,7 +172,7 @@ object AnalyticsOps extends Pack {
       // a drift CHAIN (path-ish: none), which components/BFS alone can't
       // see. Algorithm + scale shape: [[triangleStats]].
       triangleStats(TextOps.simhashNearPairs(s, d)
-        .select(col("rep_a").as("a"), col("rep_b").as("b")))
+        .select(col("rep_a").as("a"), col("rep_b").as("b")), distinctPairs = true)
     }),
 
     "graph_pagerank" -> ((s, d) => {
