@@ -95,24 +95,42 @@ object GraphOps {
     val src0 = source.getOrElse(
       e.agg(min(col("src"))).head().getLong(0)) // one tiny scalar job; edge list already materialized
     // Round shape (r19): ONE chain carrying (node, hop) — the frontier is
-    // dist.filter(hop == current), a narrow read of the just-materialized
-    // blocks, and the frontier size is the dist row-count delta. The old
-    // shape checkpointed frontier AND dist separately (3 fixed-floor jobs
-    // per round: two materializations + a count); this is 2.
+    // dist.filter(hop == h), a narrow read of the just-materialized
+    // blocks, and progress is the dist row-count delta. The old shape
+    // checkpointed frontier AND dist separately (3 fixed-floor jobs per
+    // round: two materializations + a count); this is 2 — and each round
+    // packs TWO expansion hops into the one fused plan (the
+    // DedupClusters.components 2-hop discipline: recomputing the small
+    // first-hop frontier inside the fused plan is cheaper than paying the
+    // per-round materialization floor twice), so the job count rides
+    // ceil(eccentricity/2), not eccentricity. maxIter still bounds HOPS:
+    // the second hop is suppressed on an odd budget's last round.
+    // name-based joins throughout: the second hop's frontier is itself
+    // e-derived INSIDE the same fused plan, so df("col") references would
+    // hit self-join attribute ambiguity; usingColumns joins resolve clean
+    def expand(frontier: DataFrame, settled: DataFrame, h: Long): DataFrame =
+      e.join(frontier.withColumnRenamed("node", "src").select(col("src")),
+          Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
     val distChain = new CheckpointChain(spark, group)
     var dist = distChain.next(Seq(src0).toDF("node").withColumn("hop", lit(0L)))
     var hop = 0L
-    var settled = 1L // rows in dist (after round k, nodes within k hops)
-    var frontierSize = 1L
-    while (frontierSize > 0 && hop < maxIter) {
+    var settled = 1L // rows in dist (after hop k, nodes within k hops)
+    var growing = true
+    while (growing && hop < maxIter) {
       val frontier = dist.filter(col("hop") === hop).select(col("node"))
-      hop += 1
-      val nbrs = frontier.join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node")).distinct()
-      dist = distChain.next(dist.union(
-        nbrs.join(dist, Seq("node"), "left_anti").withColumn("hop", lit(hop))))
+      val f1 = expand(frontier, dist, hop + 1)
+      val next =
+        if (hop + 2 <= maxIter)
+          dist.union(f1).union(
+            expand(f1.select(col("node")), dist.union(f1), hop + 2))
+        else dist.union(f1)
+      hop = math.min(hop + 2, maxIter)
+      dist = distChain.next(next)
       val n = dist.count()
-      frontierSize = n - settled
+      growing = n > settled
       settled = n
     }
     IterativeCompute.handoff(dist, distChain, chain)

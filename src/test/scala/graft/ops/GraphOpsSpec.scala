@@ -96,6 +96,16 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(3L -> 0L, 2L -> 1L, 1L -> 2L))
   }
 
+  test("bfsHops: odd maxIter bounds HOPS despite 2-hop round packing") {
+    // chain 1..6 has eccentricity 5 from node 1; maxIter = 3 must stop at
+    // hop 3 exactly — the packed round shape expands two hops per fused
+    // plan, so the last round on an odd budget must suppress its second hop
+    val got = GraphOps.bfsHops(
+        edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)), maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("no persistent RDD blocks survive a bfsHops call") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = GraphOps.bfsHops(edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
