@@ -104,18 +104,22 @@ object VectorOps extends Pack {
     */
   private[ops] def embcosNearPairs(s: SparkSession, d: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
-    val emb = t(s, d, "embeddings")
-      .select(col("vec_id"), qvec(col("embedding")).as("q"))
-      .withColumn("n2", call_function("graft_dot_i64", col("q"), col("q")))
-      .persist()
     // band rows carry ALL FOUR sigs (32 extra bytes/row) so the join can
     // emit a multi-band-agreeing pair ONLY at its first agreeing band — an
     // in-row check replacing the old post-join distinct(), which was an
     // Exchange + HashAggregate over full candidate volume (the
-    // simhashNearPairs discipline, guide §2.4)
+    // simhashNearPairs discipline, guide §2.4). The sigs array is computed
+    // INSIDE the persisted frame: as a plain projection it is referenced
+    // twice (the carried column and the posexplode input), and CollapseProject
+    // inlines derived columns into every downstream reference (the winnowFps
+    // hazard) — re-running the 32 graft_dot_i64 sign tests per reference.
+    // In the cache it is 4 ints/vector computed exactly once.
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), qvec(col("embedding")).as("q"))
+      .withColumn("n2", call_function("graft_dot_i64", col("q"), col("q")))
+      .withColumn("sigs", array((0 until 4).map(b => sigColNative(b)): _*))
+      .persist()
     val sigs = emb
-      .select(col("vec_id"),
-        array((0 until 4).map(b => sigColNative(b)): _*).as("sigs"))
       .select(col("vec_id"), col("sigs"),
         posexplode(col("sigs")).as(Seq("band", "sig")))
     val cand = sigs.as("x").join(sigs.as("y"),
